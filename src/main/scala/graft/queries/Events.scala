@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream queries (SURVEY.md §2.2 rows 16–17, 20–22, 29, 32–33, 39–42):
+  * distinct counting, JSON extraction, time windows, sessionization, lag
+  * analytics, and the as-of join.
+  *
+  * The windowed queries (q11, q12s) use the SAME operators Structured
+  * Streaming executes (`window`, `session_window`), run here in batch mode —
+  * so batch results double as the streaming-equivalence oracle (§5.5).
+  */
+object Events {
+
+  /** Q9a exact distinct users: shuffles only the (pruned) user_id column;
+    * partial distinct per partition before the exchange.
+    */
+  def q9a(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(countDistinct(col("user_id")).as("du"))
+
+  /** Q9b approx distinct (HLL++, TypedImperativeAggregate): constant-size
+    * sketch per partition → one tiny shuffle regardless of data volume.
+    * Oracle-checked with ±5% tolerance, never hash-matched (SURVEY §2.2 #17).
+    */
+  def q9b(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(approx_count_distinct(col("user_id")).as("adu"))
+
+  /** Q10 JSON path extraction + aggregate. get_json_object is codegen'd;
+    * at 100 TB prefer from_json into a struct column once if many keys are
+    * extracted (single parse), but for one key the path probe is cheaper.
+    */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"))
+      .orderBy("event_type")
+
+  /** Q11 tumbling daily window — the literal streaming operator (`window`)
+    * in batch mode. Group keys: (window, event_type); we project the window
+    * start as a DATE for an engine-independent rendering.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+      .select(to_date(col("window.start")).as("d"), col("event_type"), col("c"), col("s"))
+      .orderBy("d", "event_type")
+
+  /** Q12 sessionization, 30-min inactivity gap (batch oracle form):
+    * lag → new-session flag → running sum = session id → count sessions.
+    * Event-time ties are broken by event_id so the lag is deterministic.
+    * One shuffle on user_id serves both window functions.
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev").isNull ||
+          col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("ns").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** Q12s the native streaming operator: session_window with a 30-min gap,
+    * in batch mode. No DuckDB oracle (gap-boundary semantics differ by
+    * engine); cross-checked against q12 in the test suite instead.
+    */
+  def q12s(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_sessions"))
+
+  /** Q13 lag deltas per event type: gap to the previous event of the SAME
+    * user, averaged per event type. Timestamp arithmetic on microsecond-
+    * precision doubles (not unix_timestamp, which truncates to seconds).
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", col("ts").cast("double") - col("prev").cast("double"))
+      .groupBy("event_type")
+      .agg(round(avg("gap"), 4).as("avg_gap_s"))
+      .orderBy("event_type")
+  }
+
+  /** Q21 AS-OF join: each 'error' event → most recent prior 'purchase' by
+    * the same user, unmatched errors preserved (left as-of).
+    *
+    * Spark has no native ASOF join; plan: equi-join on user_id with the
+    * ts-band predicate, then keep row_number()==1 per left row ordered by
+    * right ts desc (event_id desc as deterministic tiebreak).
+    *
+    * Scale: the join shuffles both sides on user_id once; the window reuses
+    * that partitioning (partition key user_id ⊂ window key event_id — we
+    * partition the window by event_id which hash-distributes fine since
+    * event_id is unique; Catalyst inserts one extra exchange). For the
+    * 100 TB path with heavy per-user fan-out, the union+sort merge variant
+    * (tag streams, sort by (user_id, ts), last-purchase carry-forward via
+    * a running max window) does it with a single sort — implemented as
+    * `asofUnionWindow` below and property-tested equal to this one.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("p_ts").desc, col("p_event_id").desc)
+    e.join(p, col("user_id") === col("p_user_id") && col("ts") > col("p_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("p_event_id").as("prior_purchase"))
+      .orderBy("event_id")
+  }
+
+  /** Single-sort as-of variant for the 100 TB path: union the tagged
+    * streams, one shuffle+sort on (user_id, ts), carry the latest purchase
+    * forward with a running `max_by`-style window, keep error rows.
+    * Exactly one exchange; no join fan-out on hot users.
+    */
+  def asofUnionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tagged = ev.filter(col("event_type").isin("error", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // Order purchases before errors at identical ts? No: as-of is strictly
+    // earlier (e.ts > p.ts), so at equal ts the purchase must NOT match.
+    // Sorting by (ts, isError) with purchases AFTER errors at equal ts
+    // ensures the carry-forward excludes same-instant purchases.
+    val sortKey = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type")) // 'error' < 'purchase' lexically
+      .rowsBetween(Window.unboundedPreceding, Window.rowsBetween(-1, -1).hashCode() * 0 - 1)
+    // (frame set explicitly below; placeholder above never used)
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("p_id", when(col("event_type") === "purchase", col("event_id")))
+      .withColumn("p_ts", when(col("event_type") === "purchase", col("ts")))
+      .withColumn("last_p", max_by(col("p_id"), struct(col("p_ts"), col("p_id"))).over(carry))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("last_p").as("prior_purchase"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator suite (SURVEY.md §2.2 rows 1–31): scan, filter,
+  * project, hash aggregate, joins (broadcast/semi/anti/range), windows,
+  * rollup/cube/grouping-sets, sort/limit/top-k, set ops.
+  *
+  * Scale notes apply per query below; the common rules:
+  *  - filters/projections are plain Column exprs → pushed into the parquet
+  *    scan by Catalyst (verified via explain: PushedFilters/ReadSchema);
+  *  - small dimension tables are broadcast explicitly;
+  *  - fact-fact joins shuffle on their equi-keys, AQE handles skew.
+  */
+object Relational {
+
+  /** Q1 pricing summary: scan → pushed filter → partial+final hash agg.
+    * At 100 TB: map-side combine reduces shuffle to (#groups × #tasks) rows;
+    * the date filter prunes at the scan via parquet min/max stats.
+    */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q2 revenue by nation: 4-way join. lineitem⋈orders shuffles on orderkey;
+    * customer/nation/region are broadcast (nation/region tiny always;
+    * customer small relative to facts — at 100 TB customer would exceed the
+    * broadcast threshold and AQE falls back to shuffle join automatically,
+    * so we only hard-hint the two guaranteed-tiny dims).
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"))
+      .orderBy(col("rev").desc, col("n_name"))
+  }
+
+  /** Q3 range/theta join: equi on orderkey + 90-day date band.
+    * The equi key carries the shuffle; the band predicate is a post-join
+    * filter evaluated inside the join stage (no extra pass).
+    */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").between(
+        col("o_orderdate"),
+        col("o_orderdate") + expr("INTERVAL 90 DAYS")))
+      .agg(count(lit(1)).as("c"), round(avg("l_extendedprice"), 2).as("ap"))
+  }
+
+  /** Q4 semi + anti join: EXISTS / NOT EXISTS as left_semi / left_anti.
+    * Both shuffle only the join keys (projection pruned to c_custkey /
+    * o_custkey at the scan); results are single-row aggregates cross-joined.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("has_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("no_orders"))
+    semi.crossJoin(anti)
+  }
+
+  /** Q5 ranking window: top-3 orders per customer via row_number.
+    * Shuffles once on o_custkey; per-partition sort then rank. At 100 TB a
+    * pre-aggregation (top-3 per partition before the shuffle) would shrink
+    * the exchange — Spark's WindowGroupLimit rule already performs this
+    * pushdown for rank<=k filters (verify in explain).
+    */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+      .limit(100)
+  }
+
+  /** Q6 global top-k: orderBy+limit → TakeOrderedAndProject (per-partition
+    * heap of k, then k-merge at driver — no global sort, no full shuffle).
+    */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** Q7 ROLLUP on (returnflag, linestatus): one pass, grouping-set expand
+    * then hash agg with partial aggregation.
+    */
+  def q7(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"), round(sum("l_extendedprice"), 2).as("s"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Q8 GROUPING SETS ((returnflag),(linestatus),()). */
+  def q8(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Q18 scalar-function suite: string/date/math exprs after a LIKE filter.
+    * p_partkey kept in the output so row identity is total/deterministic.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%a%"))
+      .orderBy("p_partkey")
+      .limit(50)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("u"),
+        length(col("p_name")).as("l"),
+        round(col("p_retailprice") * 1.1, 2).as("pr"),
+        year(to_date(lit("1995-01-02"))).as("y"))
+
+  /** Q19 set ops: UNION (distinct), INTERSECT, EXCEPT over key sets.
+    * Each set op shuffles on the full row (single bigint column here);
+    * Spark plans them as hash aggregates / left-semi+anti under AQE.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+    val u = c.union(o).distinct().agg(count(lit(1)).as("n"))
+      .select(lit("union").as("op"), col("n"))
+    val i = c.intersect(o).agg(count(lit(1)).as("n"))
+      .select(lit("intersect").as("op"), col("n"))
+    val e = c.except(o).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+    u.union(i).union(e).orderBy("op")
+  }
+
+  /** Q22 frame-spec running sum: cumulative spend per customer over time.
+    * One shuffle on o_custkey, per-partition sort, O(1) running frame.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("cum", round(sum("o_totalprice").over(w), 2))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .limit(200)
+      .select("o_custkey", "o_orderkey", "cum")
+  }
+}
