@@ -14,13 +14,17 @@ object TextFunctions {
 
   /** Distinct character k-gram shingles of lower(text).
     * Positions are 1-based; a document shorter than k yields an empty array.
+    * The length guard is explicit because Spark's sequence(1, 0) yields
+    * [1, 0] (step defaults to -1), not [] — see ADVICE r01.
     */
   def shingles(text: Column, k: Int): Column = {
     val lowered = lower(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(lowered) - (k - 1), lit(0))),
-        i => substring(lowered, i, k)))
+    when(length(lowered) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), length(lowered) - (k - 1)),
+          i => substring(lowered, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Whitespace tokens of the raw text, empty tokens removed. */
@@ -66,12 +70,12 @@ object TextFunctions {
     val toks = tokens(lower(text))
     val hashes = transform(toks, t => xxhash64(t))
     val total = size(toks)
-    val bitCols = (0 until 64).map { b =>
+    val bitCols: Seq[Column] = (0 until 64).map { b =>
       val cnt = aggregate(hashes, lit(0),
         (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)).cast("int"))
-      when(cnt * 2 > total, lit(1L) << b).otherwise(lit(0L))
+      when(cnt * 2 > total, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
-    bitCols.reduce((a, c) => a.bitwiseOR(c))
+    bitCols.reduce((a: Column, c: Column) => a.bitwiseOR(c))
   }
 
   /** Polynomial rolling-hash fingerprint of the full text, mod 1e9+7.

@@ -135,14 +135,10 @@ object Events {
     val ev = Tables.events(spark, dir)
     val tagged = ev.filter(col("event_type").isin("error", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    // Order purchases before errors at identical ts? No: as-of is strictly
-    // earlier (e.ts > p.ts), so at equal ts the purchase must NOT match.
-    // Sorting by (ts, isError) with purchases AFTER errors at equal ts
-    // ensures the carry-forward excludes same-instant purchases.
-    val sortKey = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_type")) // 'error' < 'purchase' lexically
-      .rowsBetween(Window.unboundedPreceding, Window.rowsBetween(-1, -1).hashCode() * 0 - 1)
-    // (frame set explicitly below; placeholder above never used)
+    // As-of is strictly earlier (e.ts > p.ts), so at equal ts the purchase
+    // must NOT match. Sorting by (ts, event_type) puts 'error' before
+    // 'purchase' at equal ts, and the [-inf, -1] frame then excludes
+    // same-instant purchases from the carry-forward.
     val carry = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_type"))
       .rowsBetween(Window.unboundedPreceding, -1)
