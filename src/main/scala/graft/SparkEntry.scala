@@ -1,13 +1,212 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Events, Relational, TextVec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §2 (operator inventory) and §2.3 (oracle
+  * texts). Every Spark implementation aliases its output columns identically
+  * to the oracle SQL, and all order-dependent double aggregates go through
+  * exact decimal sums (Relational.dsum) so results hash-match DuckDB at any
+  * parallelism.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Q1 (pricing summary): scan → pushed filter → partial+final hash agg.
+    * Deliberately avoids the events table: the driver's own SparkSession
+    * lacks the nanosAsLong conf that Tables.events sets lazily.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_agg"      -> (Relational.q1 _),
+    "q2_join_broadcast"   -> (Relational.q2 _),
+    "q3_range_join"       -> (Relational.q3 _),
+    "q4_semi_anti"        -> (Relational.q4 _),
+    "q5_rank_window"      -> (Relational.q5 _),
+    "q6_topk"             -> (Relational.q6 _),
+    "q7_rollup"           -> (Relational.q7 _),
+    "q8_grouping_sets"    -> (Relational.q8 _),
+    "q9a_distinct"        -> (Events.q9a _),
+    "q9b_approx_distinct" -> (Events.q9b _),
+    "q10_json"            -> (Events.q10 _),
+    "q11_tumbling"        -> (Events.q11 _),
+    "q12_session"         -> (Events.q12 _),
+    "q12s_session_window" -> (Events.q12s _),
+    "q13_lag"             -> (Events.q13 _),
+    "q14_exact_dedup"     -> (TextVec.q14 _),
+    "q15_near_dup"        -> (TextVec.q15 _),
+    "q16_cosine_topk"     -> (TextVec.q16 _),
+    "q17_tokens"          -> (TextVec.q17 _),
+    "q18_scalar_suite"    -> (Relational.q18 _),
+    "q19_set_ops"         -> (Relational.q19 _),
+    "q21_asof_join"       -> (Events.q21 _),
+    "q22_running_sum"     -> (Relational.q22 _),
+  )
+
+  // Shared oracle fragments ------------------------------------------------
+
+  /** Exact decimal sum rendered back as double — the DuckDB mirror of
+    * Relational.dsum. `%s` is the addend expression.
+    */
+  private def dsum(expr: String, scale: Int): String =
+    s"CAST(round(sum(CAST(($expr) AS DECIMAL(38,8))),$scale) AS DOUBLE)"
+
+  /** events with ts truncated to microseconds — mirrors Tables.events
+    * (Spark cannot read parquet TIMESTAMP(NANOS); it truncates to µs, so the
+    * oracle must compare the same µs instants).
+    */
+  private val evMicros =
+    "SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value, props FROM events"
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omitted on purpose:
+    *  - q9b (HLL sketches legitimately differ across engines — rows-only)
+    *  - q12s (session_window gap-boundary semantics are engine-specific;
+    *    cross-checked against q12 in the test suite instead)
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity", 2)} AS sum_qty,
+         |  ${dsum("l_extendedprice", 2)} AS sum_base,
+         |  ${dsum("l_extendedprice*(1-l_discount)", 2)} AS sum_disc,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)/count(*), 6) AS avg_qty,
+         |  count(*) AS cnt
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q2_join_broadcast" ->
+      s"""SELECT n_name, ${dsum("l_extendedprice*(1-l_discount)", 2)} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         |JOIN customer ON o_custkey=c_custkey
+         |JOIN nation ON c_nationkey=n_nationkey
+         |JOIN region ON n_regionkey=r_regionkey
+         |WHERE r_name='ASIA' GROUP BY 1 ORDER BY rev DESC, n_name""".stripMargin,
+
+    "q3_range_join" ->
+      s"""SELECT count(*) AS c,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)/count(*), 2) AS ap
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         |WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY""".stripMargin,
+
+    "q4_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS no_orders""".stripMargin,
+
+    "q5_rank_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn<=3 ORDER BY o_custkey, rn LIMIT 100""".stripMargin,
+
+    "q6_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q7_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS c, ${dsum("l_extendedprice", 2)} AS s
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q8_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS c
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),())
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q9a_distinct" ->
+      "SELECT count(DISTINCT user_id) AS du FROM events",
+
+    "q10_json" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sk
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_tumbling" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         |  count(*) AS c, ${dsum("value", 2)} AS s
+         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q12_session" ->
+      s"""WITH ev AS ($evMicros),
+         |g AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+         |       THEN 1 ELSE 0 END AS ns FROM ev),
+         |s AS (SELECT user_id, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM g)
+         |SELECT count(*) AS n_sessions FROM (SELECT user_id, sid FROM s GROUP BY 1,2)""".stripMargin,
+
+    "q13_lag" ->
+      s"""WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS tus, event_id FROM events),
+         |l AS (SELECT event_type,
+         |  tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap_us FROM ev)
+         |SELECT event_type, round(sum(gap_us)/1000000.0/count(*), 4) AS avg_gap_s
+         |FROM l WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_exact_dedup" ->
+      "SELECT count(*) AS n FROM (SELECT DISTINCT lower(trim(text)) FROM documents)",
+
+    "q15_near_dup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([substr(lower(text), i, 8) FOR i IN range(1, len(text)-6)]) AS sg
+        |  FROM documents)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  round(CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE), 4) AS j
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE) >= 0.6
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q16_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id,
+        |  round(list_aggregate([CAST(x[1] AS DOUBLE)*x[2] FOR x IN list_zip(qv, embedding)], 'sum')
+        |    / (sqrt(list_aggregate([CAST(x AS DOUBLE)*x FOR x IN qv], 'sum'))
+        |       * sqrt(list_aggregate([CAST(x AS DOUBLE)*x FOR x IN embedding], 'sum'))), 6) AS sim
+        |  FROM q, embeddings WHERE vec_id != qid)
+        |SELECT qid, vec_id, sim FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM s)
+        |WHERE rn <= 5 ORDER BY qid, sim DESC, vec_id""".stripMargin,
+
+    "q17_tokens" ->
+      """SELECT tok, count(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> '' GROUP BY 1 ORDER BY c DESC, tok LIMIT 20""".stripMargin,
+
+    "q18_scalar_suite" ->
+      """SELECT p_partkey, upper(substr(p_name,1,8)) AS u, CAST(length(p_name) AS BIGINT) AS l,
+        |  round(p_retailprice*1.1, 2) AS pr, CAST(year(CAST('1995-01-02' AS DATE)) AS BIGINT) AS y
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey LIMIT 50""".stripMargin,
+
+    "q19_set_ops" ->
+      """SELECT 'union' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        |  UNION SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY 1""".stripMargin,
+
+    "q21_asof_join" ->
+      s"""WITH ev AS ($evMicros)
+         |SELECT e.event_id, p.event_id AS prior_purchase
+         |FROM (SELECT * FROM ev WHERE event_type='error') e
+         |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type='purchase') p
+         |  ON e.user_id = p.user_id AND e.ts > p.ts
+         |ORDER BY e.event_id""".stripMargin,
+
+    "q22_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,8))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 200""".stripMargin,
+  )
 }

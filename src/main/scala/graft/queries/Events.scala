@@ -45,7 +45,7 @@ object Events {
   def q11(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+      .agg(count(lit(1)).as("c"), Relational.dsum(col("value"), 2).as("s"))
       .select(to_date(col("window.start")).as("d"), col("event_type"), col("c"), col("s"))
       .orderBy("d", "event_type")
 
@@ -88,9 +88,11 @@ object Events {
       .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
       .withColumn("prev", lag(col("ts"), 1).over(byUser))
       .filter(col("prev").isNotNull)
-      .withColumn("gap", col("ts").cast("double") - col("prev").cast("double"))
+      // integer microsecond gaps: exact in both engines (DuckDB epoch_us),
+      // summed exactly, divided once — no float-order drift in the average
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev")))
       .groupBy("event_type")
-      .agg(round(avg("gap"), 4).as("avg_gap_s"))
+      .agg(round(sum(col("gap_us")).cast("double") / lit(1000000.0) / count(lit(1)), 4).as("avg_gap_s"))
       .orderBy("event_type")
   }
 

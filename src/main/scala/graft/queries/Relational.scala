@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
 
 /** Relational operator suite (SURVEY.md §2.2 rows 1–31): scan, filter,
   * project, hash aggregate, joins (broadcast/semi/anti/range), windows,
@@ -26,10 +27,10 @@ object Relational {
     li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
+        Relational.dsum(col("l_quantity"), 2).as("sum_qty"),
+        Relational.dsum(col("l_extendedprice"), 2).as("sum_base"),
+        Relational.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("sum_disc"),
+        round(sum(col("l_quantity").cast("decimal(38,8)")).cast("double") / count(lit(1)), 6).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -51,7 +52,7 @@ object Relational {
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"))
+      .agg(Relational.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("rev"))
       .orderBy(col("rev").desc, col("n_name"))
   }
 
@@ -66,7 +67,8 @@ object Relational {
       .filter(col("l_shipdate").between(
         col("o_orderdate"),
         col("o_orderdate") + expr("INTERVAL 90 DAYS")))
-      .agg(count(lit(1)).as("c"), round(avg("l_extendedprice"), 2).as("ap"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("l_extendedprice").cast("decimal(38,8)")).cast("double") / count(lit(1)), 2).as("ap"))
   }
 
   /** Q4 semi + anti join: EXISTS / NOT EXISTS as left_semi / left_anti.
@@ -94,7 +96,7 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))
       .limit(100)
@@ -115,7 +117,7 @@ object Relational {
   def q7(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("c"), round(sum("l_extendedprice"), 2).as("s"))
+      .agg(count(lit(1)).as("c"), Relational.dsum(col("l_extendedprice"), 2).as("s"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Q8 GROUPING SETS ((returnflag),(linestatus),()). */
@@ -138,9 +140,9 @@ object Relational {
       .select(
         col("p_partkey"),
         upper(substring(col("p_name"), 1, 8)).as("u"),
-        length(col("p_name")).as("l"),
+        length(col("p_name")).cast("long").as("l"),
         round(col("p_retailprice") * 1.1, 2).as("pr"),
-        year(to_date(lit("1995-01-02"))).as("y"))
+        year(to_date(lit("1995-01-02"))).cast("long").as("y"))
 
   /** Q19 set ops: UNION (distinct), INTERSECT, EXCEPT over key sets.
     * Each set op shuffles on the full row (single bigint column here);
@@ -169,9 +171,19 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      .withColumn("cum", round(sum("o_totalprice").over(w), 2))
+      .withColumn("cum", round(sum(col("o_totalprice").cast("decimal(38,8)")).over(w), 2).cast("double"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
       .limit(200)
       .select("o_custkey", "o_orderkey", "cum")
   }
+
+  /** Deterministic rounded sum: cast each addend to DECIMAL(38,8) so the
+    * aggregate is EXACT (order-independent), then round and return double.
+    * Double sums are order-dependent across partitionings/engines; this is
+    * what makes the 2dp results hash-identical to the DuckDB oracle at any
+    * parallelism. The per-row double arithmetic before the cast is IEEE —
+    * bit-identical in both engines.
+    */
+  def dsum(addend: Column, scale: Int): Column =
+    round(sum(addend.cast("decimal(38,8)")), scale).cast("double")
 }

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text/vector queries (SURVEY.md §2.2 rows 27–28, 31, 34–38, 46):
+  * exact dedup, MinHash-LSH near-dup with exact Jaccard verify, cosine
+  * top-k similarity search, token analytics, embedding stats.
+  *
+  * All per-row math is native Column combinators (higher-order functions),
+  * so it stays inside whole-stage codegen and needs no UDFs.
+  */
+object TextVec {
+
+  /** Q14 exact dedup count on normalized text.
+    * Scale: count(DISTINCT expr) plans as two-stage partial/final hash
+    * aggregate on the normalized string — one shuffle of distinct values.
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(countDistinct(lower(trim(col("text")))).as("n"))
+
+  // LSH parameters for q15: 16 hashes = 8 bands x 2 rows. At the Jaccard
+  // threshold 0.6 a pair is banded with p = 1-(1-0.6^2)^8 = 0.97; the
+  // corpus's planted dups all have J >= 0.92 => p_miss = (1-0.92^2)^8 < 4e-7
+  // (and the hash family is fixed, so recall is deterministic per dataset —
+  // verified equal to brute force in NearDupSpec at sf0.001/sf0.01).
+  private val MinHashes = 16
+  private val Bands = 8
+  private val RowsPerBand = 2
+
+  /** Shingle-set projection of documents: (doc_id, sg). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), 8).as("sg"))
+
+  /** Exact-verify + output canonicalization shared by LSH and brute paths.
+    * The >= 0.6 filter is on the UNROUNDED Jaccard (matching the oracle);
+    * int/int division is exact in double, so both engines agree bit-wise.
+    */
+  private def verified(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("jraw",
+        size(array_intersect(col("sga"), col("sgb"))).cast("double") /
+          size(array_union(col("sga"), col("sgb"))).cast("double"))
+      .filter(col("jraw") >= 0.6)
+      .select(col("ida"), col("idb"), round(col("jraw"), 4).as("j"))
+      .orderBy("ida", "idb")
+
+  /** Q15 near-dup pairs: MinHash-LSH candidate generation + exact Jaccard
+    * verify (deterministic output; LSH only prunes the pair space).
+    *
+    * Scale shape: explode docs to (band, bandKey) — 8 rows/doc — self-join
+    * on the band key (shuffle on (band, key), never a cross join), dedupe
+    * candidate id-pairs, then re-join the two shingle sets and verify.
+    * At 100 TB the band-bucket join is the bottleneck if a bucket gets hot;
+    * mitigations (not needed at test scale): cap bucket size, increase
+    * rowsPerBand, or salt the verify join.
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val keys = docs
+      .select(col("doc_id"),
+        posexplode(lshBandKeys(minHashSignature(col("sg"), MinHashes), Bands, RowsPerBand))
+          .as(Seq("band", "bkey")))
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    val pairs = cand
+      .join(docs.select(col("doc_id").as("ida"), col("sg").as("sga")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("sg").as("sgb")), "idb")
+    verified(pairs)
+  }
+
+  /** Brute-force near-dup reference (O(n^2) shingle-set join); used by the
+    * test suite to prove q15's LSH stage has recall 1.0 on this corpus.
+    */
+  def nearDupBrute(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val pairs = docs.select(col("doc_id").as("ida"), col("sg").as("sga"))
+      .crossJoin(docs.select(col("doc_id").as("idb"), col("sg").as("sgb")))
+      .filter(col("ida") < col("idb"))
+    verified(pairs)
+  }
+
+  /** Q16 cosine top-5 neighbors for query vectors vec_id < 10.
+    *
+    * The query side is tiny and explicitly broadcast: the scan of the full
+    * embedding table streams past 10 in-memory query vectors (no shuffle of
+    * the big side). Similarity is rounded to 6dp BEFORE ranking so float
+    * noise cannot flip rank order across engines. The rank<=5 filter is
+    * optimized by Spark's WindowGroupLimit into per-partition partial top-k
+    * before the final per-qid shuffle.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
+  /** Q17 top-20 token frequencies: explode → partial+final count agg →
+    * global top-k (TakeOrderedAndProject; no full sort).
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(20)
+
+  /** Q20 per-label embedding stats: dim + mean L2 norm.
+    * Norms are per-row codegen'd folds; only (label → partial agg) shuffles.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("c"),
+        round(avg(size(col("embedding"))), 1).as("dim"),
+        round(avg(l2Norm(col("embedding"))), 4).as("avg_l2"))
+      .orderBy("label")
+}
