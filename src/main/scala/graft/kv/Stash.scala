@@ -1,0 +1,127 @@
+package graft.kv
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A biggie-style entity: a keyed record of named tensor fields (value +
+  * shape, row-major), scalar fields, and string fields.
+  *
+  * Mirrors the reference's Entity/Field model (biggie/core.py [public-repo,
+  * module-level — see SURVEY.md §0/§1.1]): per-entity dynamic field sets are
+  * expressed as maps, so two entities in one stash may carry different
+  * fields without schema migration. Rank-n ndarrays are a flat double array
+  * plus an explicit shape (Spark has no native tensor type).
+  */
+case class Entity(
+    key: String,
+    tensors: Map[String, Array[Double]] = Map.empty,
+    shapes: Map[String, Array[Int]] = Map.empty,
+    scalars: Map[String, Double] = Map.empty,
+    strings: Map[String, String] = Map.empty)
+
+/** Keyed entity store over Parquet — the Spark-native answer to biggie's
+  * HDF5 Stash (biggie/sources.py [public-repo]).
+  *
+  * Design mapping (SURVEY.md §2.1):
+  *  - keymap + hex-address fanout  → hash partitioning / bucketBy on key;
+  *    point lookups prune via parquet predicate pushdown on `key`
+  *  - LazyField column-at-a-time I/O → Catalyst column pruning (free)
+  *  - cache=True                   → Dataset.persist
+  *  - close()/flush durability     → atomic Parquet write commit (strictly
+  *    stronger than biggie's write-keymap-on-close, which loses data on
+  *    crash before close)
+  *
+  * The API is immutable/functional: mutators return a new Stash whose plan
+  * contains the change; `save` materializes. At 100 TB, `save(path, n)`
+  * writes hash-bucketed files so later point reads touch one bucket.
+  */
+final class Stash private (val entities: Dataset[Entity]) {
+  import Stash.keyedUpsert
+
+  private def spark: SparkSession = entities.sparkSession
+  import entities.sparkSession.implicits._
+
+  /** Point lookup — pushes `key = k` into the scan (bucket/row-group prune). */
+  def get(key: String): Option[Entity] =
+    entities.filter(col("key") === key).limit(1).collect().headOption
+
+  /** Insert an entity; error if the key exists unless overwrite=true
+    * (matches biggie `Stash.add(key, entity, overwrite=False)` semantics).
+    */
+  def add(entity: Entity, overwrite: Boolean = false): Stash = {
+    if (!overwrite && get(entity.key).isDefined)
+      throw new IllegalArgumentException(s"key exists: ${entity.key} (use overwrite=true)")
+    new Stash(keyedUpsert(entities, spark.createDataset(Seq(entity))))
+  }
+
+  /** Bulk upsert (last-writer-wins per key) — the distributed write path;
+    * one shuffle on key, no driver-side existence probes.
+    */
+  def addAll(batch: Dataset[Entity]): Stash = new Stash(keyedUpsert(entities, batch))
+
+  def remove(key: String): Stash =
+    new Stash(entities.filter(col("key") =!= key))
+
+  def keys: DataFrame = entities.select("key")
+
+  def count(): Long = entities.count()
+
+  /** Full scan (biggie iteration). */
+  def scan(): Dataset[Entity] = entities
+
+  /** RAM-resident entities (biggie cache=True). */
+  def cache(): Stash = { entities.persist(); this }
+
+  /** Read one field of every entity — column pruning does the LazyField
+    * trick: only the map entries' bytes for `field` are deserialized.
+    */
+  def field(name: String): DataFrame =
+    entities.select(col("key"), element_at(col("tensors"), name).as(name))
+
+  /** Persist. With buckets > 0, lay out hash-bucketed-by-key files so a
+    * reopened stash co-locates each key range (the biggie hex-address
+    * fanout, done by Spark's hash partitioner).
+    */
+  def save(path: String, buckets: Int = 0): Unit = {
+    val w = if (buckets > 0)
+      entities.repartition(buckets, col("key")).write
+    else entities.write
+    w.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
+
+object Stash {
+
+  def empty(spark: SparkSession): Stash = {
+    import spark.implicits._
+    new Stash(spark.emptyDataset[Entity])
+  }
+
+  def open(spark: SparkSession, path: String): Stash = {
+    import spark.implicits._
+    new Stash(spark.read.parquet(path).as[Entity])
+  }
+
+  def fromEntities(spark: SparkSession, es: Seq[Entity]): Stash = {
+    import spark.implicits._
+    empty(spark).addAll(spark.createDataset(es))
+  }
+
+  /** Last-writer-wins merge of `updates` into `base`, one shuffle on key.
+    * Priority column instead of dropDuplicates so the winner is explicit
+    * and deterministic (dropDuplicates keeps an arbitrary row).
+    */
+  private def keyedUpsert(base: Dataset[Entity], updates: Dataset[Entity]): Dataset[Entity] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tagged = base.withColumn("_pri", lit(0))
+      .unionByName(updates.withColumn("_pri", lit(1)))
+    val w = Window.partitionBy(col("key")).orderBy(col("_pri").desc)
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_pri", "_rn")
+      .as[Entity]
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.2 rows 39–43): the SAME
+  * operators the batch queries use (`window`, `session_window`), lifted to
+  * streams with watermarks. Each transform takes any events-shaped frame
+  * (batch or streaming) — the test suite proves final streaming output
+  * equals the batch result on the driver's events table.
+  *
+  * Scale notes: stateful ops key their state by (window x event_type) or
+  * (session x user) — state size is bounded by the watermark horizon, not
+  * the stream length; shuffle is on the group keys exactly as in batch.
+  */
+object Streams {
+
+  /** Optionally apply an event-time watermark (streaming state bound). */
+  private def wm(events: DataFrame, watermark: Option[String]): DataFrame =
+    watermark.fold(events)(events.withWatermark("ts", _))
+
+  /** Q11s: 1-day tumbling window counts/sums with a 1-hour watermark. */
+  def tumblingDaily(events: DataFrame, watermark: Option[String] = Some("1 hour")): DataFrame =
+    wm(events, watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+      .select(to_date(col("window.start")).as("d"), col("event_type"), col("c"), col("s"))
+
+  /** Sliding window variant: 1-hour windows every 15 minutes. */
+  def sliding(events: DataFrame, watermark: Option[String] = Some("1 hour")): DataFrame =
+    wm(events, watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("ws"), col("event_type"), col("c"))
+
+  /** Q12s: session windows with a 30-minute inactivity gap.
+    * NOTE: unlike plain windowed aggregation, the session operator EVICTS
+    * finalized sessions from state once the watermark passes them — even in
+    * complete output mode. Equivalence with batch therefore holds either
+    * with no watermark (complete mode) or in append mode restricted to
+    * sessions whose end precedes the final watermark (both tested).
+    */
+  def sessions(events: DataFrame, watermark: Option[String] = Some("1 hour")): DataFrame =
+    wm(events, watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n"))
+
+  /** Q14s: stateful dedup by key within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Feed a batch events frame as a file stream: write ts-ordered chunks to
+    * a temp dir, readStream over it (schema from the batch frame). The ts
+    * ordering makes append-mode final output deterministic (SURVEY §2.3).
+    */
+  def chunkedFileStream(
+      spark: SparkSession,
+      events: DataFrame,
+      dir: String,
+      chunks: Int,
+      filesPerTrigger: Int = 1): DataFrame = {
+    // The file source processes files in MODIFICATION-TIME order, so chunks
+    // must be written sequentially (a parallel range-partitioned write
+    // commits files in task-finish order — a late chunk landing first would
+    // advance the watermark and get earlier chunks dropped as late data).
+    // The ntile window is single-partition; fine for a test harness.
+    import org.apache.spark.sql.expressions.Window
+    val chunked = events
+      .withColumn("_c", ntile(chunks).over(Window.orderBy("ts")))
+      .cache()
+    (1 to chunks).foreach { i =>
+      chunked.filter(col("_c") === i).drop("_c").coalesce(1)
+        .write.mode(if (i == 1) "overwrite" else "append").parquet(dir + "/in")
+    }
+    chunked.unpersist()
+    spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(dir + "/in")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.kv
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** KV property tests (SURVEY.md §5.2 item 3): biggie Stash semantics over
+  * the Parquet-backed implementation.
+  */
+class StashSpec extends SparkSpec {
+
+  private def e(k: String, v: Double*) = Entity(
+    key = k,
+    tensors = Map("x" -> v.toArray),
+    shapes = Map("x" -> Array(v.length)),
+    scalars = Map("n" -> v.length.toDouble),
+    strings = Map("name" -> s"entity-$k"))
+
+  test("get(add(s,k,e), k) == e") {
+    val s = Stash.empty(spark).add(e("a", 1, 2, 3))
+    val got = s.get("a").get
+    assert(got.key == "a")
+    assert(got.tensors("x").toSeq == Seq(1.0, 2.0, 3.0))
+    assert(got.shapes("x").toSeq == Seq(3))
+    assert(got.strings("name") == "entity-a")
+  }
+
+  test("add without overwrite on existing key fails; with overwrite wins") {
+    val s = Stash.empty(spark).add(e("a", 1))
+    intercept[IllegalArgumentException] { s.add(e("a", 9)) }
+    val s2 = s.add(e("a", 9), overwrite = true)
+    assert(s2.get("a").get.tensors("x").toSeq == Seq(9.0))
+    assert(s2.count() == 1)
+  }
+
+  test("remove -> get misses; other keys unaffected") {
+    val s = Stash.fromEntities(spark, Seq(e("a", 1), e("b", 2))).remove("a")
+    assert(s.get("a").isEmpty)
+    assert(s.get("b").isDefined)
+    assert(s.count() == 1)
+  }
+
+  test("keys() == inserted set") {
+    val ks = (0 until 20).map(i => s"k$i")
+    val s = Stash.fromEntities(spark, ks.map(k => e(k, 1)))
+    assert(s.keys.collect().map(_.getString(0)).toSet == ks.toSet)
+  }
+
+  test("roundtrip through bucketed parquet write/read") {
+    val dir = Files.createTempDirectory("stash").toString + "/st"
+    val es = (0 until 50).map(i => e(s"k$i", i.toDouble, i + 0.5))
+    Stash.fromEntities(spark, es).save(dir, buckets = 4)
+    val re = Stash.open(spark, dir)
+    assert(re.count() == 50)
+    val got = re.get("k7").get
+    assert(got.tensors("x").toSeq == Seq(7.0, 7.5))
+    assert(got.scalars("n") == 2.0)
+  }
+
+  test("dynamic per-entity fields: heterogeneous maps coexist") {
+    val a = Entity("a", tensors = Map("cqt" -> Array(1.0)), shapes = Map("cqt" -> Array(1)))
+    val b = Entity("b", scalars = Map("tempo" -> 120.0))
+    val s = Stash.fromEntities(spark, Seq(a, b))
+    assert(s.get("a").get.tensors.contains("cqt"))
+    assert(s.get("b").get.tensors.isEmpty)
+    assert(s.get("b").get.scalars("tempo") == 120.0)
+  }
+
+  test("field() reads one field across entities (lazy column access)") {
+    val s = Stash.fromEntities(spark, Seq(e("a", 1, 2), e("b", 3)))
+    val xs = s.field("x").collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(xs == Map("a" -> Seq(1.0, 2.0), "b" -> Seq(3.0)))
+  }
+
+  test("addAll upsert is last-writer-wins per key") {
+    import spark.implicits._
+    val s = Stash.fromEntities(spark, Seq(e("a", 1), e("b", 2)))
+      .addAll(spark.createDataset(Seq(e("b", 99), e("c", 3))))
+    assert(s.count() == 3)
+    assert(s.get("b").get.tensors("x").toSeq == Seq(99.0))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Batch–stream equivalence (SURVEY.md §5.2 item 5): run the streaming
+  * transforms over the driver's events table fed as a ts-ordered file
+  * stream; final results must equal the same transform applied in batch.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("streamspec").toString
+
+  private def runComplete(stream: DataFrame, name: String): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  private lazy val events = Tables.events(spark, sf0001)
+
+  test("tumbling daily: streaming complete-mode result == batch") {
+    val dir = tmp()
+    val in = Streams.chunkedFileStream(spark, events, dir, chunks = 5)
+    val streamed = runComplete(Streams.tumblingDaily(in), "t_tumbling")
+    val batch = Streams.tumblingDaily(events)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+
+  test("sliding 1h/15m: streaming == batch") {
+    val dir = tmp()
+    val in = Streams.chunkedFileStream(spark, events, dir, chunks = 4)
+    val streamed = runComplete(Streams.sliding(in), "t_sliding")
+    val batch = Streams.sliding(events)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session windows: streaming (no watermark, complete) == batch") {
+    val dir = tmp()
+    val in = Streams.chunkedFileStream(spark, events, dir, chunks = 4)
+    val streamed = runComplete(Streams.sessions(in, watermark = None), "t_sessions")
+    val batch = Streams.sessions(events, watermark = None)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session windows: append mode emits exactly the watermark-closed sessions") {
+    val dir = tmp()
+    val in = Streams.chunkedFileStream(spark, events, dir, chunks = 4)
+    val q = Streams.sessions(in).writeStream.format("memory")
+      .queryName("t_sessions_append").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_sessions_append")
+    val maxTs = events.agg(max("ts")).head.getTimestamp(0)
+    val expected = Streams.sessions(events, watermark = None)
+      .filter(col("se") < lit(maxTs) - expr("INTERVAL 1 HOUR"))
+    assert(streamed.exceptAll(expected).isEmpty,
+      "append emitted a session batch does not have (or an unclosed one)")
+    assert(expected.exceptAll(streamed).isEmpty,
+      "append failed to emit a watermark-closed session")
+  }
+
+  test("stateful dedup keeps one row per event_id (append mode)") {
+    val dir = tmp()
+    // duplicate the stream: two copies of every event
+    val doubled = events.unionAll(events)
+    val in = Streams.chunkedFileStream(spark, doubled, dir, chunks = 4)
+    val q = Streams.dedup(in).writeStream.format("memory")
+      .queryName("t_dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_dedup")
+    assert(streamed.count() == events.count())
+    assert(streamed.select("event_id").distinct().count() == events.count())
+  }
+
+  test("watermark drops late data in append mode") {
+    val dir = tmp()
+    // Reverse chunk order: write newest chunk first so older rows arrive
+    // after the watermark has advanced past them.
+    val ev = events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    val old = ev.filter(col("ts") < lit(maxTs) - expr("INTERVAL 10 DAYS"))
+    val recent = ev.filter(col("ts") >= lit(maxTs) - expr("INTERVAL 10 DAYS"))
+    recent.write.mode("overwrite").parquet(dir + "/in")
+    val in = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/in")
+    val q = Streams.tumblingDaily(in).writeStream.format("memory")
+      .queryName("t_late").outputMode("append").start()
+    q.processAllAvailable()
+    old.write.mode("append").parquet(dir + "/in") // late arrivals
+    q.processAllAvailable(); q.stop()
+    val streamedDays = spark.table("t_late").select("d").distinct().count()
+    val batchDays = Streams.tumblingDaily(ev).select("d").distinct().count()
+    // late (old) windows must have been dropped, and append mode only emits
+    // windows older than the advanced watermark
+    assert(streamedDays < batchDays)
+  }
+}
