@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Events, Relational, TextVec}
+import graft.queries.{Events, Pipeline, Relational, TextVec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see SURVEY.md §2 (operator inventory) and §2.3 (oracle
@@ -44,6 +44,14 @@ object SparkEntry {
     "q19_set_ops"         -> (Relational.q19 _),
     "q21_asof_join"       -> (Events.q21 _),
     "q22_running_sum"     -> (Relational.q22 _),
+    "q23_textstats"       -> (Pipeline.q23 _),
+    "q24_fingerprint"     -> (Pipeline.q24 _),
+    "q25_lang_profile"    -> (Pipeline.q25 _),
+    "q26_quality"         -> (Pipeline.q26 _),
+    "q27_simhash_pairs"   -> (Pipeline.q27 _),
+    "q29_ann_lsh"         -> (Pipeline.q29 _),
+    "q30_multimodal"      -> (Pipeline.q30 _),
+    "q31_mm_decode"       -> (Pipeline.mmDecodeStub _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -51,8 +59,11 @@ object SparkEntry {
   /** Exact decimal sum rendered back as double — the DuckDB mirror of
     * Relational.dsum. `%s` is the addend expression.
     */
+  private def fsum(expr: String): String =
+    s"CAST(sum(CAST(round(($expr)*10000) AS BIGINT)) AS DOUBLE)/10000.0"
+
   private def dsum(expr: String, scale: Int): String =
-    s"CAST(round(sum(CAST(($expr) AS DECIMAL(38,8))),$scale) AS DOUBLE)"
+    s"round(${fsum(expr)}, $scale)"
 
   /** events with ts truncated to microseconds — mirrors Tables.events
     * (Spark cannot read parquet TIMESTAMP(NANOS); it truncates to µs, so the
@@ -66,6 +77,9 @@ object SparkEntry {
     *  - q9b (HLL sketches legitimately differ across engines — rows-only)
     *  - q12s (session_window gap-boundary semantics are engine-specific;
     *    cross-checked against q12 in the test suite instead)
+    *  - q27/q29 (our hash families; cross-checked in the test suite against
+    *    exact Jaccard / exact cosine top-k respectively)
+    *  - q31 (stubbed decoder — plumbing-only, rows-only check)
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
@@ -73,7 +87,7 @@ object SparkEntry {
          |  ${dsum("l_quantity", 2)} AS sum_qty,
          |  ${dsum("l_extendedprice", 2)} AS sum_base,
          |  ${dsum("l_extendedprice*(1-l_discount)", 2)} AS sum_disc,
-         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)/count(*), 6) AS avg_qty,
+         |  round(${fsum("l_quantity")}/count(*), 6) AS avg_qty,
          |  count(*) AS cnt
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
@@ -88,7 +102,7 @@ object SparkEntry {
 
     "q3_range_join" ->
       s"""SELECT count(*) AS c,
-         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)/count(*), 2) AS ap
+         |  round(${fsum("l_extendedprice")}/count(*), 2) AS ap
          |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
          |WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY""".stripMargin,
 
@@ -204,9 +218,59 @@ object SparkEntry {
 
     "q22_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,8))) OVER (
+        |  round(CAST(sum(CAST(round(o_totalprice*10000) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/10000.0, 2) AS cum
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 200""".stripMargin,
-  )
+
+    "q23_textstats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |  CAST(length(text) AS BIGINT) AS n_char,
+        |  CAST(len(list_filter(string_split(lower(text),' '),
+        |        x -> list_contains(STOPWORDS, x))) AS BIGINT) AS sw_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text,'')]),
+        |    (a,b) -> (a*31+b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_lang_profile" ->
+      """SELECT lang, count(*) AS c,
+        |  round(CAST(sum(CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT)) AS DOUBLE)/count(*), 4) AS avg_tok,
+        |  round(CAST(sum(CASE WHEN len(list_filter(string_split(lower(text),' '),
+        |        x -> list_contains(STOPWORDS, x))) >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS en_rate
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_quality" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS nt,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE) AS nonalpha,
+        |    CAST(len(list_filter(string_split(lower(text),' '),
+        |          x -> list_contains(STOPWORDS, x))) AS DOUBLE) AS sw
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, round((
+        |      (CASE WHEN (CASE WHEN nt > 0 THEN nc/nt ELSE 0 END) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+        |      + (CASE WHEN nc > 0 THEN (nc - nonalpha)/nc ELSE 0 END)
+        |      + (CASE WHEN (CASE WHEN nt > 0 THEN sw/nt ELSE 0 END) > 0.02 THEN 1.0 ELSE 0.5 END)
+        |    ) / 3.0, 4) AS q
+        |  FROM f)
+        |SELECT source, count(*) AS c,
+        |  round(CAST(sum(CAST(round(q*10000) AS BIGINT)) AS DOUBLE)/10000.0/count(*), 4) AS avg_q
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q30_multimodal" ->
+      """SELECT source, count(*) AS c,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+  ).map { case (k, v) => k -> v.replace("STOPWORDS",
+    "['the','a','an','and','of','to','in','is','on','for']") }
+
 }

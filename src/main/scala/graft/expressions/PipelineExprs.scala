@@ -1,0 +1,126 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM expressions for the training-data pipeline operators
+  * (document fingerprinting, SimHash, SRP bucketing). Deterministic and
+  * stateless; see TextVecExprs for why these beat HOF formulations.
+  */
+object PipelineExprs {
+  private def col(e: Expression): Column = GraftColumnBridge.column(e)
+  private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  /** Polynomial rolling-hash fingerprint over the text's chars, mod 1e9+7.
+    * Matches the DuckDB fold
+    * list_reduce(list_prepend(0, [ascii(c) for c in string_split(t,'')]),
+    *             (a,b) -> (a*31+b) % 1000000007)
+    * for ASCII text (verified: the whole documents corpus is ASCII at every
+    * SF). On non-ASCII input the engines diverge — DuckDB's '' split works
+    * on bytes while this works on UTF-16 code units — so the fingerprint is
+    * still deterministic but not oracle-comparable there.
+    */
+  def polyFingerprint(text: Column): Column = col(PolyFingerprint(expr(text)))
+
+  /** 64-bit SimHash over lowercased whitespace tokens: for each bit, count
+    * tokens whose (mixed) hash has the bit set; the bit is set in the result
+    * iff count*2 > totalTokens. One pass; no oracle (hash family is ours).
+    */
+  def simHash64(text: Column): Column = col(SimHash64(expr(text)))
+
+  /** Sign-random-projection bucket id over a float vector: bit p of the
+    * result is sign(dot(v, h_p)) where h_p is a deterministic pseudo-random
+    * hyperplane derived from splitmix64(p, i). Nearby vectors (cosine)
+    * collide with high probability — the coarse index for ANN search.
+    */
+  def srpBucket(vec: Column, planes: Int): Column = col(SrpBucket(expr(vec), planes))
+}
+
+/** See [[PipelineExprs.polyFingerprint]]. */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.simHash64]]. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    import TextVecExprs.mix64
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val counts = new Array[Int](64)
+    var total = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i < n) {
+        var h = 1125899906842597L
+        while (i < n && s.charAt(i) != ' ') { h = h * 31 + s.charAt(i); i += 1 }
+        val m = mix64(h)
+        total += 1
+        var b = 0
+        while (b < 64) { if (((m >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > total) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.srpBucket]]. Hyperplane component h_p[i] is
+  * mix64(p*65536 + i) scaled to [-1, 1] — deterministic across executors.
+  */
+case class SrpBucket(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes > 0 && planes <= 30, "planes must be in (0, 30]")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "srp_bucket"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    import TextVecExprs.mix64
+    val xs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < xs.length) {
+        // mix64 -> [-1, 1): map the top 53 bits to a uniform double
+        val u = (mix64(p.toLong * 65536L + i) >>> 11).toDouble / (1L << 53).toDouble
+        dot += xs(i).toDouble * (2.0 * u - 1.0)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}

@@ -1,0 +1,214 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text/vector hot paths.
+  *
+  * The built-in higher-order functions (transform/aggregate/zip_with) are
+  * CodegenFallback AND pay a per-element lambda-eval cost; profiling at
+  * sf0.1 showed 16 minhash `transform` passes over ~300-element shingle
+  * arrays dominating q15 (~150 s). These expressions do the same math in
+  * one tight JVM pass per row (q15 end-to-end drops to ~2 s). They are
+  * deterministic, null-safe, and evaluated per-row with no state — safe at
+  * any parallelism.
+  */
+object TextVecExprs {
+
+  private def col(e: Expression): Column = GraftColumnBridge.column(e)
+  private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  /** LSH band keys of the MinHash signature of character k-gram shingles of
+    * lower(text) — one pass, no materialized shingle array.
+    */
+  def minHashBandKeys(text: Column, k: Int, numHashes: Int, bands: Int): Column =
+    col(MinHashBandKeys(expr(text), k, numHashes, bands))
+
+  /** Exact Jaccard similarity of the distinct character k-gram shingle sets
+    * of lower(a) and lower(b). NULL when both sets are empty (0/0), matching
+    * SQL division-by-zero semantics.
+    */
+  def shingleJaccard(a: Column, b: Column, k: Int): Column =
+    col(ShingleJaccard(expr(a), expr(b), k))
+
+  /** Dot product of two float-array columns, accumulated left-to-right in
+    * double — bit-identical to the oracle's list_aggregate fold.
+    */
+  def floatVecDot(a: Column, b: Column): Column = col(FloatVecDot(expr(a), expr(b)))
+
+  /** L2 norm of a float-array column (double accumulation, left-to-right). */
+  def floatVecNorm(a: Column): Column = col(FloatVecNorm(expr(a)))
+
+  // splitmix64 finalizer: cheap, well-mixed 64-bit hash family
+  @inline private[expressions] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit polynomial hash of chars [pos, pos+k). */
+  @inline private[expressions] def windowHash(s: String, pos: Int, k: Int): Long = {
+    var h = 1125899906842597L
+    var i = pos
+    val end = pos + k
+    while (i < end) { h = h * 31 + s.charAt(i); i += 1 }
+    h
+  }
+}
+
+/** See [[TextVecExprs.minHashBandKeys]]. Output: ArrayType(LongType) of
+  * length `bands`; two documents sharing ANY band key are LSH candidates.
+  * A document shorter than k has an empty shingle set: its signature is all
+  * Long.MaxValue, so empty docs band together (and are later discarded by
+  * the exact-verify 0/0 rule).
+  */
+case class MinHashBandKeys(child: Expression, k: Int, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+  private val rowsPerBand = numHashes / bands
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    import TextVecExprs._
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val n = s.length - k + 1
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var pos = 0
+    while (pos < n) {
+      val h0 = windowHash(s, pos, k)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(h0 ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      pos += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x27d4eb2f165667c5L + b
+      var r = 0
+      while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+/** See [[TextVecExprs.shingleJaccard]]: |A ∩ B| / |A ∪ B| over the k-gram
+  * shingle sets of the lowercased inputs.
+  *
+  * Shingles are compared via 64-bit window hashes held in a primitive
+  * open-addressing set (no substring allocation — ~8x faster than
+  * HashSet[String] on the q15 verify path). A hash collision would perturb
+  * the exact count with probability ~ (m^2)/2^64 per pair (~5e-15 at m≈300)
+  * — far below any realistic corpus size; the test suite cross-checks the
+  * result against the allocation-heavy exact-string formulation.
+  */
+case class ShingleJaccard(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  import TextVecExprs.{mix64, windowHash}
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_jaccard"
+
+  /** Open-addressing set of non-zero longs (0 is the empty slot; the mixed
+    * hash is remapped away from 0).
+    */
+  private def fill(s0: String): (Array[Long], Int) = {
+    val s = s0.toLowerCase
+    val n = math.max(0, s.length - k + 1)
+    var cap = 16
+    while (cap < n * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var size = 0
+    var pos = 0
+    while (pos < n) {
+      var h = mix64(windowHash(s, pos, k))
+      if (h == 0) h = 1
+      var idx = (h & mask).toInt
+      while (table(idx) != 0 && table(idx) != h) idx = (idx + 1) & mask
+      if (table(idx) == 0) { table(idx) = h; size += 1 }
+      pos += 1
+    }
+    (table, size)
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val (ta, na) = fill(a.asInstanceOf[UTF8String].toString)
+    val (tb, nb) = fill(b.asInstanceOf[UTF8String].toString)
+    val (small, large) = if (na <= nb) (ta, tb) else (tb, ta)
+    val mask = large.length - 1
+    var inter = 0
+    var i = 0
+    while (i < small.length) {
+      val h = small(i)
+      if (h != 0) {
+        var idx = (h & mask).toInt
+        while (large(idx) != 0 && large(idx) != h) idx = (idx + 1) & mask
+        if (large(idx) == h) inter += 1
+      }
+      i += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) null else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleJaccard =
+    copy(left = l, right = r)
+}
+
+/** See [[TextVecExprs.floatVecDot]]. */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(xs.length, ys.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += xs(i).toDouble * ys(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDot =
+    copy(left = l, right = r)
+}
+
+/** See [[TextVecExprs.floatVecNorm]]. */
+case class FloatVecNorm(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_norm"
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < xs.length) { s += xs(i).toDouble * xs(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecNorm =
+    copy(child = newChild)
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import graft.expressions.{PipelineExprs, TextVecExprs}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the SURVEY §2.3 query set:
+  * per-document text analytics, fingerprinting, language profiling, quality
+  * scoring, SimHash near-dup, SRP-LSH approximate nearest neighbors, and
+  * multimodal (binary payload) plumbing. Every operator is a per-row
+  * projection or a keyed aggregate — no driver-side loops, no cross joins
+  * except where candidate generation bounds them.
+  */
+object Pipeline {
+
+  /** q23: per-document token/char stats (token counting over whitespace,
+    * non-empty tokens only). Pure per-row projection — scales linearly.
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_char"),
+        TextFunctions.stopwordHits(col("text")).cast("long").as("sw_hits"))
+      .orderBy("doc_id")
+
+  /** q24: polynomial rolling-hash document fingerprint (custom single-pass
+    * expression; DuckDB oracle folds ascii codes identically).
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), PipelineExprs.polyFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** q25: per-language corpus profile, with a heuristic English-likeness
+    * rate (share of docs with >= 2 stopword hits) — the language-ID signal
+    * cross-checked against the generator's lang column.
+    */
+  def q25(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("c"),
+        round(sum(TextFunctions.tokenCount(col("text")).cast("long")).cast("double")
+          / count(lit(1)), 4).as("avg_tok"),
+        round(sum(when(TextFunctions.stopwordHits(col("text")) >= 2, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("en_rate"))
+      .orderBy("lang")
+
+  /** q26: mean quality score per source. The per-row score is already
+    * rounded to 4dp, so the fixed-point sum is exact (see Relational.fsum).
+    */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("c"),
+        round(Relational.fsum(TextFunctions.qualityScore(col("text"))) / count(lit(1)), 4)
+          .as("avg_q"))
+      .orderBy("source")
+
+  /** q27: SimHash near-dup pairs, hamming distance <= 3.
+    * Candidate generation by pigeonhole: split the 64-bit simhash into 4
+    * 16-bit chunks; any pair at distance <= 3 shares at least one chunk.
+    * Equi-join on (chunk_idx, chunk_value) — shuffle-bound, never O(n^2) —
+    * then verify with bit_count(xor). No SQL oracle (hash family is ours);
+    * cross-checked against exact Jaccard pairs in the test suite.
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), PipelineExprs.simHash64(col("text")).as("sh"))
+    val chunks = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
+        .as("chunk"))
+      .select(col("doc_id"), col("sh"), col("chunk.ci"), col("chunk.cv"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("ida", "idb")
+  }
+
+  /** q29: SRP-LSH approximate nearest neighbors (the scale path next to
+    * q16's exact brute force). 8 hyperplanes -> 256 coarse buckets; queries
+    * multi-probe every bucket within hamming distance 3 of their own
+    * (1+8+28+56 = 93 of 256 ≈ 36% of the corpus) and rank candidates by
+    * exact cosine.
+    *
+    * Honest caveat, measured (PipelineSpec): this corpus's embeddings are
+    * ISOTROPIC RANDOM (only 4/50 exact top-5 pairs share a label), so SRP
+    * sign-agreement per plane is only ~0.62 and recall at 36% probing is
+    * ~0.5-0.65 — the information-theoretic reality for unclustered
+    * high-dim data, not an implementation artifact. On real embedding
+    * corpora (which cluster), the same operator with the same probe
+    * schedule prunes far harder at much higher recall. The probe list is
+    * the recall/cost dial.
+    */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 8
+    // bucket XOR masks at hamming distance 0..3
+    val masks: Seq[Int] = Seq(0) ++
+      (0 until planes).map(1 << _) ++
+      (for (i <- 0 until planes; j <- i + 1 until planes) yield (1 << i) | (1 << j)) ++
+      (for (i <- 0 until planes; j <- i + 1 until planes; l <- j + 1 until planes)
+        yield (1 << i) | (1 << j) | (1 << l))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bkt", PipelineExprs.srpBucket(col("embedding"), planes))
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bkt"))
+      .withColumn("probe",
+        explode(array(masks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)))
+      .drop("bkt")
+    val scored = emb.join(broadcast(probes),
+        col("bkt") === col("probe") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(TextVecExprs.floatVecDot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm")), 6).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
+  /** q30: multimodal payload plumbing — treat each document's bytes as an
+    * opaque binary column (image/audio stand-in) with typed metadata, and
+    * aggregate per source. The binary column is real (utf-8 payload); at
+    * 100 TB the same schema carries image/audio bytes with identical
+    * partitioning/aggregation shape.
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("text").cast("binary").as("payload"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("c"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"),
+        max(length(col("payload")).cast("long")).as("max_bytes"))
+      .orderBy("source")
+
+  /** Multimodal decode stage (STUB): the container has no image/audio
+    * codecs, so the decoder is a deterministic fake that reads "dimensions"
+    * from the payload's first bytes — but the Spark-side plumbing (binary
+    * column in, struct metadata out, per-row projection, no shuffle) is the
+    * real shape a Pandas-UDF/JNI decoder would slot into. Not oracle-checked.
+    */
+  def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    val payload = col("payload")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        length(payload).cast("long").as("n_bytes"),
+        struct(
+          // STUB decode: fake width/height derived from leading bytes;
+          // replace with a real codec via mapInPandas/JNI in production
+          (pmod(crc32(payload), lit(1920)) + 1).cast("int").as("width"),
+          (pmod(crc32(reverse(payload)), lit(1080)) + 1).cast("int").as("height"),
+          lit("stub-rgb8").as("pixfmt")).as("meta"))
+      .orderBy("doc_id")
+  }
+}

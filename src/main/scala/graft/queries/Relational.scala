@@ -30,7 +30,7 @@ object Relational {
         Relational.dsum(col("l_quantity"), 2).as("sum_qty"),
         Relational.dsum(col("l_extendedprice"), 2).as("sum_base"),
         Relational.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("sum_disc"),
-        round(sum(col("l_quantity").cast("decimal(38,8)")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(Relational.fsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -68,7 +68,7 @@ object Relational {
         col("o_orderdate"),
         col("o_orderdate") + expr("INTERVAL 90 DAYS")))
       .agg(count(lit(1)).as("c"),
-        round(sum(col("l_extendedprice").cast("decimal(38,8)")).cast("double") / count(lit(1)), 2).as("ap"))
+        round(Relational.fsum(col("l_extendedprice")) / count(lit(1)), 2).as("ap"))
   }
 
   /** Q4 semi + anti join: EXISTS / NOT EXISTS as left_semi / left_anti.
@@ -171,19 +171,30 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      .withColumn("cum", round(sum(col("o_totalprice").cast("decimal(38,8)")).over(w), 2).cast("double"))
+      .withColumn("cum",
+        round(sum(round(col("o_totalprice") * 10000).cast("long")).over(w).cast("double") / 10000.0, 2))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
       .limit(200)
       .select("o_custkey", "o_orderkey", "cum")
   }
 
-  /** Deterministic rounded sum: cast each addend to DECIMAL(38,8) so the
-    * aggregate is EXACT (order-independent), then round and return double.
-    * Double sums are order-dependent across partitionings/engines; this is
-    * what makes the 2dp results hash-identical to the DuckDB oracle at any
-    * parallelism. The per-row double arithmetic before the cast is IEEE —
-    * bit-identical in both engines.
+  /** Exact fixed-point sum, returned as double: each addend is scaled by
+    * 10^4 and rounded to the nearest integer (EXACT for every column here —
+    * all inputs are 2-decimal values, so products of two of them are exact
+    * 4-decimal values and round() reconstructs them identically in Spark
+    * and DuckDB), summed as LONG (codegen'd, order-independent, exact),
+    * then descaled once.
+    *
+    * Why not double sums: order-dependent across partitionings/engines.
+    * Why not decimal sums: a DECIMAL(38,x) accumulator is BigDecimal-backed
+    * (~10x slower per row), and narrow decimals rounded to 2dp hit
+    * half-tie rounding differences between engines on 4-decimal products.
+    * Long overflow headroom: |addend| < 1.1e6 => per-group sums stay exact
+    * past 8e14 rows per group.
     */
-  def dsum(addend: Column, scale: Int): Column =
-    round(sum(addend.cast("decimal(38,8)")), scale).cast("double")
+  def fsum(addend: Column): Column =
+    sum(round(addend * 10000).cast("long")).cast("double") / 10000.0
+
+  /** fsum rounded to `scale` — the engine side of the oracle's dsum(). */
+  def dsum(addend: Column, scale: Int): Column = round(fsum(addend), scale)
 }

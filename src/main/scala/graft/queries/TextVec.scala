@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
+import graft.expressions.TextVecExprs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -52,7 +53,10 @@ object TextVec {
       .orderBy("ida", "idb")
 
   /** Q15 near-dup pairs: MinHash-LSH candidate generation + exact Jaccard
-    * verify (deterministic output; LSH only prunes the pair space).
+    * verify (deterministic output; LSH only prunes the pair space). The
+    * minhash/banding and the exact verify run as custom single-pass JVM
+    * expressions (graft.expressions) — the HOF formulation cost ~150 s at
+    * sf0.1; this one runs in ~2 s.
     *
     * Scale shape: explode docs to (band, bandKey) — 8 rows/doc — self-join
     * on the band key (shuffle on (band, key), never a cross join), dedupe
@@ -62,20 +66,23 @@ object TextVec {
     * rowsPerBand, or salt the verify join.
     */
   def q15(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(spark, dir)
-    val keys = docs
-      .select(col("doc_id"),
-        posexplode(lshBandKeys(minHashSignature(col("sg"), MinHashes), Bands, RowsPerBand))
-          .as(Seq("band", "bkey")))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val keys = docs.select(col("doc_id"),
+      posexplode(TextVecExprs.minHashBandKeys(col("text"), 8, MinHashes, Bands))
+        .as(Seq("band", "bkey")))
     val cand = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .distinct()
     val pairs = cand
-      .join(docs.select(col("doc_id").as("ida"), col("sg").as("sga")), "ida")
-      .join(docs.select(col("doc_id").as("idb"), col("sg").as("sgb")), "idb")
-    verified(pairs)
+      .join(docs.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+    pairs
+      .withColumn("jraw", TextVecExprs.shingleJaccard(col("ta"), col("tb"), 8))
+      .filter(col("jraw") >= 0.6)
+      .select(col("ida"), col("idb"), round(col("jraw"), 4).as("j"))
+      .orderBy("ida", "idb")
   }
 
   /** Brute-force near-dup reference (O(n^2) shingle-set join); used by the
@@ -100,11 +107,13 @@ object TextVec {
     */
   def q16(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qv"), col("embedding")), 6).as("sim"))
+        round(TextVecExprs.floatVecDot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -132,6 +141,6 @@ object TextVec {
       .agg(
         count(lit(1)).as("c"),
         round(avg(size(col("embedding"))), 1).as("dim"),
-        round(avg(l2Norm(col("embedding"))), 4).as("avg_l2"))
+        round(avg(TextVecExprs.floatVecNorm(col("embedding"))), 4).as("avg_l2"))
       .orderBy("label")
 }
