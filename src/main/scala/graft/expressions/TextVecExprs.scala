@@ -29,6 +29,20 @@ object TextVecExprs {
   def minHashBandKeys(text: Column, k: Int, numHashes: Int, bands: Int): Column =
     col(MinHashBandKeys(expr(text), k, numHashes, bands))
 
+  /** Raw MinHash signature (numHashes longs) of the k-gram shingle set. */
+  def minHashSig(text: Column, k: Int, numHashes: Int): Column =
+    col(MinHashSig(expr(text), k, numHashes))
+
+  /** Band keys derived from an already-computed signature column. */
+  def bandKeysFromSig(sig: Column, bands: Int): Column =
+    col(BandKeysFromSig(expr(sig), bands))
+
+  /** Number of equal positions between two equal-length signatures — the
+    * cheap estimated-Jaccard prefilter (est J = matches / numHashes).
+    */
+  def sigMatchCount(a: Column, b: Column): Column =
+    col(SigMatchCount(expr(a), expr(b)))
+
   /** Exact Jaccard similarity of the distinct character k-gram shingle sets
     * of lower(a) and lower(b). NULL when both sets are empty (0/0), matching
     * SQL division-by-zero semantics.
@@ -45,7 +59,7 @@ object TextVecExprs {
   def floatVecNorm(a: Column): Column = col(FloatVecNorm(expr(a)))
 
   // splitmix64 finalizer: cheap, well-mixed 64-bit hash family
-  @inline private[expressions] def mix64(z0: Long): Long = {
+  @inline private[graft] def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -59,6 +73,40 @@ object TextVecExprs {
     val end = pos + k
     while (i < end) { h = h * 31 + s.charAt(i); i += 1 }
     h
+  }
+
+  /** One-pass MinHash signature of lower(text)'s k-gram shingles. */
+  private[expressions] def computeSig(s0: String, k: Int, numHashes: Int): Array[Long] = {
+    val s = s0.toLowerCase
+    val n = s.length - k + 1
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var pos = 0
+    while (pos < n) {
+      val h0 = windowHash(s, pos, k)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(h0 ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      pos += 1
+    }
+    sig
+  }
+
+  /** Band keys (bands longs) from a signature. */
+  private[expressions] def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rowsPerBand = sig.length / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x27d4eb2f165667c5L + b
+      var r = 0
+      while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+      keys(b) = h
+      b += 1
+    }
+    keys
   }
 }
 
@@ -78,34 +126,61 @@ case class MinHashBandKeys(child: Expression, k: Int, numHashes: Int, bands: Int
 
   protected override def nullSafeEval(input: Any): Any = {
     import TextVecExprs._
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
-    val n = s.length - k + 1
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var pos = 0
-    while (pos < n) {
-      val h0 = windowHash(s, pos, k)
-      var i = 0
-      while (i < numHashes) {
-        val h = mix64(h0 ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-      pos += 1
-    }
-    val keys = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var h = 0x27d4eb2f165667c5L + b
-      var r = 0
-      while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
-      keys(b) = h
-      b += 1
-    }
-    new GenericArrayData(keys)
+    val sig = computeSig(input.asInstanceOf[UTF8String].toString, k, numHashes)
+    new GenericArrayData(bandKeys(sig, bands))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
     copy(child = newChild)
+}
+
+/** See [[TextVecExprs.minHashSig]]. */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextVecExprs.computeSig(input.asInstanceOf[UTF8String].toString, k, numHashes))
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** See [[TextVecExprs.bandKeysFromSig]]. */
+case class BandKeysFromSig(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys_from_sig"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData].toLongArray()
+    new GenericArrayData(TextVecExprs.bandKeys(sig, bands))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeysFromSig =
+    copy(child = newChild)
+}
+
+/** See [[TextVecExprs.sigMatchCount]]. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    val n = math.min(xs.length, ys.length)
+    var m = 0
+    var i = 0
+    while (i < n) { if (xs(i) == ys(i)) m += 1; i += 1 }
+    m
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchCount =
+    copy(left = l, right = r)
 }
 
 /** See [[TextVecExprs.shingleJaccard]]: |A ∩ B| / |A ∪ B| over the k-gram

@@ -67,12 +67,20 @@ object TextVec {
     */
   def q15(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val keys = docs.select(col("doc_id"),
-      posexplode(TextVecExprs.minHashBandKeys(col("text"), 8, MinHashes, Bands))
-        .as(Seq("band", "bkey")))
+    val keys = docs
+      .select(col("doc_id"), TextVecExprs.minHashSig(col("text"), 8, MinHashes).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(TextVecExprs.bandKeysFromSig(col("sig"), Bands)).as(Seq("band", "bkey")))
+    // Candidate pairs carry both signatures (128 B each), so a cheap
+    // estimated-Jaccard prefilter (>= 6/16 agreeing positions) runs INSIDE
+    // the band join before any dedup or text fetch: background pairs
+    // (J ~ 0.1, E[matches] ~ 1.6) vanish here, while a true J >= 0.92 pair
+    // survives with miss probability ~1e-10 (Binom(16, 0.92) <= 5). The
+    // exact verify then touches only a few hundred pairs instead of ~200k.
     val cand = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(TextVecExprs.sigMatchCount(col("x.sig"), col("y.sig")) >= 6)
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .distinct()
     val pairs = cand

@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Output row of [[Streams.userEventCounts]]. */
+case class UserCount(user_id: Long, n: Long)
 
 /** Structured Streaming surface (SURVEY.md §2.2 rows 39–43): the SAME
   * operators the batch queries use (`window`, `session_window`), lifted to
@@ -52,6 +56,26 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via flatMapGroupsWithState: a running per-user
+    * event counter that emits the updated total on every micro-batch
+    * (Update mode). The state (one long per user) lives in the state store,
+    * partitioned by user — the template for bespoke stateful logic that
+    * session_window/window cannot express. Works identically on a batch
+    * frame (state starts empty, one group call per user).
+    */
+  def userEventCounts(events: DataFrame): Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator(UserCount(uid, n))
+        })
+  }
 
   /** Feed a batch events frame as a file stream: write ts-ordered chunks to
     * a temp dir, readStream over it (schema from the batch frame). The ts

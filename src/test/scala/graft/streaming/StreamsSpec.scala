@@ -76,6 +76,21 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == events.count())
   }
 
+  test("flatMapGroupsWithState running counts: final state == batch counts") {
+    val dir = tmp()
+    val in = Streams.chunkedFileStream(spark, events, dir, chunks = 4)
+    val q = Streams.userEventCounts(in).writeStream.format("memory")
+      .queryName("t_fmgws").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    // Update mode emits a row per user per batch; the LAST (max) value per
+    // user must equal the batch per-user count.
+    val finalCounts = spark.table("t_fmgws")
+      .groupBy("user_id").agg(max("n").as("n"))
+    val batchCounts = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finalCounts.exceptAll(batchCounts).isEmpty &&
+      batchCounts.exceptAll(finalCounts).isEmpty)
+  }
+
   test("watermark drops late data in append mode") {
     val dir = tmp()
     // Reverse chunk order: write newest chunk first so older rows arrive
