@@ -52,6 +52,9 @@ object SparkEntry {
     "q29_ann_lsh"         -> (Pipeline.q29 _),
     "q30_multimodal"      -> (Pipeline.q30 _),
     "q31_mm_decode"       -> (Pipeline.mmDecodeStub _),
+    "q32_full_outer"      -> (Relational.q32 _),
+    "q33_cube"            -> (Relational.q33 _),
+    "q34_from_json"       -> (Events.q34 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -270,6 +273,22 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_full_outer" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_c,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_o,
+        |  CAST(sum(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both
+        |FROM customer FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q33_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS c
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q34_from_json" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sk
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }
 

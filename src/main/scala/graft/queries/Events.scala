@@ -38,6 +38,20 @@ object Events {
       .agg(sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"))
       .orderBy("event_type")
 
+  /** q34 from_json -> struct access (SURVEY §2.2 row 32): parse props once
+    * into a typed struct and aggregate a field — the multi-key alternative
+    * to q10's single-path get_json_object probe.
+    */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))
+    Tables.events(spark, dir)
+      .withColumn("j", from_json(col("props"), schema))
+      .groupBy(col("event_type"))
+      .agg(sum(col("j").getField("k")).as("sk"))
+      .orderBy("event_type")
+  }
+
   /** Q11 tumbling daily window — the literal streaming operator (`window`)
     * in batch mode. Group keys: (window, event_type); we project the window
     * start as a DATE for an engine-independent rendering.

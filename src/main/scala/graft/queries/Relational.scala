@@ -197,4 +197,26 @@ object Relational {
 
   /** fsum rounded to `scale` — the engine side of the oracle's dsum(). */
   def dsum(addend: Column, scale: Int): Column = round(fsum(addend), scale)
+
+  /** q32 full outer join (SURVEY §2.2 row 8): customers vs ordering
+    * customers, classifying matches/left-only/right-only in one pass.
+    * Shuffles both sides on the key; null-safe classification after.
+    */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("only_c"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("only_o"),
+        sum(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1L)
+          .otherwise(0L)).as("both"))
+  }
+
+  /** q33 CUBE (SURVEY §2.2 row 19): all 2^2 grouping sets in one pass. */
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.{Relational, TextVec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan quality gates (the "explain and iterate" discipline):
+  * filters reach the parquet scan, projections prune columns, small dims
+  * broadcast, top-k avoids global sorts, rank filters push into window
+  * groups. These assertions pin the plan shapes that make the 100 TB story
+  * true — a regression here is a scale bug even if results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    // materialize so AQE finalizes its plan where applicable
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val fin = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    fin.toString + "\n" + df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: date filter is pushed to the parquet scan; only needed columns read") {
+    val s = planString(Relational.q1(spark, sf0001))
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$s")
+    assert(s.contains("ReadSchema") && !s.contains("l_orderkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q2: dimension joins are broadcast (no shuffle of the fact side per dim)") {
+    val s = planString(Relational.q2(spark, sf0001))
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$s")
+  }
+
+  test("q6: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val s = planString(Relational.q6(spark, sf0001))
+    assert(s.contains("TakeOrderedAndProject"), s"plan:\n$s")
+  }
+
+  test("q5: rank<=3 filter pushes a WindowGroupLimit below the shuffle") {
+    val s = planString(Relational.q5(spark, sf0001))
+    assert(s.contains("WindowGroupLimit"), s"plan:\n$s")
+  }
+
+  test("q16: embedding scan joins against a broadcast of the 10 query vectors") {
+    val s = planString(TextVec.q16(spark, sf0001))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"plan:\n$s")
+  }
+
+  test("q14: distinct count is a two-stage partial/final aggregate") {
+    val s = planString(TextVec.q14(spark, sf0001))
+    assert(s.contains("partial_count(distinct ") || s.contains("HashAggregate"),
+      s"plan:\n$s")
+  }
+}
