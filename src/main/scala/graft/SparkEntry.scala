@@ -55,6 +55,7 @@ object SparkEntry {
     "q32_full_outer"      -> (Relational.q32 _),
     "q33_cube"            -> (Relational.q33 _),
     "q34_from_json"       -> (Events.q34 _),
+    "q35_dup_groups"      -> (Pipeline.q35 _),
   )
 
   // Shared oracle fragments ------------------------------------------------

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the transitive
+  * closure of near-duplicate pairs into dup GROUPS (SURVEY.md §7 hard part
+  * 2: "iterative smallest-id label propagation in DataFrames, no GraphX").
+  *
+  * Algorithm: each node's label starts as its own id; every iteration each
+  * node takes the min label in its neighborhood (large-star/small-star
+  * simplified to symmetric propagation); stop when no label changes. Each
+  * iteration is one shuffle on node id; iteration count is bounded by the
+  * graph diameter (near-dup clusters are tiny cliques, so 2–3 rounds).
+  * localCheckpoint per round truncates the lineage so plans stay O(1) deep.
+  */
+object Graph {
+
+  /** @param edges two long columns (src, dst); undirected.
+    * @return (node, component) where component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionAll(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label for each node: min over its own and neighbors' labels
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "b").withColumnRenamed("comp", "nc"), "b")
+        .groupBy(col("a").as("node")).agg(min("nc").as("minNeighbor"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("minNeighbor"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select("node", "comp")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dup groups from a near-dup pair list: every doc in a transitive
+    * cluster labeled with the cluster's smallest doc_id. Singletons (docs
+    * with no dup edge) are not returned — they are their own group.
+    */
+  def dupGroups(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, "ida", "idb")
+      .withColumnRenamed("node", "doc_id")
+      .withColumnRenamed("comp", "group_id")
+      .orderBy("group_id", "doc_id")
+}

@@ -133,6 +133,15 @@ object Pipeline {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** q35: transitive dup GROUPS — q15's near-dup pairs closed into
+    * clusters by distributed min-label propagation (operators.Graph).
+    * Output: (doc_id, group_id=min doc_id of the cluster). No SQL oracle
+    * (iterative; recursive-CTE aggregation is not portable) — equality with
+    * a driver-side union-find is proven in OperatorsSpec.
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.dupGroups(TextVec.q15(spark, dir).select(col("ida"), col("idb")))
+
   /** q30: multimodal payload plumbing — treat each document's bytes as an
     * opaque binary column (image/audio stand-in) with typed metadata, and
     * aggregate per source. The binary column is real (utf-8 payload); at

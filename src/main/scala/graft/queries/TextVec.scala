@@ -46,8 +46,12 @@ object TextVec {
   private def verified(pairs: DataFrame): DataFrame =
     pairs
       .withColumn("jraw",
-        size(array_intersect(col("sga"), col("sgb"))).cast("double") /
-          size(array_union(col("sga"), col("sgb"))).cast("double"))
+        // try_divide: two empty shingle sets give 0/0 -> NULL (filtered),
+        // instead of an ANSI DIVIDE_BY_ZERO error — same rule as
+        // ShingleJaccard and the DuckDB oracle
+        try_divide(
+          size(array_intersect(col("sga"), col("sgb"))).cast("double"),
+          size(array_union(col("sga"), col("sgb"))).cast("double")))
       .filter(col("jraw") >= 0.6)
       .select(col("ida"), col("idb"), round(col("jraw"), 4).as("j"))
       .orderBy("ida", "idb")
@@ -67,10 +71,15 @@ object TextVec {
     */
   def q15(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // localCheckpoint materializes the (doc_id, sig, band, bkey) projection
+    // ONCE (a few MB); without it both sides of the self-join recompute the
+    // minhash scan. Same pattern a 100 TB run would use, with a persisted
+    // signature table instead.
     val keys = docs
       .select(col("doc_id"), TextVecExprs.minHashSig(col("text"), 8, MinHashes).as("sig"))
       .select(col("doc_id"), col("sig"),
         posexplode(TextVecExprs.bandKeysFromSig(col("sig"), Bands)).as(Seq("band", "bkey")))
+      .localCheckpoint()
     // Candidate pairs carry both signatures (128 B each), so a cheap
     // estimated-Jaccard prefilter (>= 6/16 agreeing positions) runs INSIDE
     // the band join before any dedup or text fetch: background pairs

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Graph, SkewJoin}
+import graft.queries.TextVec
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Operator-utility specs: connected components vs driver-side union-find,
+  * salted join vs plain join.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("dupGroups == union-find on the q15 pair list") {
+    val pairs = TextVec.q15(spark, sf001).select("ida", "idb")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // reference: driver-side union-find
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Graph.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("connectedComponents handles a chain (diameter > 1)") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("ida", "idb")
+    val comp = Graph.connectedComponents(edges, "ida", "idb").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("salted join equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val skewed = (1 to 2000).map(i => (i.toLong, if (i <= 1800) 7L else (i % 50).toLong))
+      .toDF("row_id", "k")
+    val dim = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("k", "payload")
+    val plain = skewed.join(dim, "k").select("row_id", "k", "payload")
+    val salted = SkewJoin.saltedInnerJoin(skewed, dim, "k", "row_id", 8)
+      .select("row_id", "k", "payload")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.expressions.TextVecExprs
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generator-based properties (SURVEY §5.2 items 3–4): the custom
+  * expressions must agree with the independent HOF formulations on
+  * arbitrary inputs, and the fixed-point sum must be exact.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampling from a Gen (no scalatestplus bridge offline). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private lazy val spark = SparkSpec.session
+  import org.apache.spark.sql.Row
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (8, Gen.alphaLowerChar), (2, Gen.const(' ')), (1, Gen.alphaUpperChar)))
+        .map(_.mkString))
+
+  test("ShingleJaccard == HOF array_intersect/union Jaccard on random text") {
+    import spark.implicits._
+    val ps = samples(Gen.zip(asciiText, asciiText), 150)
+    val df = ps.toDF("a", "b")
+    val rows = df.select(
+      TextVecExprs.shingleJaccard(col("a"), col("b"), 8).as("fast"),
+      try_divide(
+        size(array_intersect(TextFunctions.shingles(col("a"), 8),
+          TextFunctions.shingles(col("b"), 8))).cast("double"),
+        size(array_union(TextFunctions.shingles(col("a"), 8),
+          TextFunctions.shingles(col("b"), 8))).cast("double")).as("ref"))
+      .collect()
+    rows.foreach { r: Row =>
+      val fast = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val ref = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(fast == ref, s"fast=$fast ref=$ref")
+    }
+  }
+
+  test("jaccard is symmetric and in [0,1]") {
+    import spark.implicits._
+    val ps = samples(Gen.zip(asciiText, asciiText), 150)
+    ps.toDF("a", "b").select(
+      TextVecExprs.shingleJaccard(col("a"), col("b"), 8).as("ab"),
+      TextVecExprs.shingleJaccard(col("b"), col("a"), 8).as("ba"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(0)) {
+          assert(r.getDouble(0) == r.getDouble(1))
+          assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+        }
+      }
+  }
+
+  test("fsum is exact vs BigDecimal reference on random 2dp values") {
+    import spark.implicits._
+    val cents = Gen.chooseNum(-99999L, 999999L).map(_ / 100.0)
+    (0 until 5).foreach { trial =>
+      val vs = samples(cents, 200 + trial).toList
+      val got = vs.toDF("v")
+        .repartition(7) // arbitrary partitioning must not matter
+        .agg(graft.queries.Relational.dsum(col("v"), 2)).head.getDouble(0)
+      val expect = vs.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == expect, s"got $got expect $expect")
+    }
+  }
+
+  test("minhash signature positions estimate Jaccard within statistical bounds") {
+    import spark.implicits._
+    // near-identical strings must have high signature agreement; disjoint low
+    val base = "the quick brown fox jumps over the lazy dog repeatedly and often"
+    val near = base.replace("dog", "cat")
+    val far = "completely different content with no overlap whatsoever here"
+    val df = Seq((base, near), (base, far)).toDF("a", "b")
+      .select(TextVecExprs.sigMatchCount(
+        TextVecExprs.minHashSig(col("a"), 8, 16),
+        TextVecExprs.minHashSig(col("b"), 8, 16)).as("m"))
+    val Seq(mNear, mFar) = df.collect().map(_.getInt(0)).toSeq
+    assert(mNear >= 8, s"near-dup signature agreement too low: $mNear/16")
+    assert(mFar <= 4, s"disjoint signature agreement too high: $mFar/16")
+  }
+}
