@@ -42,6 +42,7 @@ object SparkEntry {
     "q17_tokens"          -> (TextVec.q17 _),
     "q18_scalar_suite"    -> (Relational.q18 _),
     "q19_set_ops"         -> (Relational.q19 _),
+    "q20_embedding_stats" -> (TextVec.q20 _),
     "q21_asof_join"       -> (Events.q21 _),
     "q22_running_sum"     -> (Relational.q22 _),
     "q23_textstats"       -> (Pipeline.q23 _),
@@ -211,6 +212,12 @@ object SparkEntry {
         |  SELECT c_custkey FROM customer WHERE c_acctbal > 0
         |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
         |ORDER BY 1""".stripMargin,
+
+    "q20_embedding_stats" ->
+      """SELECT label, count(*) AS c,
+        |  round(avg(len(embedding)), 1) AS dim,
+        |  round(CAST(sum(CAST(round(sqrt(list_aggregate([CAST(x AS DOUBLE)*x FOR x IN embedding],'sum'))*100000000) AS BIGINT)) AS DOUBLE)/100000000.0/count(*), 4) AS avg_l2
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_asof_join" ->
       s"""WITH ev AS ($evMicros)

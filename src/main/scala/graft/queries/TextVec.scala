@@ -150,7 +150,10 @@ object TextVec {
       .limit(20)
 
   /** Q20 per-label embedding stats: dim + mean L2 norm.
-    * Norms are per-row codegen'd folds; only (label → partial agg) shuffles.
+    * Norms are per-row JVM folds (bit-identical across engines); the MEAN
+    * goes through a 1e-8 fixed-point long sum so the only remaining
+    * order-dependent double aggregate in the contract is eliminated —
+    * results are exact at any partitioning.
     */
   def q20(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -158,6 +161,7 @@ object TextVec {
       .agg(
         count(lit(1)).as("c"),
         round(avg(size(col("embedding"))), 1).as("dim"),
-        round(avg(TextVecExprs.floatVecNorm(col("embedding"))), 4).as("avg_l2"))
+        round(sum(round(TextVecExprs.floatVecNorm(col("embedding")) * 1e8).cast("long"))
+          .cast("double") / 1e8 / count(lit(1)), 4).as("avg_l2"))
       .orderBy("label")
 }

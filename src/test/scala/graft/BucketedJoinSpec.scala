@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing (SURVEY §1.2 / §2.1 address-gen analog): two tables bucketed
+  * by the join key join WITHOUT a shuffle exchange on either side — the
+  * co-located-join layout that matters at 100 TB (pay the shuffle once at
+  * write time, never again per query).
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("join of two tables bucketed on the key plans with no shuffle exchange") {
+    // warehouse.dir is a static conf; the default ./spark-warehouse is
+    // gitignored, and the tables are dropped in the finally block
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+    Tables.orders(spark, sf0001)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.customer(spark, sf0001)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+
+    // disable auto-broadcast so the planner must pick a sort-merge join —
+    // the point is that bucketing removes its exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), "o_custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // sanity: result matches the unbucketed join
+      val plainCount = Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == plainCount)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
