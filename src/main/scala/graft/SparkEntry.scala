@@ -57,6 +57,7 @@ object SparkEntry {
     "q33_cube"            -> (Relational.q33 _),
     "q34_from_json"       -> (Events.q34 _),
     "q35_dup_groups"      -> (Pipeline.q35 _),
+    "q36_cosine_dedup"    -> (Pipeline.q36 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -275,6 +276,18 @@ object SparkEntry {
         |SELECT source, count(*) AS c,
         |  round(CAST(sum(CAST(round(q*10000) AS BIGINT)) AS DOUBLE)/10000.0/count(*), 4) AS avg_q
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_cosine_dedup" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_aggregate([CAST(x AS DOUBLE)*x FOR x IN embedding],'sum')) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_aggregate([CAST(x[1] AS DOUBLE)*x[2] FOR x IN list_zip(a.embedding, b.embedding)],'sum')
+        |    / (a.nrm * b.nrm), 6) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_aggregate([CAST(x[1] AS DOUBLE)*x[2] FOR x IN list_zip(a.embedding, b.embedding)],'sum')
+        |    / (a.nrm * b.nrm), 6) >= 0.35
+        |ORDER BY 1, 2""".stripMargin,
 
     "q30_multimodal" ->
       """SELECT source, count(*) AS c,

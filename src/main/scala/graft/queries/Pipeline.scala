@@ -142,6 +142,31 @@ object Pipeline {
   def q35(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.dupGroups(TextVec.q15(spark, dir).select(col("ida"), col("idb")))
 
+  /** q36: embedding-cosine near-duplicate pairs (the vector-space member
+    * of the dedup family: exact q14, MinHash q15, SimHash q27, cosine q36).
+    *
+    * Shape: broadcast one side (norms precomputed) and stream the other —
+    * a per-row linear scan, no shuffle explosion; O(N * broadcast-side).
+    * On THIS corpus the embeddings are isotropic (see q29), so LSH
+    * candidate pruning cannot reach recall 1.0 at any useful threshold and
+    * exact output requires the full comparison; on clustered real-world
+    * embeddings the SRP bucket join (q29's machinery) prunes this to the
+    * probed fraction. Threshold 0.35 ≈ 3 sigma of the background cosine
+    * distribution — the planted-structure cut for this corpus.
+    */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("sim",
+        round(TextVecExprs.floatVecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= 0.35)
+      .select(col("ida"), col("idb"), col("sim"))
+      .orderBy("ida", "idb")
+  }
+
   /** q30: multimodal payload plumbing — treat each document's bytes as an
     * opaque binary column (image/audio stand-in) with typed metadata, and
     * aggregate per source. The binary column is real (utf-8 payload); at

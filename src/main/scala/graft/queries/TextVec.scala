@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * exact dedup, MinHash-LSH near-dup with exact Jaccard verify, cosine
   * top-k similarity search, token analytics, embedding stats.
   *
-  * All per-row math is native Column combinators (higher-order functions),
-  * so it stays inside whole-stage codegen and needs no UDFs.
+  * Per-row math runs as either native Column combinators or the custom
+  * single-pass expressions in graft.expressions (hot paths) — never UDFs.
   */
 object TextVec {
 
@@ -27,12 +27,12 @@ object TextVec {
 
   // LSH parameters for q15: 16 hashes = 8 bands x 2 rows. At the Jaccard
   // threshold 0.6 a pair is banded with p = 1-(1-0.6^2)^8 = 0.97; the
-  // corpus's planted dups all have J >= 0.92 => p_miss = (1-0.92^2)^8 < 4e-7
-  // (and the hash family is fixed, so recall is deterministic per dataset —
-  // verified equal to brute force in NearDupSpec at sf0.001/sf0.01).
+  // corpus's true dups are all J >= 0.83 (measured) => banding + the 6/16
+  // signature prefilter miss with p ~ 1e-7. The hash family is fixed, so
+  // recall is deterministic per dataset — proven equal to brute force at
+  // sf0.001/sf0.01 (NearDupSpec) and sf0.1 (one-off 446 s brute run).
   private val MinHashes = 16
   private val Bands = 8
-  private val RowsPerBand = 2
 
   /** Shingle-set projection of documents: (doc_id, sg). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
