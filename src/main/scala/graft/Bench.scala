@@ -14,13 +14,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Session warm-up (JIT, codegen cache, FS metadata): one throwaway run.
-    SparkEntry.queries("q1_pricing_agg")(spark, sfDir).collect()
+    // Guarded: a warm-up failure must not prevent the JSON line (each query
+    // is also individually guarded below and reported as -1).
+    try SparkEntry.queries("q1_pricing_agg")(spark, sfDir).collect()
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -30,6 +30,13 @@ object Tables {
     * truncate to microseconds — Spark's native timestamp precision. The
     * DuckDB oracle SQL truncates identically via epoch_us() so both engines
     * compare the same microsecond values.
+    *
+    * NOTE the conf is session-wide and sticks after this call: any later
+    * read of OTHER nanos-timestamped parquet in the same session will get
+    * LongType instead of an error. Engine-owned sessions (Bench/Verify/
+    * tests) set it at build time; this lazy set covers caller-provided
+    * sessions. Scoping it per-read is unsafe because the conf is consulted
+    * again at scan execution, not just at schema inference.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

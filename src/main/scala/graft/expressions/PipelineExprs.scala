@@ -66,7 +66,7 @@ case class SimHash64(child: Expression)
 
   protected override def nullSafeEval(input: Any): Any = {
     import TextVecExprs.mix64
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Int](64)
     var total = 0
     var i = 0

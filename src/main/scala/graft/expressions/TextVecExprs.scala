@@ -77,7 +77,7 @@ object TextVecExprs {
 
   /** One-pass MinHash signature of lower(text)'s k-gram shingles. */
   private[expressions] def computeSig(s0: String, k: Int, numHashes: Int): Array[Long] = {
-    val s = s0.toLowerCase
+    val s = s0.toLowerCase(java.util.Locale.ROOT)
     val n = s.length - k + 1
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var pos = 0
@@ -205,7 +205,7 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
     * hash is remapped away from 0).
     */
   private def fill(s0: String): (Array[Long], Int) = {
-    val s = s0.toLowerCase
+    val s = s0.toLowerCase(java.util.Locale.ROOT)
     val n = math.max(0, s.length - k + 1)
     var cap = 16
     while (cap < n * 2) cap <<= 1

@@ -50,8 +50,13 @@ class KmvDistinct(k: Int) extends Aggregator[Long, KmvState, Double] {
   override def finish(s: KmvState): Double =
     if (s.hashes.length < k) s.hashes.length.toDouble
     else {
-      // map signed long to [0,1): shift to unsigned order
-      val hk = (s.hashes.last ^ Long.MinValue).toDouble / math.pow(2.0, 64)
+      // k-th smallest hash as an UNSIGNED fraction of the hash space.
+      // (u.toDouble on the xor'd value would go negative once the k-th
+      // smallest signed hash is positive — i.e. whenever n_distinct is
+      // between k and ~2k — yielding negative estimates.)
+      val u = s.hashes.last ^ Long.MinValue
+      val uAsDouble = (u >>> 1).toDouble * 2.0 + (u & 1L).toDouble
+      val hk = uAsDouble / math.pow(2.0, 64)
       (k - 1).toDouble / hk
     }
 

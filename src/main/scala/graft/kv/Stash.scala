@@ -107,9 +107,11 @@ object Stash {
     empty(spark).addAll(spark.createDataset(es))
   }
 
-  /** Last-writer-wins merge of `updates` into `base`, one shuffle on key.
-    * Priority column instead of dropDuplicates so the winner is explicit
-    * and deterministic (dropDuplicates keeps an arbitrary row).
+  /** Merge of `updates` into `base`, one shuffle on key: an update always
+    * beats the base row for its key (explicit priority column). Duplicate
+    * keys WITHIN one updates batch (or within an opened stash) have no
+    * defined order on a distributed Dataset and are resolved arbitrarily —
+    * dedupe upstream when that matters.
     */
   private def keyedUpsert(base: Dataset[Entity], updates: Dataset[Entity]): Dataset[Entity] = {
     val spark = base.sparkSession

@@ -35,15 +35,28 @@ object Graph {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b").withColumnRenamed("comp", "nc"), "b")
         .groupBy(col("a").as("node")).agg(min("nc").as("minNeighbor"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
+      val viaStep = labels.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("minNeighbor"), col("comp"))).as("comp"),
           col("comp").as("prev"))
+      // pointer jumping: also adopt the label OF the current label, which
+      // doubles propagation distance per round — convergence in
+      // O(log diameter) rounds instead of O(diameter) (a 30-node chain
+      // needs ~6 rounds, not 29)
+      val parents = viaStep.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      val next = viaStep.join(parents, col("comp") === col("p_node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"),
+          col("prev"))
         .localCheckpoint()
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.select("node", "comp")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter for graphs of diameter > $maxIter")
     labels
   }
 

@@ -30,14 +30,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("connectedComponents handles a chain (diameter > 1)") {
+  test("connectedComponents handles a deep chain (pointer-jumping, diameter 99)") {
     import spark.implicits._
-    // chain 1-2-3-4-5 plus isolated pair 10-11
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("ida", "idb")
+    // a 100-node chain (needs O(log n) rounds, not O(n)) + isolated pair
+    val edges = ((1L to 100L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (200L, 201L))
+      .toDF("ida", "idb")
     val comp = Graph.connectedComponents(edges, "ida", "idb").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 5L).forall(comp(_) == 1L))
-    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert((1L to 100L).forall(comp(_) == 1L))
+    assert(comp(200L) == 200L && comp(201L) == 200L)
+  }
+
+  test("connectedComponents throws rather than returning unconverged labels") {
+    import spark.implicits._
+    val chain = (1L to 60L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("ida", "idb")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, "ida", "idb", maxIter = 2).collect()
+    }
   }
 
   test("salted join equals plain join on a skewed key distribution") {

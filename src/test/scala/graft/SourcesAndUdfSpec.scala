@@ -66,4 +66,15 @@ class SourcesAndUdfSpec extends SparkSpec {
     val small = spark.createDataset((1L to 100L) ++ (1L to 100L))
     assert(small.select(KmvDistinct(256)).head() == 100.0)
   }
+
+  test("KMV estimate stays sane in the k..2k band (signed-hash regression)") {
+    import spark.implicits._
+    // n_distinct = 300 with k=256: the k-th smallest hash is likely in the
+    // positive signed half — the old signed conversion returned negative
+    // estimates here
+    val ds = spark.createDataset((1L to 300L))
+    val est = ds.select(KmvDistinct(256)).head()
+    assert(est > 0, s"estimate must be positive, got $est")
+    assert(math.abs(est - 300.0) / 300.0 < 0.25, s"estimate $est too far from 300")
+  }
 }

@@ -54,8 +54,6 @@ def main(out_dir):
         for c in ecols:
             ev, ov = eng[c].tolist(), ora[c].tolist()
             for i, (a, b) in enumerate(zip(ev, ov)):
-                an, bn = (a != a) if isinstance(a, float) else a is None, \
-                         (b != b) if isinstance(b, float) else b is None
                 if (a is None) != (b is None):
                     bad += 1; first = first or (c, i, a, b); continue
                 if canon(a) != canon(b):
