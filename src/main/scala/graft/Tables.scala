@@ -46,7 +46,13 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views (for spark.sql surface + tests). */
+  /** Register all tables as temp views (for spark.sql surface + tests).
+    * events goes through its dedicated loader so the view carries the
+    * microsecond-truncated timestamp, not the unreadable NANOS raw column.
+    */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

@@ -256,12 +256,14 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def prettyName: String = "float_vec_dot"
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val ys = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(xs.length, ys.length)
+    // direct element access: toFloatArray() would copy both vectors on
+    // EVERY evaluation — 25M allocations across a 12.5M-pair brute scan
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += xs(i).toDouble * ys(i).toDouble; i += 1 }
+    while (i < n) { s += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble; i += 1 }
     s
   }
 
@@ -277,10 +279,11 @@ case class FloatVecNorm(child: Expression)
   override def prettyName: String = "float_vec_norm"
 
   protected override def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
     var s = 0.0
     var i = 0
-    while (i < xs.length) { s += xs(i).toDouble * xs(i).toDouble; i += 1 }
+    while (i < n) { val v = xs.getFloat(i).toDouble; s += v * v; i += 1 }
     math.sqrt(s)
   }
 

@@ -157,7 +157,11 @@ object Pipeline {
   def q36(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    // the table is one small parquet file = ONE input partition; without an
+    // explicit spread the whole O(N^2/2) scan runs in a single task. The
+    // repartition costs one tiny shuffle and buys full-core parallelism.
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"), col("nrm").as("na"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("ida") < col("idb"))
       .withColumn("sim",

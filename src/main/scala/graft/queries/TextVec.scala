@@ -127,7 +127,9 @@ object TextVec {
       .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+    // spread the single-file scan across cores before the broadcast probe
+    val scored = emb.repartition(spark.sparkContext.defaultParallelism)
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(TextVecExprs.floatVecDot(col("qv"), col("embedding"))
           / (col("qn") * col("nrm")), 6).as("sim"))
