@@ -50,6 +50,7 @@ object SparkEntry {
     "q25_lang_profile"    -> (Pipeline.q25 _),
     "q26_quality"         -> (Pipeline.q26 _),
     "q27_simhash_pairs"   -> (Pipeline.q27 _),
+    "q28_bigrams"         -> (Pipeline.q28 _),
     "q29_ann_lsh"         -> (Pipeline.q29 _),
     "q30_multimodal"      -> (Pipeline.q30 _),
     "q31_mm_decode"       -> (Pipeline.mmDecodeStub _),
@@ -288,6 +289,11 @@ object SparkEntry {
         |WHERE round(list_aggregate([CAST(x[1] AS DOUBLE)*x[2] FOR x IN list_zip(a.embedding, b.embedding)],'sum')
         |    / (a.nrm * b.nrm), 6) >= 0.35
         |ORDER BY 1, 2""".stripMargin,
+
+    "q28_bigrams" ->
+      """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |b AS (SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg FROM t)
+        |SELECT bg, count(*) AS c FROM b GROUP BY 1 ORDER BY c DESC, bg LIMIT 10""".stripMargin,
 
     "q30_multimodal" ->
       """SELECT source, count(*) AS c,

@@ -88,6 +88,24 @@ object Pipeline {
       .orderBy("ida", "idb")
   }
 
+  /** q28: top-10 word bigrams — n-gram text analysis over the token
+    * stream (tokens -> adjacent pairs -> explode -> count -> top-k).
+    * Pure higher-order-function pipeline; the explode is the UDTF surface.
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), n1),
+      slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(spark, dir)
+      .select(explode(bigrams).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg"))
+      .limit(10)
+  }
+
   /** q29: SRP-LSH approximate nearest neighbors (the scale path next to
     * q16's exact brute force). 8 hyperplanes -> 256 coarse buckets; queries
     * multi-probe every bucket within hamming distance 3 of their own
