@@ -59,6 +59,7 @@ object SparkEntry {
     "q34_from_json"       -> (Events.q34 _),
     "q35_dup_groups"      -> (Pipeline.q35 _),
     "q36_cosine_dedup"    -> (Pipeline.q36 _),
+    "q37_stats"           -> (Relational.q37 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -289,6 +290,13 @@ object SparkEntry {
         |WHERE round(list_aggregate([CAST(x[1] AS DOUBLE)*x[2] FOR x IN list_zip(a.embedding, b.embedding)],'sum')
         |    / (a.nrm * b.nrm), 6) >= 0.35
         |ORDER BY 1, 2""".stripMargin,
+
+    "q37_stats" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.95) AS p95,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS r
+        |FROM lineitem""".stripMargin,
 
     "q28_bigrams" ->
       """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),

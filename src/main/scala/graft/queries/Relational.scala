@@ -219,4 +219,27 @@ object Relational {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("c"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** q37 distribution stats (SURVEY §2.2 row 15 extended): exact
+    * interpolated percentiles, sample stddev, correlation. Spark's
+    * percentile() and DuckDB's quantile_cont share the same interpolation,
+    * verified bit-identical; stddev/corr are rounded (4/6 dp) — their
+    * streaming-moment formulas agree to ~1e-12 here.
+    *
+    * The percentile target is pre-reduced with a codegen'd groupBy and fed
+    * through percentile's frequency argument: exact percentile cost then
+    * scales with DISTINCT values, not rows (l_quantity has ~50). For a
+    * mostly-distinct 100 TB column, exact percentile is inherently a
+    * value-sorted pass — approx_percentile is the scale path there.
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pct = li.groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("f"))
+      .agg(percentile(col("v"), lit(0.5), col("f")).as("p50"),
+        percentile(col("v"), lit(0.95), col("f")).as("p95"))
+    val mom = li.agg(
+      round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"))
+    pct.crossJoin(mom)
+  }
 }
