@@ -45,10 +45,13 @@ object Bench {
         name -> t
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    // Locale.ROOT formatting: the f-interpolator uses the default locale,
+    // which on comma-decimal locales would emit invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total_median_sec","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -292,8 +292,8 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
 
     "q37_stats" ->
-      """SELECT quantile_cont(l_quantity, 0.5) AS p50,
-        |  quantile_cont(l_quantity, 0.95) AS p95,
+      """SELECT round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95,
         |  round(stddev_samp(l_extendedprice), 4) AS sd,
         |  round(corr(l_quantity, l_extendedprice), 6) AS r
         |FROM lineitem""".stripMargin,

@@ -39,6 +39,7 @@ object Graph {
         .select(col("node"),
           least(col("comp"), coalesce(col("minNeighbor"), col("comp"))).as("comp"),
           col("comp").as("prev"))
+        .localCheckpoint() // consumed twice below (join left side + parents)
       // pointer jumping: also adopt the label OF the current label, which
       // doubles propagation distance per round — convergence in
       // O(log diameter) rounds instead of O(diameter) (a 30-node chain
@@ -53,10 +54,22 @@ object Graph {
       labels = next.select("node", "comp")
       iter += 1
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
-          s"($changed labels still changing) — raise maxIter for graphs of diameter > $maxIter")
+    if (changed > 0) {
+      // labels may have become correct ON the final allowed round; converged
+      // state is only observable via one extra quiet round, so check before
+      // declaring failure
+      val check = sym
+        .join(labels.withColumnRenamed("node", "b").withColumnRenamed("comp", "nc"), "b")
+        .groupBy(col("a").as("node")).agg(min("nc").as("minNeighbor"))
+        .join(labels, Seq("node"))
+        .filter(col("minNeighbor") < col("comp"))
+        .count()
+      if (check > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIter iterations " +
+            s"($check labels would still change) — with pointer jumping rounds grow " +
+            "with log2(diameter); raise maxIter")
+    }
     labels
   }
 

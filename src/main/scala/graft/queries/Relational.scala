@@ -235,8 +235,8 @@ object Relational {
   def q37(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val pct = li.groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("f"))
-      .agg(percentile(col("v"), lit(0.5), col("f")).as("p50"),
-        percentile(col("v"), lit(0.95), col("f")).as("p95"))
+      .agg(round(percentile(col("v"), lit(0.5), col("f")), 4).as("p50"),
+        round(percentile(col("v"), lit(0.95), col("f")), 4).as("p95"))
     val mom = li.agg(
       round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
       round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"))
