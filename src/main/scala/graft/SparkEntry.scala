@@ -240,6 +240,7 @@ object SparkEntry {
     "q23_textstats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS BIGINT) AS n_tok_re,
         |  CAST(length(text) AS BIGINT) AS n_char,
         |  CAST(len(list_filter(string_split(lower(text),' '),
         |        x -> list_contains(STOPWORDS, x))) AS BIGINT) AS sw_hits

@@ -16,14 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** q23: per-document token/char stats (token counting over whitespace,
-    * non-empty tokens only). Pure per-row projection — scales linearly.
+  /** BPE-style pre-tokenizer pattern (contractions | words | numbers |
+    * punctuation runs, each with optional leading space) — the GPT-2-ish
+    * split that approximates subword token counts without a vocab. Uses
+    * only RE2-compatible constructs so the DuckDB oracle matches exactly.
+    */
+  val BpeishPattern = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+  /** q23: per-document token/char stats — whitespace tokens, BPE-ish regex
+    * tokens, chars, stopword hits. Pure per-row projection, scales linearly.
     */
   def q23(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0)))
+          .cast("long").as("n_tok_re"),
         length(col("text")).cast("long").as("n_char"),
         TextFunctions.stopwordHits(col("text")).cast("long").as("sw_hits"))
       .orderBy("doc_id")
