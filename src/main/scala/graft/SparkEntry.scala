@@ -222,13 +222,21 @@ object SparkEntry {
         |  round(CAST(sum(CAST(round(sqrt(list_aggregate([CAST(x AS DOUBLE)*x FOR x IN embedding],'sum'))*100000000) AS BIGINT)) AS DOUBLE)/100000000.0/count(*), 4) AS avg_l2
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Deliberately NOT DuckDB's ASOF JOIN: on tied (user_id, ts) purchases
+    // ASOF's pick is unspecified, while the engine breaks ties by max
+    // event_id. This window formulation pins the same tiebreak, so the
+    // oracle is deterministic even if the generator ever emits ties.
     "q21_asof_join" ->
-      s"""WITH ev AS ($evMicros)
-         |SELECT e.event_id, p.event_id AS prior_purchase
-         |FROM (SELECT * FROM ev WHERE event_type='error') e
-         |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type='purchase') p
-         |  ON e.user_id = p.user_id AND e.ts > p.ts
-         |ORDER BY e.event_id""".stripMargin,
+      s"""WITH ev AS ($evMicros),
+         |e AS (SELECT event_id, user_id, ts FROM ev WHERE event_type='error'),
+         |p AS (SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts
+         |      FROM ev WHERE event_type='purchase')
+         |SELECT event_id, prior_purchase FROM (
+         |  SELECT e.event_id, p.p_event_id AS prior_purchase,
+         |    row_number() OVER (PARTITION BY e.event_id
+         |                       ORDER BY p.p_ts DESC, p.p_event_id DESC) AS rn
+         |  FROM e LEFT JOIN p ON e.user_id = p.p_user_id AND e.ts > p.p_ts)
+         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q22_running_sum" ->
       """SELECT o_custkey, o_orderkey,
@@ -325,6 +333,27 @@ object SparkEntry {
     "q34_from_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sk
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Transitive closure of the q15 near-dup pairs as a recursive
+    // reachability fixpoint: `reach` accumulates every (node, reachable id)
+    // pair over the undirected edge set; min(reachable) = the component's
+    // smallest doc_id, exactly dupGroups' label. Clusters are tiny cliques,
+    // so the closure stays small.
+    "q35_dup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([substr(lower(text), i, 8) FOR i IN range(1, len(text)-6)]) AS sg
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE) >= 0.6),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION SELECT idb, ida FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT node AS doc_id, min(r) AS group_id FROM reach
+        |GROUP BY node ORDER BY group_id, doc_id""".stripMargin,
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }
 

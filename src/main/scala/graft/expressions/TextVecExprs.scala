@@ -156,6 +156,9 @@ case class BandKeysFromSig(child: Expression, bands: Int)
 
   protected override def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData].toLongArray()
+    require(sig.length % bands == 0,
+      s"signature length ${sig.length} must be a multiple of bands=$bands " +
+        "(trailing hashes would be silently dropped)")
     new GenericArrayData(TextVecExprs.bandKeys(sig, bands))
   }
 

@@ -17,17 +17,28 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** @param edges two long columns (src, dst); undirected.
+    * @param reliable use reliable (HDFS-able) checkpoints instead of
+    *   localCheckpoint: local checkpoints live in executor block storage and
+    *   are LOST on executor death — fine on local[n], wrong for a long
+    *   iterative job on a real cluster, where a single lost executor would
+    *   fail the lineage-truncated job unrecoverably. Reliable mode writes
+    *   each round's labels to the checkpoint dir (set via
+    *   `sparkContext.setCheckpointDir`; a temp dir is chosen if unset).
     * @return (node, component) where component = min node id reachable.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      edges.sparkSession.sparkContext.setCheckpointDir(dir)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = ckpt(edges.select(col(src).as("a"), col(dst).as("b"))
       .unionAll(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint()
+      .distinct())
+    var labels = ckpt(sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -35,21 +46,19 @@ object Graph {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b").withColumnRenamed("comp", "nc"), "b")
         .groupBy(col("a").as("node")).agg(min("nc").as("minNeighbor"))
-      val viaStep = labels.join(viaNeighbors, Seq("node"), "left")
+      val viaStep = ckpt(labels.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("minNeighbor"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .localCheckpoint() // consumed twice below (join left side + parents)
+          col("comp").as("prev"))) // consumed twice below (join left side + parents)
       // pointer jumping: also adopt the label OF the current label, which
       // doubles propagation distance per round — convergence in
       // O(log diameter) rounds instead of O(diameter) (a 30-node chain
       // needs ~6 rounds, not 29)
       val parents = viaStep.select(col("node").as("p_node"), col("comp").as("p_comp"))
-      val next = viaStep.join(parents, col("comp") === col("p_node"), "left")
+      val next = ckpt(viaStep.join(parents, col("comp") === col("p_node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"),
-          col("prev"))
-        .localCheckpoint()
+          col("prev")))
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.select("node", "comp")
       iter += 1

@@ -111,23 +111,42 @@ object Relational {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(10)
 
-  /** Q7 ROLLUP on (returnflag, linestatus): one pass, grouping-set expand
-    * then hash agg with partial aggregation.
+  /** Q7 ROLLUP on (returnflag, linestatus).
+    *
+    * Pre-aggregates to the FINEST grouping set first, then rolls up the
+    * tiny aggregated table: naive `rollup` Expands every input row ×3
+    * (one copy per grouping set) before the hash agg, tripling scan-stage
+    * CPU and shuffle; since every rollup cell is a union of finest-level
+    * cells, summing partial (count, fixed-point sum) states over ~6 rows
+    * is identical output at a third of the cost. At 100 TB the Expand on
+    * the raw fact table is the difference between one scan-equivalent
+    * and three.
     */
-  def q7(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("c"), Relational.dsum(col("l_extendedprice"), 2).as("s"))
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pc"),
+        sum(round(col("l_extendedprice") * 10000).cast("long")).as("ps"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("pc")).as("c"), round(sum(col("ps")).cast("double") / 10000.0, 2).as("s"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
 
-  /** Q8 GROUPING SETS ((returnflag),(linestatus),()). */
-  def q8(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupingSets(
+  /** Q8 GROUPING SETS ((returnflag),(linestatus),()) — same finest-set
+    * pre-aggregation as q7 (none of the requested sets is the finest pair,
+    * but all are unions of its cells, so re-aggregating partial counts is
+    * exact and the Expand touches ~6 rows, not the fact table).
+    */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pc"))
+    base.groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("pc")).as("c"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
 
   /** Q18 scalar-function suite: string/date/math exprs after a LIKE filter.
     * p_partkey kept in the output so row identity is total/deterministic.
@@ -144,22 +163,35 @@ object Relational {
         round(col("p_retailprice") * 1.1, 2).as("pr"),
         year(to_date(lit("1995-01-02"))).cast("long").as("y"))
 
-  /** Q19 set ops: UNION (distinct), INTERSECT, EXCEPT over key sets.
-    * Each set op shuffles on the full row (single bigint column here);
-    * Spark plans them as hash aggregates / left-semi+anti under AQE.
+  /** Q19 set ops: UNION (distinct), INTERSECT, EXCEPT over key sets —
+    * computed in ONE pass. The naive form (three `union`/`intersect`/
+    * `except` subplans) scans each input three times and shuffles three
+    * times; here each side is scanned once, tagged with a presence flag,
+    * and a single groupBy(key) shuffle derives all three counts from the
+    * (in_c, in_o) flags. The three output rows are exploded from the one
+    * aggregate row. At 100 TB: one shuffle of the pruned key column total,
+    * with map-side partial max() on the flags.
     */
   def q19(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-      .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("k"), lit(1).as("in_c"), lit(0).as("in_o"))
     val o = Tables.orders(spark, dir)
-      .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
-    val u = c.union(o).distinct().agg(count(lit(1)).as("n"))
-      .select(lit("union").as("op"), col("n"))
-    val i = c.intersect(o).agg(count(lit(1)).as("n"))
-      .select(lit("intersect").as("op"), col("n"))
-    val e = c.except(o).agg(count(lit(1)).as("n"))
-      .select(lit("except").as("op"), col("n"))
-    u.union(i).union(e).orderBy("op")
+      .filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("k"), lit(0).as("in_c"), lit(1).as("in_o"))
+    c.unionAll(o)
+      .groupBy(col("k"))
+      .agg(max(col("in_c")).as("c"), max(col("in_o")).as("o"))
+      .agg(
+        count(lit(1)).as("u"),
+        sum(when(col("c") === 1 && col("o") === 1, 1L).otherwise(0L)).as("i"),
+        sum(when(col("c") === 1 && col("o") === 0, 1L).otherwise(0L)).as("e"))
+      .select(explode(array(
+        struct(lit("except").as("op"), col("e").as("n")),
+        struct(lit("intersect").as("op"), col("i").as("n")),
+        struct(lit("union").as("op"), col("u").as("n")))).as("r"))
+      .select(col("r.op"), col("r.n"))
+      .orderBy("op")
   }
 
   /** Q22 frame-spec running sum: cumulative spend per customer over time.
@@ -213,12 +245,18 @@ object Relational {
           .otherwise(0L)).as("both"))
   }
 
-  /** q33 CUBE (SURVEY §2.2 row 19): all 2^2 grouping sets in one pass. */
-  def q33(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("c"))
+  /** q33 CUBE (SURVEY §2.2 row 19): all 2^2 grouping sets, via the same
+    * finest-set pre-aggregation as q7 (Expand ×4 over ~6 rows, not the
+    * fact table).
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pc"))
+    base.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("pc")).as("c"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
 
   /** q37 distribution stats (SURVEY §2.2 row 15 extended): exact
     * interpolated percentiles, sample stddev, correlation. Spark's

@@ -23,11 +23,15 @@ object Streams {
   private def wm(events: DataFrame, watermark: Option[String]): DataFrame =
     watermark.fold(events)(events.withWatermark("ts", _))
 
-  /** Q11s: 1-day tumbling window counts/sums with a 1-hour watermark. */
+  /** Q11s: 1-day tumbling window counts/sums with a 1-hour watermark.
+    * The sum is the same fixed-point dsum as batch q11 — order-independent
+    * and exact, so streaming-vs-batch equality is bit-identical, not a
+    * rounded-double coincidence.
+    */
   def tumblingDaily(events: DataFrame, watermark: Option[String] = Some("1 hour")): DataFrame =
     wm(events, watermark)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+      .agg(count(lit(1)).as("c"), graft.queries.Relational.dsum(col("value"), 2).as("s"))
       .select(to_date(col("window.start")).as("d"), col("event_type"), col("c"), col("s"))
 
   /** Sliding window variant: 1-hour windows every 15 minutes. */

@@ -49,6 +49,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents reliable-checkpoint mode matches local mode") {
+    import spark.implicits._
+    val edges = ((1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (300L, 301L))
+      .toDF("ida", "idb")
+    val local = Graph.connectedComponents(edges, "ida", "idb").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Graph.connectedComponents(edges, "ida", "idb", reliable = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == local)
+    // reliable mode must actually have a checkpoint dir configured
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key

@@ -29,6 +29,40 @@ class PipelineSpec extends SparkSpec {
       s"missing exact dups: ${exactDups -- found}")
   }
 
+  test("q36 blocked pairwise join == brute-force all-pairs (no broadcast needed)") {
+    import graft.expressions.TextVecExprs
+    // reference: the all-pairs formulation q36 used to broadcast
+    val emb = Tables.embeddings(spark, sf001)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("ida") < col("idb"))
+      .withColumn("sim",
+        round(TextVecExprs.floatVecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= 0.35)
+      .select("ida", "idb", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Pipeline.q36(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"diff: ${(got diff brute) ++ (brute diff got)}")
+  }
+
+  test("q36 plans with zero BroadcastExchange when broadcast is disabled") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Pipeline.q36(spark, sf0001)
+      df.collect()
+      val plan = (df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }) + df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"q36 must not require broadcasting any side at scale; plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q24 fingerprint: deterministic, stable across runs, distinct-ish") {
     val a = Pipeline.q24(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Pipeline.q24(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -51,14 +85,16 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
-  test("q31 multimodal decode stub: metadata struct populated per row") {
+  test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
+    // flat scalars, not a nested struct: sinks/checkers sort+hash these
+    assert(mm.columns.toSeq == Seq("doc_id", "n_bytes", "width", "height", "pixfmt"))
+    assert(mm.schema.fields.forall(!_.dataType.typeName.startsWith("struct")))
     val rows = mm.collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
     assert(rows.forall { r =>
-      val meta = r.getStruct(2)
-      meta.getInt(0) >= 1 && meta.getInt(0) <= 1920 &&
-        meta.getInt(1) >= 1 && meta.getInt(1) <= 1080
+      r.getInt(2) >= 1 && r.getInt(2) <= 1920 &&
+        r.getInt(3) >= 1 && r.getInt(3) <= 1080 && r.getString(4) == "stub-rgb8"
     })
   }
 }

@@ -23,6 +23,57 @@ class QuerySmokeSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
+  test("q9b approx distinct within ±5% of exact q9a (declared tolerance)") {
+    val exact = SparkEntry.queries("q9a_distinct")(spark, sf001).head.getLong(0)
+    val approx = SparkEntry.queries("q9b_approx_distinct")(spark, sf001).head.getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    info(f"q9a=$exact q9b=$approx relErr=$relErr%.4f")
+    assert(relErr <= 0.05, f"approx_count_distinct off by $relErr%.4f > 5%%")
+  }
+
+  test("q19 one-pass presence-flag plan equals naive set-op formulation") {
+    import org.apache.spark.sql.functions._
+    val c = Tables.customer(spark, sf001)
+      .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, sf001)
+      .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+    val naive = Map(
+      "union" -> c.union(o).distinct().count(),
+      "intersect" -> c.intersect(o).count(),
+      "except" -> c.except(o).count())
+    val got = SparkEntry.queries("q19_set_ops")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+  }
+
+  test("q7/q8/q33 finest-set pre-aggregation equals naive rollup/cube/sets") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf001)
+    val naive7 = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"), queries.Relational.dsum(col("l_extendedprice"), 2).as("s"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val got7 = SparkEntry.queries("q7_rollup")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got7.toSeq == naive7.toSeq)
+    val naive33 = li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got33 = SparkEntry.queries("q33_cube")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got33.toSeq == naive33.toSeq)
+    val naive8 = li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got8 = SparkEntry.queries("q8_grouping_sets")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got8.toSeq == naive8.toSeq)
+  }
+
   test("known invariants at sf0.001") {
     import org.apache.spark.sql.functions._
     // q1: 3 flags x 2 statuses

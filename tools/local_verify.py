@@ -38,8 +38,11 @@ def main(out_dir):
             print(f"FAIL {name}: no parquet written"); n_fail += 1; continue
         eng = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
         if name not in oracle:
-            print(f"SKIP {name}: rows-only check, rows={len(eng)}" +
-                  (" FAIL(empty)" if len(eng) == 0 else ""))
+            if len(eng) == 0:
+                print(f"FAIL {name}: rows-only check produced 0 rows")
+                n_fail += 1
+            else:
+                print(f"SKIP {name}: rows-only check, rows={len(eng)}")
             continue
         try:
             ora = con.execute(oracle[name]).fetchdf()
