@@ -208,7 +208,15 @@ object Pipeline {
       .withColumn("pk", explode(array((0 until B).map(i =>
         when(col("bb") >= i, lit(i) * B + col("bb"))): _*)))
       .filter(col("pk").isNotNull)
-    a.join(b, a("pk") === b("pk") && (col("ba") < col("bb") || col("ida") < col("idb")))
+    // explicit repartition on the pair key: the shuffled BYTES are small
+    // (ids + vectors) so AQE would coalesce to ~1 partition, serializing the
+    // O(N^2/B) comparison COMPUTE behind it; a user repartition is exempt
+    // from AQE coalescing and both join sides arrive hash-partitioned on pk,
+    // so the join itself adds no further exchange
+    val nPart = spark.sparkContext.defaultParallelism
+    val ap = a.repartition(nPart, col("pk"))
+    val bp = b.repartition(nPart, col("pk"))
+    ap.join(bp, ap("pk") === bp("pk") && (col("ba") < col("bb") || col("ida") < col("idb")))
       .withColumn("sim",
         round(TextVecExprs.floatVecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= 0.35)
