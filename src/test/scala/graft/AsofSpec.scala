@@ -25,4 +25,42 @@ class AsofSpec extends SparkSpec {
     val sw = Events.q12s(spark, sf0001).head.getLong(0)
     assert(batch == sw, s"batch=$batch session_window=$sw")
   }
+
+  test("session gap boundary: exactly 30 min continues; any more splits") {
+    // Pins the gap semantics q12/q12s rely on before anyone builds on them.
+    // Both paths split only when the gap is STRICTLY greater than 30 min:
+    // the batch form by `gap > 1800.0`, and Spark's session_window because a
+    // session's end extends to last_event+gap INCLUSIVELY on merge (an event
+    // landing exactly at the current end joins the session — verified here,
+    // not assumed from the half-open window rendering). The DuckDB oracle's
+    // `> INTERVAL 30 MINUTE` matches. user 1: gaps of exactly 30:00 → one
+    // session; user 2: 29:59.999999 → one; user 3: 30:00.001 → two
+    // (+1 ms: java.sql.Timestamp literals here carry ms precision).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plusUs(us: Long) = new java.sql.Timestamp(t0.getTime + us / 1000)
+    val ev = Seq(
+      (1L, t0, 1L), (1L, plusUs(1800L * 1000000), 2L), (1L, plusUs(3600L * 1000000), 3L),
+      (2L, t0, 4L), (2L, plusUs(1800L * 1000000 - 1), 5L),
+      (3L, t0, 6L), (3L, plusUs(1800L * 1000000 + 1000), 7L))
+      .toDF("user_id", "ts", "event_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 2L)
+    // batch lag/cumsum path (same expressions as Events.q12)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = ev
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1).otherwise(0))
+      .groupBy("user_id").agg(sum("ns").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == expected, s"batch: $batch")
+    // native session_window operator
+    val sw = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sw == expected, s"session_window $sw != expected $expected")
+  }
 }
