@@ -60,6 +60,7 @@ object SparkEntry {
     "q35_dup_groups"      -> (Pipeline.q35 _),
     "q36_cosine_dedup"    -> (Pipeline.q36 _),
     "q37_stats"           -> (Relational.q37 _),
+    "q38_ann_ivf"         -> (Pipeline.q38 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -85,8 +86,9 @@ object SparkEntry {
     *  - q9b (HLL sketches legitimately differ across engines — rows-only)
     *  - q12s (session_window gap-boundary semantics are engine-specific;
     *    cross-checked against q12 in the test suite instead)
-    *  - q27/q29 (our hash families; cross-checked in the test suite against
-    *    exact Jaccard / exact cosine top-k respectively)
+    *  - q27/q29/q38 (our hash/quantizer families; cross-checked in the test
+    *    suite against exact Jaccard / exact cosine top-k respectively —
+    *    q38's full-probe mode is asserted EQUAL to exact q16)
     *  - q31 (stubbed decoder — plumbing-only, rows-only check)
     */
   def oracleSql: Map[String, String] = Map(

@@ -38,6 +38,16 @@ object PipelineExprs {
     * collide with high probability — the coarse index for ANN search.
     */
   def srpBucket(vec: Column, planes: Int): Column = col(SrpBucket(expr(vec), planes))
+
+  /** IVF coarse-quantizer probe list: the `nprobe` centroid indices nearest
+    * to the vector by cosine (centroids are unit-normalized, so ranking by
+    * raw dot product is cosine ranking), nearest first, ties by lower
+    * index. `nprobe = 1` is the assignment; larger values are the query-side
+    * probe schedule. Centroids ride inside the expression (k×d doubles —
+    * literal-sized), so evaluation is a single JVM pass with no join.
+    */
+  def ivfProbes(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    col(IvfProbes(expr(vec), centroids, nprobe))
 }
 
 /** See [[PipelineExprs.polyFingerprint]]. */
@@ -122,5 +132,50 @@ case class SrpBucket(child: Expression, planes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.ivfProbes]]. */
+case class IvfProbes(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length,
+    "nprobe must be in [1, k]")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_probes"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val k = centroids.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cen = centroids(c)
+      val n = math.min(xs.numElements(), cen.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += xs.getFloat(i).toDouble * cen(i); i += 1 }
+      scores(c) = s
+      c += 1
+    }
+    // selection of the nprobe best by (score desc, index asc) — k is tiny
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < nprobe) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbes =
     copy(child = newChild)
 }

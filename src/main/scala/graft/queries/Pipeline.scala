@@ -160,6 +160,79 @@ object Pipeline {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** Spherical k-means training for the IVF coarse quantizer: deterministic
+    * stride init (every (N/k)-th vector by id), then `iters` Lloyd rounds —
+    * assign each vector to its nearest centroid (single-pass expression,
+    * centroids ride along as literals), re-estimate centroids as the
+    * normalized per-cluster sum (for unit-sphere clustering the normalized
+    * sum IS the spherical mean, so no separate count pass). The only
+    * driver-side data is the k×d centroid matrix itself (≈16×128 doubles) —
+    * the legitimate "fixpoint counter" class of collect, identical at any
+    * corpus size. Empty clusters keep their previous centroid.
+    */
+  def ivfTrain(emb: DataFrame, k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val n = emb.count()
+    val stride = math.max(1L, n / k)
+    var cents = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    for (_ <- 1 to iters) {
+      val stats = emb
+        .withColumn("b", element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1))
+        .select(col("b"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy("b", "p").agg(sum(col("x").cast("double")).as("s"))
+        .collect()
+      val dims = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val seen = new Array[Boolean](cents.length)
+      stats.foreach { r =>
+        val b = r.getInt(0); sums(b)(r.getInt(1)) = r.getDouble(2); seen(b) = true
+      }
+      cents = Array.tabulate(cents.length)(i => if (seen(i)) normalize(sums(i)) else cents(i))
+    }
+    cents
+  }
+
+  /** q38: IVF approximate nearest neighbors — the OTHER standard ANN family
+    * next to q29's SRP-LSH: a trained coarse quantizer (spherical k-means,
+    * 16 cells) instead of data-oblivious hyperplanes. Queries probe their
+    * `nprobe`=4 nearest cells (25% of cells) and rank candidates by exact
+    * cosine. Probing ALL cells is provably exact (spec-checked equal to
+    * brute-force q16), which pins the machinery; recall at partial probing
+    * on THIS isotropic corpus carries the same information-theoretic caveat
+    * as q29. Index+query are bucket equi-joins — the sub-linear scale path.
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, dir, nprobe = 4)
+
+  private[graft] def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    val cents = ivfTrain(emb)
+    val indexed = emb
+      .withColumn("bkt", element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1))
+    val probes = indexed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .withColumn("probe", explode(PipelineExprs.ivfProbes(col("qv"), cents, nprobe)))
+    val scored = indexed
+      .join(broadcast(probes), col("bkt") === col("probe") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(TextVecExprs.floatVecDot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
   /** q35: transitive dup GROUPS — q15's near-dup pairs closed into
     * clusters by distributed min-label propagation (operators.Graph).
     * Output: (doc_id, group_id=min doc_id of the cluster). No SQL oracle

@@ -35,22 +35,34 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** Q2 revenue by nation: 4-way join. lineitem⋈orders shuffles on orderkey;
-    * customer/nation/region are broadcast (nation/region tiny always;
-    * customer small relative to facts — at 100 TB customer would exceed the
-    * broadcast threshold and AQE falls back to shuffle join automatically,
-    * so we only hard-hint the two guaranteed-tiny dims).
+  /** Q2 revenue by nation: 4-way join, selective side first.
+    *
+    * Join order matters and Catalyst does NOT reorder user joins without
+    * CBO stats: joining lineitem⋈orders first shuffles the full fact table
+    * against UNFILTERED orders. Instead orders is reduced FIRST through the
+    * dimension chain (customer⋈nation⋈region-filtered, all broadcast), so
+    * the fact table joins a ~5× smaller, already-labeled orders side. At
+    * bench scale AQE then broadcasts that side — lineitem never shuffles at
+    * all; at 100 TB it exceeds the threshold and falls back to a shuffle
+    * join on orderkey, which is exactly the plan the naive order pays
+    * anyway. Strictly better at every scale.
     */
   def q2(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = broadcast(Tables.nation(spark, dir))
     val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // customer is NOT hard-hinted: at bench scale it is under the broadcast
+    // threshold and AQE broadcasts it anyway; at 100 TB a forced hint would
+    // OOM where a shuffle join is the right call
+    val asiaOrders = o
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    li.select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(Relational.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("rev"))
       .orderBy(col("rev").desc, col("n_name"))

@@ -42,4 +42,25 @@ object Sources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC: the other columnar format with predicate pushdown + column
+    * pruning (same DataSource V2 scan machinery as parquet — filters reach
+    * the reader, asserted in SourcesAndUdfSpec).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil, numFiles: Int = 0): Unit = {
+    val d = if (numFiles > 0) df.repartition(numFiles) else df
+    val w = d.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  /** Whole-file binary read (multimodal ingest: images/audio land as one
+    * row per file with path, length, and the raw bytes) — the standard
+    * entry point for a decode stage over opaque payloads.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 }

@@ -18,6 +18,26 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.2f below 0.4")
   }
 
+  test("q38 IVF with nprobe=k equals exact brute-force top-5 (machinery is lossless)") {
+    // every vector lives in exactly one cell, so probing all cells must
+    // reproduce exact q16 including sims and tiebreaks
+    val exact = TextVec.q16(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = Pipeline.ivfAnn(spark, sf001, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(full == exact)
+  }
+
+  test("q38 IVF recall at nprobe=4/16 vs exact top-5 >= 0.3 (isotropic corpus)") {
+    val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Pipeline.q38(spark, sf001).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"IVF recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
+    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+  }
+
   test("q27 simhash pairs: all hamming <= 3 and include exact duplicates") {
     val pairs = Pipeline.q27(spark, sf001).collect()
     assert(pairs.forall(_.getInt(2) <= 3))

@@ -39,6 +39,30 @@ class SourcesAndUdfSpec extends SparkSpec {
     assert(re.count() > 0)
   }
 
+  test("ORC roundtrip preserves rows; filter pushes to the ORC scan") {
+    val dir = Files.createTempDirectory("src").toString
+    val orders = Tables.orders(spark, sf0001)
+    Sources.writeOrc(orders, s"$dir/orders_orc")
+    val re = Sources.readOrc(spark, s"$dir/orders_orc")
+    assert(re.exceptAll(orders).isEmpty && orders.exceptAll(re).isEmpty)
+    val filtered = re.filter(col("o_totalprice") > 100000).select("o_orderkey")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
+  test("binaryFile source: one row per file with path/length/content") {
+    val dir = Files.createTempDirectory("src").toString
+    val bytes = Array[Byte](1, 2, 3, 4, 5)
+    Files.write(java.nio.file.Paths.get(dir, "a.bin"), bytes)
+    Files.write(java.nio.file.Paths.get(dir, "b.bin"), Array[Byte](9))
+    val df = Sources.readBinaryFiles(spark, dir, "*.bin")
+    val rows = df.select("path", "length", "content").collect()
+    assert(rows.length == 2)
+    val a = rows.find(_.getString(0).endsWith("a.bin")).get
+    assert(a.getLong(1) == 5L && a.getAs[Array[Byte]](2).toSeq == bytes.toSeq)
+  }
+
   test("scalar UDF registration surface works (spark.udf.register)") {
     // kept deliberately tiny: UDFs are a last resort (SURVEY §2.2 row 44) —
     // every engine operator uses native columns/expressions instead
