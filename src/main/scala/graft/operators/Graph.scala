@@ -34,6 +34,12 @@ object Graph {
     }
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // LAZY checkpoint for per-round intermediates: materialization rides the
+    // round's single count() action instead of adding an eager action per
+    // checkpoint (2 extra job submissions per round are pure overhead on a
+    // tiny label table; lineage is still truncated once materialized)
+    def ckptLazy(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
     val sym = ckpt(edges.select(col(src).as("a"), col(dst).as("b"))
       .unionAll(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct())
@@ -46,7 +52,7 @@ object Graph {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b").withColumnRenamed("comp", "nc"), "b")
         .groupBy(col("a").as("node")).agg(min("nc").as("minNeighbor"))
-      val viaStep = ckpt(labels.join(viaNeighbors, Seq("node"), "left")
+      val viaStep = ckptLazy(labels.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("minNeighbor"), col("comp"))).as("comp"),
           col("comp").as("prev"))) // consumed twice below (join left side + parents)
@@ -55,7 +61,7 @@ object Graph {
       // O(log diameter) rounds instead of O(diameter) (a 30-node chain
       // needs ~6 rounds, not 29)
       val parents = viaStep.select(col("node").as("p_node"), col("comp").as("p_comp"))
-      val next = ckpt(viaStep.join(parents, col("comp") === col("p_node"), "left")
+      val next = ckptLazy(viaStep.join(parents, col("comp") === col("p_node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"),
           col("prev")))

@@ -55,6 +55,28 @@ object Streams {
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col("user_id"), col("n"))
 
+  /** Stream-stream inner join with an event-time interval: each 'error'
+    * event matched to 'purchase' events by the same user within the hour
+    * BEFORE the error. Both sides carry watermarks and the join predicate
+    * bounds event-time distance, so the state store can evict rows once the
+    * watermark passes the interval — the ONLY configuration under which a
+    * stream-stream join has bounded state. State is keyed/shuffled by
+    * user_id exactly like the batch join. Works identically on batch frames
+    * (the spec proves streaming output == the batch join).
+    */
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    e.join(p,
+      col("e_user") === col("p_user") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") < col("e_ts"))
+      .select(col("e_id"), col("p_id"), col("e_user").as("user_id"))
+  }
+
   /** Q14s: stateful dedup by key within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

@@ -76,6 +76,21 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == events.count())
   }
 
+  test("stream-stream interval join == the same join in batch") {
+    val dir1 = tmp(); val dir2 = tmp()
+    val errors = events.filter(col("event_type") === "error")
+    val purchases = events.filter(col("event_type") === "purchase")
+    val se = Streams.chunkedFileStream(spark, errors, dir1, chunks = 3)
+    val sp = Streams.chunkedFileStream(spark, purchases, dir2, chunks = 3)
+    val q = Streams.errorPurchaseJoin(se, sp).writeStream.format("memory")
+      .queryName("t_ssjoin").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_ssjoin")
+    val batch = Streams.errorPurchaseJoin(errors, purchases)
+    assert(batch.count() > 0, "fixture has no error-after-purchase pairs within 1h")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("flatMapGroupsWithState running counts: final state == batch counts") {
     val dir = tmp()
     val in = Streams.chunkedFileStream(spark, events, dir, chunks = 4)
