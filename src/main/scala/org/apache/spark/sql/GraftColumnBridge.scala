@@ -10,4 +10,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on a live session (the runtime counterpart of
+    * `SparkSessionExtensions.injectFunction`, which only applies at session
+    * build time). Reaches sessionState.functionRegistry, which is
+    * private[sql] — hence living in this bridge.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
 }

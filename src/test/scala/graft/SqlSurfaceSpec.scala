@@ -26,6 +26,45 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlQ6.collect().toSeq == dslQ6.collect().toSeq)
   }
 
+  test("registered graft_* SQL functions == Column API expressions") {
+    import graft.expressions.{PipelineExprs, TextVecExprs}
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftSqlFunctions.register(spark)
+    Tables.registerViews(spark, sf0001)
+    // text expressions over documents
+    val sqlText = spark.sql(
+      """SELECT doc_id, graft_simhash64(text) sh, graft_fingerprint(text) fp,
+        |  graft_minhash_sig(text, 8, 16) sig,
+        |  graft_minhash_band_keys(text, 8, 16, 8) bk
+        |FROM documents ORDER BY doc_id""".stripMargin)
+    val dslText = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      PipelineExprs.simHash64(col("text")).as("sh"),
+      PipelineExprs.polyFingerprint(col("text")).as("fp"),
+      TextVecExprs.minHashSig(col("text"), 8, 16).as("sig"),
+      TextVecExprs.minHashBandKeys(col("text"), 8, 16, 8).as("bk"))
+      .orderBy("doc_id")
+    assert(sqlText.collect().toSeq == dslText.collect().toSeq)
+    // vector expressions over embeddings
+    val sqlVec = spark.sql(
+      """SELECT vec_id, round(graft_vec_norm(embedding), 6) n,
+        |  graft_srp_bucket(embedding, 8) b,
+        |  round(graft_vec_dot(embedding, embedding), 4) d
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
+    val dslVec = Tables.embeddings(spark, sf0001).select(
+      col("vec_id"),
+      round(TextVecExprs.floatVecNorm(col("embedding")), 6).as("n"),
+      PipelineExprs.srpBucket(col("embedding"), 8).as("b"),
+      round(TextVecExprs.floatVecDot(col("embedding"), col("embedding")), 4).as("d"))
+      .orderBy("vec_id")
+    assert(sqlVec.collect().toSeq == dslVec.collect().toSeq)
+    // hyper-parameters must be literals
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(text, CAST(len(text) AS INT), 16) FROM documents").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("events view carries the microsecond timestamp (nanos handled)") {
     Tables.registerViews(spark, sf0001)
     val r = spark.sql(
