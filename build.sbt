@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: local[32] at sf0.1 in an 8g heap spent measurable time in GC
+  // during benches; the machine has 125g. -Xms pre-sizes the young gen so
+  // heap growth stalls never land inside a timed run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_INIT", "8g")}",
 )
