@@ -61,6 +61,7 @@ object SparkEntry {
     "q36_cosine_dedup"    -> (Pipeline.q36 _),
     "q37_stats"           -> (Relational.q37 _),
     "q38_ann_ivf"         -> (Pipeline.q38 _),
+    "q39_dedup_corpus"    -> (Pipeline.q39 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -335,6 +336,27 @@ object SparkEntry {
     "q34_from_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sk
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q39: the deduplicated corpus — documents minus non-representative
+    // dup-cluster members, via the same recursive reachability as q35.
+    "q39_dedup_corpus" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([substr(lower(text), i, 8) FOR i IN range(1, len(text)-6)]) AS sg
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE) >= 0.6),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION SELECT idb, ida FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |grp AS (SELECT node, min(r) AS g FROM reach GROUP BY node)
+        |SELECT d.doc_id, d.source, d.lang, CAST(length(d.text) AS BIGINT) AS n_char
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT node FROM grp WHERE g <> node)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Transitive closure of the q15 near-dup pairs as a recursive
     // reachability fixpoint: `reach` accumulates every (node, reachable id)

@@ -242,6 +242,23 @@ object Pipeline {
   def q35(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.dupGroups(TextVec.q15(spark, dir).select(col("ida"), col("idb")))
 
+  /** q39: the DEDUPLICATED corpus — what a training pipeline actually ships.
+    * Keeps every document that is not a non-representative member of a
+    * near-dup cluster (representative = smallest doc_id, q35's label;
+    * singletons untouched). A left-anti join against the loser set — one
+    * shuffle beyond q35 itself, output is the filtered corpus projection.
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val losers = q35(spark, dir)
+      .filter(col("doc_id") =!= col("group_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_char"))
+      .orderBy("doc_id")
+  }
+
   /** q36: embedding-cosine near-duplicate pairs (the vector-space member
     * of the dedup family: exact q14, MinHash q15, SimHash q27, cosine q36).
     *

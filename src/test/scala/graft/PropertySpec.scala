@@ -73,6 +73,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfProbes: distinct in-range indices, nearest-first by dot product") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val vecs = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val got = vecs.toDF("v")
+      .select(PipelineExprs.ivfProbes(col("v"), cents, 3).as("p"))
+      .collect().map(_.getSeq[Int](0))
+    got.zip(vecs).foreach { case (probes, v) =>
+      assert(probes.length == 3 && probes.distinct.length == 3)
+      assert(probes.forall(i => i >= 0 && i < 8))
+      val dots = cents.map(c => c.zip(v).map { case (a, b) => a * b.toDouble }.sum)
+      // nearest-first: the reported order must be the true dot-product order
+      val expected = dots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
+        .take(3).map(_._2).toSeq
+      assert(probes == expected, s"probes $probes != $expected")
+    }
+  }
+
+  test("bandKeysFromSig rejects signatures not divisible by bands") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(Seq(1L, 2L, 3L)).toDF("sig")
+        .select(TextVecExprs.bandKeysFromSig(col("sig"), 2)).collect()
+    }
+    assert(err.getMessage.contains("multiple of bands") ||
+      err.getCause != null && err.getCause.getMessage.contains("multiple of bands"))
+  }
+
   test("minhash signature positions estimate Jaccard within statistical bounds") {
     import spark.implicits._
     // near-identical strings must have high signature agreement; disjoint low
