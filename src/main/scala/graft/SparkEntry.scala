@@ -62,6 +62,7 @@ object SparkEntry {
     "q37_stats"           -> (Relational.q37 _),
     "q38_ann_ivf"         -> (Pipeline.q38 _),
     "q39_dedup_corpus"    -> (Pipeline.q39 _),
+    "q40_stable_split"    -> (Pipeline.q40 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -336,6 +337,19 @@ object SparkEntry {
     "q34_from_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sk
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q40: stable 80/20 split from the content fingerprint (q24's fold),
+    // engine-independent because the fingerprint itself is oracle-matched.
+    "q40_stable_split" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text,'')]),
+        |        (a,b) -> (a*31+b) % 1000000007) % 100 < 80
+        |      THEN 'train' ELSE 'val' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS c FROM f
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q39: the deduplicated corpus — documents minus non-representative
     // dup-cluster members, via the same recursive reachability as q35.

@@ -259,6 +259,23 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q40: content-based stable train/val split — the reproducible sampling
+    * primitive of a training pipeline: a document lands in the same split
+    * on every run, on any cluster, from its CONTENT fingerprint (not a
+    * seed, not row order, not doc_id — re-ingesting the same text anywhere
+    * yields the same assignment, and near-identical corpora get
+    * near-identical splits). 80/20 by fingerprint mod 100; output is the
+    * per-(source, split) census. Pure projection + keyed agg.
+    */
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(pmod(PipelineExprs.polyFingerprint(col("text")), lit(100)) < 80, "train")
+          .otherwise("val"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("source", "split")
+
   /** q36: embedding-cosine near-duplicate pairs (the vector-space member
     * of the dedup family: exact q14, MinHash q15, SimHash q27, cosine q36).
     *
