@@ -21,8 +21,8 @@ class AsofSpec extends SparkSpec {
   }
 
   test("session_window count equals batch lag/cumsum sessionization") {
-    val batch = Events.q12(spark, sf0001).head.getLong(0)
-    val sw = Events.q12s(spark, sf0001).head.getLong(0)
+    val batch = Events.q12(spark, sf0001).head().getLong(0)
+    val sw = Events.q12s(spark, sf0001).head().getLong(0)
     assert(batch == sw, s"batch=$batch session_window=$sw")
   }
 

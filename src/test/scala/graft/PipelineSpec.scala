@@ -89,7 +89,7 @@ class PipelineSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     val nDistinctFp = a.map(_._2).distinct.length
     val nDistinctText = Tables.documents(spark, sf0001)
-      .select(countDistinct(col("text"))).head.getLong(0)
+      .select(countDistinct(col("text"))).head().getLong(0)
     assert(nDistinctFp == nDistinctText.toInt,
       s"fingerprint collisions or misses: $nDistinctFp fp vs $nDistinctText texts")
   }

@@ -66,7 +66,7 @@ class PropertySpec extends AnyFunSuite {
       val vs = samples(cents, 200 + trial).toList
       val got = vs.toDF("v")
         .repartition(7) // arbitrary partitioning must not matter
-        .agg(graft.queries.Relational.dsum(col("v"), 2)).head.getDouble(0)
+        .agg(graft.queries.Relational.dsum(col("v"), 2)).head().getDouble(0)
       val expect = vs.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
         .sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got == expect, s"got $got expect $expect")

@@ -24,8 +24,8 @@ class QuerySmokeSpec extends SparkSpec {
   }
 
   test("q9b approx distinct within ±5% of exact q9a (declared tolerance)") {
-    val exact = SparkEntry.queries("q9a_distinct")(spark, sf001).head.getLong(0)
-    val approx = SparkEntry.queries("q9b_approx_distinct")(spark, sf001).head.getLong(0)
+    val exact = SparkEntry.queries("q9a_distinct")(spark, sf001).head().getLong(0)
+    val approx = SparkEntry.queries("q9b_approx_distinct")(spark, sf001).head().getLong(0)
     val relErr = math.abs(approx - exact).toDouble / exact
     info(f"q9a=$exact q9b=$approx relErr=$relErr%.4f")
     assert(relErr <= 0.05, f"approx_count_distinct off by $relErr%.4f > 5%%")
@@ -80,7 +80,7 @@ class QuerySmokeSpec extends SparkSpec {
     assert(SparkEntry.queries("q1_pricing_agg")(spark, sf0001).count() == 6)
     // q5: rn bounded by 3
     val q5 = SparkEntry.queries("q5_rank_window")(spark, sf0001)
-    assert(q5.agg(max("rn")).head.getLong(0) <= 3)
+    assert(q5.agg(max("rn")).head().getLong(0) <= 3)
     // q16: exactly 10 query vecs x 5 neighbors
     assert(SparkEntry.queries("q16_cosine_topk")(spark, sf0001).count() == 50)
     // q19: three set-op rows

@@ -70,7 +70,7 @@ class SourcesAndUdfSpec extends SparkSpec {
       math.max(lo, math.min(hi, x)))
     Tables.region(spark, sf0001).createOrReplaceTempView("region_udf_t")
     val r = spark.sql("SELECT graft_clip(CAST(r_regionkey AS DOUBLE), 1.0, 3.0) c FROM region_udf_t")
-      .agg(min("c"), max("c")).head
+      .agg(min("c"), max("c")).head()
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 3.0)
   }
 

@@ -68,7 +68,7 @@ class SqlSurfaceSpec extends SparkSpec {
   test("events view carries the microsecond timestamp (nanos handled)") {
     Tables.registerViews(spark, sf0001)
     val r = spark.sql(
-      "SELECT count(DISTINCT user_id) AS du, max(ts) AS mx FROM events").head
+      "SELECT count(DISTINCT user_id) AS du, max(ts) AS mx FROM events").head()
     assert(r.getLong(0) > 0)
     assert(r.get(1).isInstanceOf[java.sql.Timestamp])
   }

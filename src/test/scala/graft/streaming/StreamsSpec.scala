@@ -54,7 +54,7 @@ class StreamsSpec extends SparkSpec {
       .queryName("t_sessions_append").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("t_sessions_append")
-    val maxTs = events.agg(max("ts")).head.getTimestamp(0)
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
     val expected = Streams.sessions(events, watermark = None)
       .filter(col("se") < lit(maxTs) - expr("INTERVAL 1 HOUR"))
     assert(streamed.exceptAll(expected).isEmpty,
@@ -111,7 +111,7 @@ class StreamsSpec extends SparkSpec {
     // Reverse chunk order: write newest chunk first so older rows arrive
     // after the watermark has advanced past them.
     val ev = events.select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
     val old = ev.filter(col("ts") < lit(maxTs) - expr("INTERVAL 10 DAYS"))
     val recent = ev.filter(col("ts") >= lit(maxTs) - expr("INTERVAL 10 DAYS"))
     recent.write.mode("overwrite").parquet(dir + "/in")
