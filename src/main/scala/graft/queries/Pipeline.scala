@@ -373,4 +373,39 @@ object Pipeline {
         lit("stub-rgb8").as("pixfmt"))
       .orderBy("doc_id")
   }
+
+  /** BATCHED decode plumbing — the mapPartitions shape an external codec
+    * actually needs (a JNI library or Python worker amortizes its call
+    * overhead over a batch of payloads, not per row). Payloads stream
+    * through the partition iterator in groups of `batchSize`; the
+    * `batch.map` boundary is exactly where a real implementation hands the
+    * whole `Seq[Array[Byte]]` to the decoder in one call. The stub decode
+    * is bit-identical to [[mmDecodeStub]]'s expression form (spec-proven),
+    * so swapping in a real codec changes ONE function, not the pipeline.
+    * mapPartitions is the documented last resort (SURVEY §2 preference
+    * order) — justified here because batch-shaped foreign calls are
+    * genuinely imperative per-partition logic.
+    */
+  def mmDecodeBatched(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, payload) =>
+            val c1 = new java.util.zip.CRC32(); c1.update(payload)
+            val c2 = new java.util.zip.CRC32(); c2.update(payload.reverse)
+            MmMeta(id, payload.length.toLong,
+              (c1.getValue % 1920 + 1).toInt, (c2.getValue % 1080 + 1).toInt,
+              "stub-rgb8")
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "pixfmt")
+      .orderBy("doc_id")
+  }
 }
+
+/** Output row of [[Pipeline.mmDecodeBatched]]. */
+case class MmMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int, pixfmt: String)

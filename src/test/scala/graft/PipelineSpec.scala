@@ -105,6 +105,14 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("batched mapPartitions decode == per-row expression decode") {
+    // swapping a real codec into the batch boundary must not change the
+    // pipeline: both plumbing shapes produce identical rows
+    val perRow = Pipeline.mmDecodeStub(spark, sf0001).collect().toSeq
+    val batched = Pipeline.mmDecodeBatched(spark, sf0001, batchSize = 7).collect().toSeq
+    assert(batched == perRow)
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these
