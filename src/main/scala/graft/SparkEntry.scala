@@ -63,6 +63,7 @@ object SparkEntry {
     "q38_ann_ivf"         -> (Pipeline.q38 _),
     "q39_dedup_corpus"    -> (Pipeline.q39 _),
     "q40_stable_split"    -> (Pipeline.q40 _),
+    "q41_variant_json"    -> (Events.q41 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -335,6 +336,12 @@ object SparkEntry {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     "q34_from_json" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sk
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q41: VariantType JSON access — same aggregate as q10, so the same
+    // oracle text applies (sum of $.k as int per event_type).
+    "q41_variant_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sk
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -52,6 +52,20 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q41: VARIANT-typed JSON access (Spark 4's native semi-structured
+    * type) — the third member of the JSON family next to q10's path probe
+    * and q34's from_json struct. parse_json shreds the document into a
+    * binary variant once; field access is then a typed extraction, which at
+    * 100 TB beats re-parsing text per path and handles schema drift that a
+    * fixed from_json struct cannot. Same output as q10 (same oracle).
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .groupBy(col("event_type"))
+      .agg(sum(try_variant_get(col("v"), "$.k", "int")).as("sk"))
+      .orderBy("event_type")
+
   /** Q11 tumbling daily window — the literal streaming operator (`window`)
     * in batch mode. Group keys: (window, event_type); we project the window
     * start as a DATE for an engine-independent rendering.
