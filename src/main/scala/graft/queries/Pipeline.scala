@@ -170,21 +170,29 @@ object Pipeline {
     * the legitimate "fixpoint counter" class of collect, identical at any
     * corpus size. Empty clusters keep their previous centroid.
     */
-  def ivfTrain(emb: DataFrame, k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+  /** @param trainStride train on every trainStride-th vector by id (1 =
+    *   all rows — fine at bench scale; at 100 TB set it so the sample is
+    *   ~1e5–1e6 rows: k-means quality saturates far below full-corpus size
+    *   and the stride filter is deterministic, unlike `sample()`).
+    */
+  def ivfTrain(emb: DataFrame, k: Int = 16, iters: Int = 3,
+      trainStride: Long = 1L): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       val n = math.sqrt(s)
       if (n == 0.0) v else v.map(_ / n)
     }
-    val n = emb.count()
+    val train = if (trainStride <= 1L) emb
+      else emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)
+    val n = train.count()
     val stride = math.max(1L, n / k)
-    var cents = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    var cents = train.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
     for (_ <- 1 to iters) {
-      val stats = emb
+      val stats = train
         .withColumn("b", element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1))
         .select(col("b"), posexplode(col("embedding")).as(Seq("p", "x")))
         .groupBy("b", "p").agg(sum(col("x").cast("double")).as("s"))
