@@ -58,4 +58,39 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("partial_count(distinct ") || s.contains("HashAggregate"),
       s"plan:\n$s")
   }
+
+  /** AQE-final plan rendered ONCE (planString doubles it for contains()
+    * checks; counting requires a single copy).
+    */
+  private def finalPlanString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+  }
+
+  test("q19: one-pass plan — no Intersect/Except operators, single key shuffle") {
+    val s = finalPlanString(Relational.q19(spark, sf0001))
+    // the old formulation planned 3 set ops (each its own shuffles + rescans)
+    assert(!s.contains("Intersect") && !s.contains("Except"),
+      s"set-op operators crept back into q19:\n$s")
+    // one shuffle for groupBy(k), one for the single-row global agg, plus
+    // the final tiny sort — anything more means a rescan reappeared
+    val exchanges = s.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 3, s"q19 has $exchanges shuffle exchanges:\n$s")
+  }
+
+  test("q7: rollup Expand sits above a pre-aggregate, not the raw scan") {
+    val s = finalPlanString(Relational.q7(spark, sf0001))
+    val lines = s.split("\n")
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no Expand in q7 plan:\n$s")
+    // the plan prints top-down, so the Expand's input subtree is below it:
+    // a HashAggregate must appear after the Expand line (the finest-set
+    // pre-aggregation); if none does, Expand is multiplying raw fact rows
+    assert(lines.drop(expandIdx + 1).exists(_.contains("HashAggregate")),
+      s"q7 Expand consumes the raw scan (pre-aggregation regressed):\n$s")
+  }
 }
