@@ -107,6 +107,26 @@ object Stash {
     empty(spark).addAll(spark.createDataset(es))
   }
 
+  /** Open the newest version under a versioned stash root (`root/v<N>` dirs
+    * as written by [[graft.streaming.Streams.streamIntoStash]]). Returns
+    * the empty stash and version -1 when none exists yet. Versioned dirs
+    * make each streaming batch commit idempotent: a retried batch rewrites
+    * ITS OWN version directory, never the one it read from, so read and
+    * write never alias. (A production deployment would use a transactional
+    * table format for the same property; plain parquet + versions keeps the
+    * engine dependency-free.)
+    */
+  def openLatest(spark: SparkSession, root: String): (Stash, Long) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions: Seq[Long] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+    if (versions.isEmpty) (empty(spark), -1L)
+    else (open(spark, s"$root/v${versions.max}"), versions.max)
+  }
+
   /** Merge of `updates` into `base`, one shuffle on key: an update always
     * beats the base row for its key (explicit priority column). Duplicate
     * keys WITHIN one updates batch (or within an opened stash) have no

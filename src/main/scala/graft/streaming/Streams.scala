@@ -103,6 +103,45 @@ object Streams {
         })
   }
 
+  /** Continuous ingestion into the KV layer — the biggie-flavored streaming
+    * use case: each micro-batch upserts its latest event per user into a
+    * [[graft.kv.Stash]] (key = user_id; scalar fields value/event_id,
+    * string field last_type). foreachBatch is the sink: within a batch the
+    * per-key winner is picked deterministically (max ts, then event_id),
+    * then one distributed keyed upsert merges it over the previous stash
+    * version, and the result commits to `root/v<batchId>` — a retried batch
+    * rewrites its own version dir, so the pipeline is effectively-once
+    * without a transactional format. State scales as one shuffle per batch
+    * on the key column.
+    */
+  def streamIntoStash(events: DataFrame, root: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val ents = batch
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(col("user_id").cast("string").as("k"),
+            col("value").cast("double").as("v"),
+            col("event_id").cast("double").as("eid"),
+            col("event_type").as("t"))
+          .as[(String, Double, Double, String)]
+          .map { case (k, v, eid, t) =>
+            graft.kv.Entity(k,
+              scalars = Map("value" -> v, "event_id" -> eid),
+              strings = Map("last_type" -> t))
+          }
+        val (cur, _) = graft.kv.Stash.openLatest(spark, root)
+        cur.addAll(ents).save(s"$root/v$batchId")
+        ()
+      }
+      .start()
+
   /** Feed a batch events frame as a file stream: write ts-ordered chunks to
     * a temp dir, readStream over it (schema from the batch frame). The ts
     * ordering makes append-mode final output deterministic (SURVEY §2.3).

@@ -91,6 +91,28 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming ingestion into Stash: final KV state == batch last-event-per-user") {
+    val dir = tmp()
+    val in = Streams.chunkedFileStream(spark, events, dir + "/src", chunks = 3)
+    val q = Streams.streamIntoStash(in, dir + "/stash", dir + "/ckpt")
+    q.processAllAvailable(); q.stop()
+    val (stash, version) = graft.kv.Stash.openLatest(spark, dir + "/stash")
+    assert(version >= 0, "no stash version was committed")
+    val got = stash.scan().collect()
+      .map(e => e.key -> (e.scalars("event_id"), e.scalars("value"), e.strings("last_type")))
+      .toMap
+    // batch truth: last event per user by (ts, event_id)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val expected = events.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("user_id").cast("string"), col("event_id").cast("double"),
+        col("value").cast("double"), col("event_type"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getString(3))))
+      .toMap
+    assert(got == expected)
+  }
+
   test("flatMapGroupsWithState running counts: final state == batch counts") {
     val dir = tmp()
     val in = Streams.chunkedFileStream(spark, events, dir, chunks = 4)
