@@ -109,10 +109,12 @@ object Stash {
 
   /** Open the newest version under a versioned stash root (`root/v<N>` dirs
     * as written by [[graft.streaming.Streams.streamIntoStash]]). Returns
-    * the empty stash and version -1 when none exists yet. Versioned dirs
-    * make each streaming batch commit idempotent: a retried batch rewrites
-    * ITS OWN version directory, never the one it read from, so read and
-    * write never alias. (A production deployment would use a transactional
+    * the empty stash and version -1 when none exists yet. Only versions
+    * carrying the committer's `_SUCCESS` marker count — a crash mid-write
+    * leaves a partial directory that must not shadow the last good version.
+    * Versioned dirs make each streaming batch commit idempotent: a retried
+    * batch rewrites ITS OWN version directory, never the one it read from,
+    * so read and write never alias. (A production deployment would use a transactional
     * table format for the same property; plain parquet + versions keeps the
     * engine dependency-free.)
     */
@@ -121,7 +123,9 @@ object Stash {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions: Seq[Long] =
       if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
+        .map(_.getPath.getName)
         .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
     if (versions.isEmpty) (empty(spark), -1L)
     else (open(spark, s"$root/v${versions.max}"), versions.max)

@@ -78,4 +78,20 @@ class StashSpec extends SparkSpec {
     assert(s.count() == 3)
     assert(s.get("b").get.tensors("x").toSeq == Seq(99.0))
   }
+
+  test("openLatest skips uncommitted (no _SUCCESS) version dirs") {
+    val root = java.nio.file.Files.createTempDirectory("stashver").toString
+    Stash.fromEntities(spark, Seq(Entity("a", scalars = Map("x" -> 1.0))))
+      .save(s"$root/v0")
+    Stash.fromEntities(spark, Seq(Entity("a", scalars = Map("x" -> 2.0))))
+      .save(s"$root/v1")
+    // fake a crashed half-written newer version: directory, no _SUCCESS
+    val partial = new java.io.File(s"$root/v2")
+    assert(partial.mkdir())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/v2/part-garbage"),
+      Array[Byte](1, 2, 3))
+    val (st, v) = Stash.openLatest(spark, root)
+    assert(v == 1L, s"picked version $v instead of the last committed one")
+    assert(st.get("a").get.scalars("x") == 2.0)
+  }
 }
