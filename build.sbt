@@ -27,8 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g: local[32] at sf0.1 in an 8g heap spent measurable time in GC
-  // during benches; the machine has 125g. -Xms pre-sizes the young gen so
-  // heap growth stalls never land inside a timed run.
+  // during benches; the machine has 125g. -Xms pre-sizes the heap so
+  // growth stalls never land inside a timed run. When the user overrides
+  // SPARK_DRIVER_MEM, -Xms follows it (Xms = Xmx) unless explicitly set —
+  // a fixed 8g init against e.g. SPARK_DRIVER_MEM=4g would refuse to boot.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_INIT", "8g")}",
+  s"-Xms${sys.env.get("SPARK_DRIVER_MEM_INIT")
+    .orElse(sys.env.get("SPARK_DRIVER_MEM")).getOrElse("8g")}",
 )

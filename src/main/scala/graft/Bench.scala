@@ -16,6 +16,26 @@ import org.apache.spark.sql.SparkSession
   *    number is diagnosable from the run log.
   */
 object Bench {
+
+  /** tmpfs scratch for shuffle/spill, wiped at startup: an earlier run
+    * killed before spark.stop() leaves its blockmgr dirs behind, and on a
+    * RAM-backed filesystem that leak shrinks memory for every later run.
+    * The path is fixed and owned by the bench, so deleting it up front is
+    * always safe.
+    */
+  private def benchScratchDir(): String = {
+    if (!new java.io.File("/dev/shm").isDirectory) System.getProperty("java.io.tmpdir")
+    else {
+      val dir = java.nio.file.Paths.get("/dev/shm/graft-bench-scratch")
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      dir.toString
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,9 +49,7 @@ object Bench {
       // shuffle/spill scratch on tmpfs: bench shuffles are MBs, and the
       // container's virtio disk has bursty multi-second write stalls that
       // were landing inside timed runs (up to 20 s on a 0.5 s query)
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench-scratch"
-        else System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", benchScratchDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

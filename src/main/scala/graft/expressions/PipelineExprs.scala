@@ -169,6 +169,14 @@ case class IvfProbes(child: Expression, centroids: Array[Array[Double]], nprobe:
         if (!taken(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
         j += 1
       }
+      if (best == -1) {
+        // every remaining score is NaN (corrupt embedding upstream):
+        // `NaN > x` is always false, so the scan above selected nothing.
+        // Fall back to the first untaken index — deterministic, never crashes;
+        // nprobe <= k guarantees an untaken slot exists.
+        var j2 = 0
+        while (best == -1 && j2 < k) { if (!taken(j2)) best = j2; j2 += 1 }
+      }
       taken(best) = true
       out(r) = best
       r += 1

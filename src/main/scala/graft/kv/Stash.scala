@@ -118,7 +118,15 @@ object Stash {
     * table format for the same property; plain parquet + versions keeps the
     * engine dependency-free.)
     */
-  def openLatest(spark: SparkSession, root: String): (Stash, Long) = {
+  /** @param beforeVersion only consider versions STRICTLY BELOW this bound.
+    *   A streaming batch N must pass N here: on a retry of batch N, version
+    *   vN may already be committed, and opening it would make the batch
+    *   read the very directory it is about to overwrite (Spark either
+    *   refuses or destroys the input). Bounding the lookup to < N makes the
+    *   retry re-read exactly what the original attempt read.
+    */
+  def openLatest(spark: SparkSession, root: String,
+      beforeVersion: Long = Long.MaxValue): (Stash, Long) = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions: Seq[Long] =
@@ -127,6 +135,7 @@ object Stash {
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
         .map(_.getPath.getName)
         .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        .filter(_ < beforeVersion)
     if (versions.isEmpty) (empty(spark), -1L)
     else (open(spark, s"$root/v${versions.max}"), versions.max)
   }

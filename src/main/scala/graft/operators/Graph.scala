@@ -21,17 +21,20 @@ object Graph {
     *   localCheckpoint: local checkpoints live in executor block storage and
     *   are LOST on executor death — fine on local[n], wrong for a long
     *   iterative job on a real cluster, where a single lost executor would
-    *   fail the lineage-truncated job unrecoverably. Reliable mode writes
-    *   each round's labels to the checkpoint dir (set via
-    *   `sparkContext.setCheckpointDir`; a temp dir is chosen if unset).
+    *   fail the lineage-truncated job unrecoverably. Reliable mode REQUIRES
+    *   `sparkContext.setCheckpointDir` to point at SHARED storage (HDFS/
+    *   object store): the method throws rather than inventing a directory,
+    *   because a driver-local temp path would be invisible to executors on
+    *   other nodes — failing in exactly the multi-node scenario the flag
+    *   exists to protect.
     * @return (node, component) where component = min node id reachable.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
-    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-      edges.sparkSession.sparkContext.setCheckpointDir(dir)
-    }
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "reliable=true requires sparkContext.setCheckpointDir(<shared storage>) — " +
+          "a local temp dir would not be readable across executors")
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // LAZY checkpoint for per-round intermediates: materialization rides the

@@ -186,9 +186,18 @@ object Pipeline {
     val train = if (trainStride <= 1L) emb
       else emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)
     val n = train.count()
+    require(n >= k, s"ivfTrain needs at least k=$k training vectors, got $n")
     val stride = math.max(1L, n / k)
-    var cents = train.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy("vec_id").limit(k)
+    // init by RANK, not by id value: pmod(vec_id, stride)==0 underfills when
+    // ids are non-dense (filtered corpus, trainStride composition) and would
+    // yield < k centroids. Every (n/k)-th row by row_number is layout-
+    // independent and yields exactly k. The unpartitioned window is a global
+    // sort of the TRAINING SAMPLE only (bounded ~1e6 rows via trainStride).
+    val byRank = Window.orderBy(col("vec_id"))
+    var cents = train
+      .withColumn("rk", row_number().over(byRank) - 1)
+      .filter(pmod(col("rk"), lit(stride)) === 0)
+      .orderBy("rk").limit(k)
       .select("embedding").collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
     for (_ <- 1 to iters) {

@@ -136,7 +136,11 @@ object Streams {
               scalars = Map("value" -> v, "event_id" -> eid),
               strings = Map("last_type" -> t))
           }
-        val (cur, _) = graft.kv.Stash.openLatest(spark, root)
+        // beforeVersion = batchId: a RETRIED batch (crash after commit but
+        // before the checkpoint recorded the offset) must re-read what the
+        // original attempt read — never its own already-committed output,
+        // which it is about to overwrite
+        val (cur, _) = graft.kv.Stash.openLatest(spark, root, beforeVersion = batchId)
         cur.addAll(ents).save(s"$root/v$batchId")
         ()
       }

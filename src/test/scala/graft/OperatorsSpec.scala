@@ -49,17 +49,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("connectedComponents reliable-checkpoint mode matches local mode") {
+  test("connectedComponents reliable mode: requires a checkpoint dir, then matches local mode") {
     import spark.implicits._
     val edges = ((1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (300L, 301L))
       .toDF("ida", "idb")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // refuses to invent a driver-local dir (invisible to remote executors)
+      intercept[IllegalStateException] {
+        Graph.connectedComponents(edges, "ida", "idb", reliable = true)
+      }
+    }
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt-spec").toString)
     val local = Graph.connectedComponents(edges, "ida", "idb").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rel = Graph.connectedComponents(edges, "ida", "idb", reliable = true).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rel == local)
-    // reliable mode must actually have a checkpoint dir configured
-    assert(spark.sparkContext.getCheckpointDir.nonEmpty)
   }
 
   test("salted join equals plain join on a skewed key distribution") {
