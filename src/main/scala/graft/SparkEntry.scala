@@ -64,6 +64,11 @@ object SparkEntry {
     "q39_dedup_corpus"    -> (Pipeline.q39 _),
     "q40_stable_split"    -> (Pipeline.q40 _),
     "q41_variant_json"    -> (Events.q41 _),
+    "q42_tfidf"           -> (Pipeline.q42 _),
+    "q43_bm25"            -> ((s, d) => Pipeline.q43(s, d)),
+    "q44_doc_chunks"      -> ((s, d) => Pipeline.q44(s, d)),
+    "q45_pii_redact"      -> (Pipeline.q45 _),
+    "q46_stratified"      -> ((s, d) => Pipeline.q46(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -92,7 +97,6 @@ object SparkEntry {
     *  - q27/q29/q38 (our hash/quantizer families; cross-checked in the test
     *    suite against exact Jaccard / exact cosine top-k respectively —
     *    q38's full-probe mode is asserted EQUAL to exact q16)
-    *  - q31 (stubbed decoder — plumbing-only, rows-only check)
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
@@ -322,6 +326,17 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q31: the stub decode derives fake dims from the payload's md5 —
+    // chosen over crc32 precisely because DuckDB has md5() too, making the
+    // whole decode pipeline (binary cast → digest → dims) oracle-checkable.
+    "q31_mm_decode" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT) % 1920 + 1 AS INTEGER) AS width,
+        |  CAST(CAST(concat('0x', substr(md5(text), 7, 6)) AS BIGINT) % 1080 + 1 AS INTEGER) AS height,
+        |  'stub-rgb8' AS pixfmt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q32_full_outer" ->
       """SELECT
         |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_c,
@@ -399,6 +414,66 @@ object SparkEntry {
         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
         |SELECT node AS doc_id, min(r) AS group_id FROM reach
         |GROUP BY node ORDER BY group_id, doc_id""".stripMargin,
+
+    "q42_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, round(tf * ln(CAST(n AS DOUBLE)/df), 6) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY score DESC, doc_id, term LIMIT 20""".stripMargin,
+
+    // q43: constants are written as the SAME runtime arithmetic on both
+    // sides ((1.2 + 1.0), not 2.2) so each engine folds them identically in
+    // IEEE doubles; operation order mirrors the Column expression exactly.
+    "q43_bm25" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |dl AS (SELECT doc_id, len(tk) AS dl FROM t),
+        |tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+        |  WHERE term IN ('vector', 'join', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |s AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |             (SELECT avg(dl) FROM dl) AS avgdl)
+        |SELECT doc_id,
+        |  round(sum(ln((n - df + 0.5)/(df + 0.5) + 1.0)
+        |    * (tf * (1.2 + 1.0))
+        |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        |FROM tfc JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN s
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q44_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 8)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 8 AS INTEGER) AS chunk_id,
+        |  len(list_slice(tk, start + 1, start + 16)) AS n_tokens,
+        |  array_to_string(list_slice(tk, start + 1, start + 16), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q45: DuckDB regexp_replace needs the 'g' flag to replace ALL
+    // occurrences (Spark always replaces all).
+    "q45_pii_redact" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(props, '[0-9]+')) AS hits,
+        |    regexp_replace(regexp_replace(props,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]+', '<NUM>', 'g') AS redacted
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_redacted,
+        |  CAST(sum(hits) AS BIGINT) AS total_redactions,
+        |  count(DISTINCT redacted) AS distinct_shapes
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_stratified" ->
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-sample')), 1, 6)) AS BIGINT) % 100 < 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }
 

@@ -378,15 +378,21 @@ object Pipeline {
     */
   def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
     val payload = col("payload")
+    // STUB decode: fake width/height derived from the payload's md5 — md5
+    // (unlike crc32) exists in DuckDB too, so the stub is SQL-oracle-
+    // checkable end-to-end. Hex chars 1-6 = digest bytes 0-2, chars 7-12 =
+    // bytes 3-5; conv() parses ≤ 24 bits so no sign/overflow concerns.
+    // Replace with a real codec via mapInPandas/JNI in production.
+    val md5hex = md5(payload)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .select(
         col("doc_id"),
         length(payload).cast("long").as("n_bytes"),
-        // STUB decode: fake width/height derived from leading bytes;
-        // replace with a real codec via mapInPandas/JNI in production
-        (pmod(crc32(payload), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(crc32(reverse(payload)), lit(1080)) + 1).cast("int").as("height"),
+        (conv(substring(md5hex, 1, 6), 16, 10).cast("long") % 1920 + 1)
+          .cast("int").as("width"),
+        (conv(substring(md5hex, 7, 6), 16, 10).cast("long") % 1080 + 1)
+          .cast("int").as("height"),
         lit("stub-rgb8").as("pixfmt"))
       .orderBy("doc_id")
   }
@@ -410,17 +416,143 @@ object Pipeline {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
+          val md = java.security.MessageDigest.getInstance("MD5")
           batch.map { case (id, payload) =>
-            val c1 = new java.util.zip.CRC32(); c1.update(payload)
-            val c2 = new java.util.zip.CRC32(); c2.update(payload.reverse)
+            val d = md.digest(payload)
+            // same bit layout as mmDecodeStub: hex chars 1-6 = bytes 0-2,
+            // chars 7-12 = bytes 3-5 of the digest
+            def u24(o: Int): Long =
+              ((d(o) & 0xffL) << 16) | ((d(o + 1) & 0xffL) << 8) | (d(o + 2) & 0xffL)
             MmMeta(id, payload.length.toLong,
-              (c1.getValue % 1920 + 1).toInt, (c2.getValue % 1080 + 1).toInt,
+              (u24(0) % 1920 + 1).toInt, (u24(3) % 1080 + 1).toInt,
               "stub-rgb8")
           }
         }
       }
       .toDF("doc_id", "n_bytes", "width", "height", "pixfmt")
       .orderBy("doc_id")
+  }
+
+  /** Shared tokenizer of the retrieval family (q42/q43/q44): the engine's
+    * whitespace tokenizer ([[TextFunctions.tokens]]) as a `tk` column,
+    * mirroring the DuckDB oracle's `list_filter(string_split(text,' '))`.
+    */
+  private def tokens(df: DataFrame): DataFrame =
+    df.withColumn("tk", TextFunctions.tokens(col("text")))
+
+  /** q42: corpus-wide TF-IDF top terms — the classic relevance weight, all
+    * set-oriented: tf = per-(doc,term) count, df = per-term doc count, N
+    * rides along as a broadcast 1-row aggregate (NO driver-side count —
+    * the plan stays one job and the scalar never leaves the cluster).
+    * Scale: two keyed aggs + one broadcast join; the final top-20 is
+    * TakeOrderedAndProject. ln() on doubles rounds at 6 dp like the rest
+    * of the engine contract.
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = tokens(docs)
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("term"))
+      .limit(20)
+  }
+
+  /** q43: BM25 retrieval for a fixed keyword query — the standard ranking
+    * function (k1=1.2, b=0.75) over the same tf/df/N statistics as q42
+    * plus per-doc length and corpus average length. Everything is keyed
+    * aggregation + broadcast scalars; per-query cost is O(matching docs),
+    * not O(corpus). Top-10 by summed BM25 with deterministic tiebreak.
+    */
+  def q43(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("vector", "join", "stream")): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(docs).select(col("doc_id"), col("tk"))
+    val dl = toks.select(col("doc_id"), size(col("tk")).as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    tf.join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("w")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** q44: sliding-window document chunking — the context-window prep step
+    * of a training pipeline (chunk of `chunk` tokens every `stride`).
+    * Pure per-row explode of window starts + array slice: no shuffle at
+    * all, output rows ≈ N·(len/stride), each chunk independent — the
+    * embarrassingly-parallel shape that scales to any corpus size.
+    */
+  def q44(spark: SparkSession, dir: String,
+      chunk: Int = 16, stride: Int = 8): DataFrame =
+    tokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .filter(col("start") < size(col("tk")))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        size(slice(col("tk"), col("start") + 1, lit(chunk))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("tk"), col("start") + 1, lit(chunk))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** q45: PII-style redaction over the events props payload — masks email
+    * addresses and digit runs (the corpus has digit runs in its JSON
+    * values; both patterns are RE2-safe so the DuckDB oracle matches).
+    * Per event type: rows touched, total redactions, distinct redacted
+    * payload shapes. Pure per-row regex projection + one keyed agg.
+    */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]+"
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (size(regexp_extract_all(col("props"), lit(email), lit(0))) +
+          size(regexp_extract_all(col("props"), lit(digits), lit(0)))).as("hits"),
+        regexp_replace(regexp_replace(col("props"), email, "<EMAIL>"),
+          digits, "<NUM>").as("redacted"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("rows_redacted"),
+        sum(col("hits")).as("total_redactions"),
+        countDistinct(col("redacted")).as("distinct_shapes"))
+      .orderBy("event_type")
+  }
+
+  /** q46: deterministic stratified sampling census — keep ~`pct`% of each
+    * language stratum by md5(doc_id) bucket, the content-independent twin
+    * of q40's content-based split (same rows kept on ANY cluster, any
+    * partitioning, any run — unlike `sample()`, which is seed- and
+    * partitioning-dependent). One pass: conditional agg per stratum, no
+    * join, no second scan.
+    */
+  def q46(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":graft-sample"))), 1, 6), 16, 10).cast("long") % 100
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(bucket < pct, 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("lang")
   }
 }
 

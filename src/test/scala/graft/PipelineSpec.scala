@@ -113,6 +113,44 @@ class PipelineSpec extends SparkSpec {
     assert(batched == perRow)
   }
 
+  test("q44 chunking with stride == chunk partitions every doc's tokens exactly") {
+    import org.apache.spark.sql.functions._
+    // non-overlapping chunks must reassemble to the original token stream:
+    // no token lost at a window boundary, none duplicated
+    val rebuilt = Pipeline.q44(spark, sf0001, chunk = 16, stride = 16)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"),
+        sum(col("n_tokens")).as("n"))
+    val orig = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        concat_ws(" ", graft.functions.TextFunctions.tokens(col("text"))).as("orig"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("cnt"))
+    val joined = rebuilt.join(orig, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("rebuilt") == r.getAs[String]("orig"))
+      assert(r.getAs[Long]("n") == r.getAs[Long]("cnt"))
+    }
+  }
+
+  test("q46 stratified sample: deterministic, monotone in pct, near the target rate") {
+    val base = Pipeline.q46(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // re-run is bit-identical (hash-bucket sampling is a pure row function,
+    // unlike sample(), whose output depends on seed and partitioning)
+    assert(Pipeline.q46(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet == base)
+    // a wider keep-bucket can only grow each stratum's sample
+    val wider = Pipeline.q46(spark, sf0001, pct = 30).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    base.foreach { case (lang, _, sampled) => assert(wider(lang) >= sampled) }
+    val (tot, samp) = base.foldLeft((0L, 0L)) { case ((t, s), r) => (t + r._2, s + r._3) }
+    val rate = samp.toDouble / tot
+    info(f"sampled $samp/$tot = $rate%.3f (target 0.10)")
+    assert(rate > 0.02 && rate < 0.25, f"sample rate $rate%.3f far from 10%%")
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these

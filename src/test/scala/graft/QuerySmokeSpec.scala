@@ -31,6 +31,26 @@ class QuerySmokeSpec extends SparkSpec {
     assert(relErr <= 0.05, f"approx_count_distinct off by $relErr%.4f > 5%%")
   }
 
+  test("approx_percentile within declared accuracy of exact percentile") {
+    import org.apache.spark.sql.functions._
+    // the quantile-sketch analog of the q9b HLL tolerance check: the
+    // mergeable sketch (the 100 TB path — exact percentile() cost scales
+    // with distinct-value count) must land within rank error 1/accuracy
+    val li = Tables.lineitem(spark, sf001)
+    val row = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx"),
+      count(lit(1)).as("n")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    // rank-error bound translated to value space via the empirical spread:
+    // generous envelope — catches a broken sketch, not sketch noise
+    val spread = li.agg(max(col("l_extendedprice")) - min(col("l_extendedprice")))
+      .head().getDouble(0)
+    val relOff = math.abs(approx - exact) / spread
+    info(f"exact=$exact%.2f approx=$approx%.2f relOff=$relOff%.4f of range")
+    assert(relOff <= 0.02, f"approx_percentile off by $relOff%.4f of value range")
+  }
+
   test("q19 one-pass presence-flag plan equals naive set-op formulation") {
     import org.apache.spark.sql.functions._
     val c = Tables.customer(spark, sf001)
