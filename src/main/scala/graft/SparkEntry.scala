@@ -69,6 +69,7 @@ object SparkEntry {
     "q44_doc_chunks"      -> ((s, d) => Pipeline.q44(s, d)),
     "q45_pii_redact"      -> (Pipeline.q45 _),
     "q46_stratified"      -> ((s, d) => Pipeline.q46(s, d)),
+    "q47_heavy_hitters"   -> ((s, d) => Pipeline.q47(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -468,6 +469,16 @@ object SparkEntry {
         |  CAST(sum(hits) AS BIGINT) AS total_redactions,
         |  count(DISTINCT redacted) AS distinct_shapes
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q47: the engine side uses a Misra-Gries sketch for candidates, but
+    // its output is provably the EXACT heavy-hitter set (sketch superset
+    // guarantee + exact second pass), so a plain exact-count oracle applies.
+    // 30 = k+1 for the default k=29.
+    "q47_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term FROM documents)
+        |SELECT term, count(*) AS c FROM t GROUP BY term
+        |HAVING count(*) * 30 > (SELECT count(*) FROM t)
+        |ORDER BY c DESC, term""".stripMargin,
 
     "q46_stratified" ->
       """SELECT lang, count(*) AS n_total,

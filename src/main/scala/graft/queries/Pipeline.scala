@@ -537,6 +537,34 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** q47: heavy hitters (frequent terms) via the two-pass sketch pattern —
+    * pass 1 runs the constant-state Misra-Gries sketch ([[MisraGries]],
+    * k=29 < the corpus' 31 distinct terms, so eviction genuinely happens)
+    * whose guarantee makes its ≤ k candidates a SUPERSET of every term
+    * with true count > n/(k+1); pass 2 exact-counts the candidates only
+    * and applies the true threshold. Output is therefore EXACTLY the true
+    * heavy-hitter set — oracle-checkable even though a sketch did the
+    * heavy lifting. At 100 TB this replaces an unbounded-cardinality
+    * groupBy with bounded state + a filtered re-aggregation; the only
+    * driver-side data is the ≤ k candidate strings (fixpoint-counter
+    * class). Integer cross-multiply (c·(k+1) > n) keeps the threshold
+    * exact — no double division.
+    */
+  def q47(spark: SparkSession, dir: String, k: Int = 29): DataFrame = {
+    import spark.implicits._
+    val terms = tokens(Tables.documents(spark, dir))
+      .select(explode(col("tk")).as("term"))
+    val candidates: Seq[String] =
+      terms.as[String].select(graft.functions.MisraGries(k)).head().keys.toSeq
+    val n = terms.agg(count(lit(1)).as("n"))
+    terms.filter(col("term").isin(candidates: _*))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(n))
+      .filter(col("c") * (k + 1) > col("n"))
+      .select(col("term"), col("c"))
+      .orderBy(col("c").desc, col("term"))
+  }
+
   /** q46: deterministic stratified sampling census — keep ~`pct`% of each
     * language stratum by md5(doc_id) bucket, the content-independent twin
     * of q40's content-based split (same rows kept on ANY cluster, any

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, SkewJoin}
+import graft.operators.{Graph, Layout, SkewJoin}
 import graft.queries.TextVec
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
@@ -78,5 +78,74 @@ class OperatorsSpec extends SparkSpec {
     val salted = SkewJoin.saltedInnerJoin(skewed, dim, "k", "row_id", 8)
       .select("row_id", "k", "payload")
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("z-order layout: partitions cover compact rectangles on BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two independent uniform dims: a 1-D sort on `a` leaves each file
+    // spanning the FULL b-range; z-order must shrink both
+    val n = 1 << 14
+    val df = (0 until n).map { i =>
+      (((i * 2654435761L) & 0xffff).toLong, ((i * 40503L) & 0xffff).toLong)
+    }.toDF("a", "b").repartition(8)
+    val parts = 16
+    def spans(clustered: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val agg = clustered
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max(col("a")) - min(col("a"))).as("sa"), (max(col("b")) - min(col("b"))).as("sb"))
+        .agg(avg(col("sa")), avg(col("sb"))).head()
+      (agg.getDouble(0), agg.getDouble(1))
+    }
+    val (za, zb) = spans(Layout.zorder(df, "a", "b", parts))
+    val (sa, sb) = spans(df.repartitionByRange(parts, col("a")).sortWithinPartitions("a"))
+    // 16 partitions = 4 z-levels per dim -> expect ~1/4 of the 65536 range
+    // on BOTH dims (plus boundary slop); 1-D sort: `a` is tight but `b`
+    // spans nearly everything
+    assert(za < 65536 * 0.45 && zb < 65536 * 0.45,
+      f"z-order spans a=$za%.0f b=$zb%.0f — not compact on both dims")
+    assert(sb > 65536 * 0.9, f"1-D sort control should span b (got $sb%.0f)")
+    assert(za.max(zb) < sb / 2, "z-order not better than 1-D sort on the unsorted dim")
+  }
+
+  test("Misra-Gries: heavy-hitter superset guarantee under eviction and merge") {
+    import spark.implicits._
+    // 10k arrivals, 200 distinct: 3 planted hot items + a long uniform
+    // tail; k=20 forces constant eviction, repartition forces merges
+    val hot = Seq.fill(1500)("hot1") ++ Seq.fill(1200)("hot2") ++ Seq.fill(900)("hot3")
+    val tail = (0 until 6400).map(i => s"t${i % 197}")
+    val data = scala.util.Random.shuffle(hot ++ tail)
+    val k = 20
+    val ds = data.toDS().repartition(9)
+    val sketch = ds.select(graft.functions.MisraGries(k)).head()
+    assert(sketch.size <= k, s"state exceeded k: ${sketch.size}")
+    val nTotal = data.size
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every item with true count > n/(k+1) must be present...
+    val mustHave = exact.filter(_._2 > nTotal.toLong / (k + 1)).keySet
+    assert(mustHave.subsetOf(sketch.keySet),
+      s"missing heavy hitters: ${mustHave -- sketch.keySet}")
+    // ...and kept counters underestimate by at most n/(k+1)
+    sketch.foreach { case (item, est) =>
+      val truth = exact(item)
+      assert(est <= truth && truth - est <= nTotal.toLong / (k + 1),
+        s"$item: est=$est truth=$truth outside MG bound")
+    }
+  }
+
+  test("q47 two-pass heavy hitters equals exact groupBy-and-threshold") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val sketchBased = graft.queries.Pipeline.q47(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val terms = graft.Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val total = terms.count()
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") * 30 > total)
+      .orderBy(col("c").desc, col("term")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(sketchBased.nonEmpty && sketchBased.sameElements(exact))
   }
 }
