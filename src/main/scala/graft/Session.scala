@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point (SURVEY.md §7 step 1): a SparkSession configured
+  * the way the engine's contract expects, so users don't rediscover the
+  * three non-obvious settings by hitting their failure modes:
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the events table is
+  *    TIMESTAMP(NANOS) parquet, which Spark 4 otherwise refuses to read
+  *    (`Tables.events` then truncates to microseconds).
+  *  - UTC session timezone: every declared query result is rendered in
+  *    UTC; a local-TZ session silently shifts date buckets.
+  *  - shuffle partitions sized to cores, not the 200 default: at local
+  *    test scale 200 partitions is pure task-scheduling overhead.
+  *
+  * On a real cluster, pass the same configs plus
+  * `spark.sql.extensions=graft.GraftExtensions` to spark-submit; this
+  * factory is the local / embedded equivalent. AQE (on by default in
+  * Spark 4) is left on — skew joins and runtime coalescing are part of
+  * the 100 TB story.
+  */
+object Session {
+
+  /** Local session with the engine's contract configs. `withExtensions`
+    * additionally registers every graft custom expression as a SQL
+    * function (the [[GraftExtensions]] injection path).
+    *
+    * NOTE getOrCreate semantics: if a session already exists in the JVM
+    * (spark-shell, notebook), runtime confs above are applied to it but
+    * construction-time extensions CANNOT be — in that case call
+    * `graft.functions.GraftSqlFunctions.register(spark)` instead, or start
+    * the shell with `--conf spark.sql.extensions=graft.GraftExtensions`.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft",
+      withExtensions: Boolean = true): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val s = (if (withExtensions) b.withExtensions(new GraftExtensions) else b)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** [[local]] plus the ten testdata tables registered as temp views
+    * (`Tables.registerViews`) — one call from nothing to `spark.sql`
+    * over the corpus.
+    */
+  def localWithViews(dataDir: String,
+      cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = local(cores)
+    Tables.registerViews(s, dataDir)
+    s
+  }
+}

@@ -114,6 +114,25 @@ object Streams {
     * without a transactional format. State scales as one shuffle per batch
     * on the key column.
     */
+  /** Land a streaming result in a parquet FILE sink — the continuous-
+    * ingestion path that materializes cleaned/deduped data as a table.
+    * Exactly-once at the file level: the sink's `_spark_metadata`
+    * transaction log records which files each committed batch wrote, a
+    * restarted query re-runs an uncommitted batch without double-landing
+    * it, and readers (batch or streaming) only see logged files — never a
+    * partially-written one. Append mode: for finalized rows only
+    * (watermark-closed aggregates, or stateless/dedup streams that emit
+    * rows once).
+    */
+  def toParquetSink(result: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    result.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   def streamIntoStash(events: DataFrame, root: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

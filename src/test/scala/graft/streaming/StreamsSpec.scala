@@ -76,6 +76,22 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == events.count())
   }
 
+  test("parquet file sink: deduped stream lands exactly-once and re-reads equal to batch") {
+    val dir = tmp(); val out = tmp() + "/table"; val ckpt = tmp() + "/ckpt"
+    val doubled = events.unionAll(events)
+    val in = Streams.chunkedFileStream(spark, doubled, dir, chunks = 4)
+    val q = Streams.toParquetSink(Streams.dedup(in), out, ckpt)
+    q.processAllAvailable(); q.stop()
+    // the sink's transaction log is what makes restarts exactly-once and
+    // concurrent readers see only committed files
+    assert(new java.io.File(out, "_spark_metadata").exists(),
+      "parquet sink did not write its _spark_metadata commit log")
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == events.count())
+    assert(landed.select("event_id").distinct().count() == events.count())
+    assert(landed.exceptAll(events).isEmpty && events.exceptAll(landed).isEmpty)
+  }
+
   test("stream-stream interval join == the same join in batch") {
     val dir1 = tmp(); val dir2 = tmp()
     val errors = events.filter(col("event_type") === "error")
