@@ -31,8 +31,8 @@ object TextVec {
   // signature prefilter miss with p ~ 1e-7. The hash family is fixed, so
   // recall is deterministic per dataset — proven equal to brute force at
   // sf0.001/sf0.01 (NearDupSpec) and sf0.1 (one-off 446 s brute run).
-  private val MinHashes = 16
-  private val Bands = 8
+  private[graft] val MinHashes = 16
+  private[graft] val Bands = 8
 
   /** Shingle-set projection of documents: (doc_id, sg). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.expressions.TextVecExprs
+import graft.queries.TextVec
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental near-duplicate detection — the streaming form of q15's
+  * banded MinHash-LSH join, against a PERSISTED signature/band store.
+  *
+  * Why this shape at 100 TB: re-running corpus-wide LSH per arrival batch
+  * is O(corpus) every batch. Here each batch pays O(batch) to signature
+  * its own documents, one band-key equi-join against the store for
+  * candidates (shuffle keyed on band keys — never a cross join), and an
+  * exact-Jaccard verify on the few surviving pairs. State lives in
+  * batch-partitioned parquet (`batch=<id>` subdirs), NOT executor memory,
+  * so it survives restarts and is shared by any number of readers. On a
+  * real deployment the band store would additionally be bucketed by band
+  * key (pay-shuffle-once, cf. BucketedJoinSpec) so the per-batch join
+  * reshuffles only the new batch's 8 rows/doc.
+  *
+  * Exactly-once: every write targets the batch's OWN `batch=<id>` subdir
+  * with overwrite, and reads of the store exclude `batch >= batchId`
+  * (partition-pruned) — a retried batch re-reads exactly what the
+  * original attempt saw and overwrites only its own output (same
+  * discipline as Stash.openLatest's beforeVersion bound).
+  *
+  * Dials (16 hashes / 8 bands / 6-of-16 prefilter / J >= 0.6) are q15's —
+  * recall characteristics are identical, and the spec proves the
+  * incremental pair set equals batch q15 on the full corpus.
+  */
+object IncrementalNearDup {
+
+  /** Start the ingestion stream: `docs` must carry (doc_id, text). */
+  def start(docs: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingest(batch.sparkSession, batch.toDF(), stateRoot, batchId)
+      }
+      .start()
+
+  /** All near-dup pairs found so far: union of the per-batch outputs. */
+  def pairs(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(s"$stateRoot/pairs")
+      .select(col("ida"), col("idb"), col("j"))
+
+  /** One batch: candidates within the batch + against all PRIOR batches,
+    * exact-verified, then the batch's docs/bands/pairs are committed to
+    * `batch=<batchId>` subdirs. Public because it is also the BACKFILL
+    * entry point: bootstrap the store from an existing corpus with one
+    * `ingest(spark, corpus, root, 0L)` call, then `start` the stream with
+    * a checkpoint whose next batch id is higher.
+    */
+  def ingest(spark: SparkSession, newDocs: DataFrame,
+      root: String, batchId: Long): Unit = {
+    val docs = newDocs.select(col("doc_id"), col("text"))
+    // (doc_id, sig, band, bkey) for the new batch — materialized once, both
+    // join sides and the store write reuse it
+    val keys = docs
+      .select(col("doc_id"),
+        TextVecExprs.minHashSig(col("text"), 8, TextVec.MinHashes).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(TextVecExprs.bandKeysFromSig(col("sig"), TextVec.Bands))
+          .as(Seq("band", "bkey")))
+      .localCheckpoint()
+
+    def priorOrEmpty(path: String, like: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.parquet(path).filter(col("batch") < batchId)
+          .select(like.columns.map(col).toSeq: _*)
+      else like.limit(0)
+    }
+
+    val priorBands = priorOrEmpty(s"$root/bands", keys)
+    val priorDocs = priorOrEmpty(s"$root/docs", docs)
+
+    // within-batch candidate pairs (q15's self-join, ida < idb)
+    val selfCand = keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(TextVecExprs.sigMatchCount(col("x.sig"), col("y.sig")) >= 6)
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+    // cross candidates: new batch vs the accumulated store (cost keyed on
+    // the new batch's band rows — the store side is join-pruned by key)
+    val crossCand = priorBands.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .filter(TextVecExprs.sigMatchCount(col("x.sig"), col("y.sig")) >= 6)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("ida"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("idb"))
+
+    val cand = selfCand.union(crossCand).distinct()
+    val corpus = priorDocs.union(docs)
+    val verified = cand
+      .join(corpus.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+      .join(corpus.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+      .withColumn("jraw", TextVecExprs.shingleJaccard(col("ta"), col("tb"), 8))
+      .filter(col("jraw") >= 0.6)
+      .select(col("ida"), col("idb"), round(col("jraw"), 4).as("j"))
+
+    // commit order: pairs/docs last-to-first doesn't matter — a retry
+    // overwrites every `batch=<id>` subdir it touches, and readers exclude
+    // the in-flight batch id
+    verified.write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
+    keys.write.mode("overwrite").parquet(s"$root/bands/batch=$batchId")
+    docs.write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+  }
+}
