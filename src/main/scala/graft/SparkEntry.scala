@@ -70,6 +70,7 @@ object SparkEntry {
     "q45_pii_redact"      -> (Pipeline.q45 _),
     "q46_stratified"      -> ((s, d) => Pipeline.q46(s, d)),
     "q47_heavy_hitters"   -> ((s, d) => Pipeline.q47(s, d)),
+    "q48_incremental_neardup" -> (Pipeline.q48 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -82,6 +83,20 @@ object SparkEntry {
 
   private def dsum(expr: String, scale: Int): String =
     s"round(${fsum(expr)}, $scale)"
+
+  /** Exact shingle-Jaccard near-dup pairs over the full corpus — shared by
+    * q15 (batch LSH) and q48 (incremental ingest), which must agree with
+    * it AND each other.
+    */
+  private val NearDupOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([substr(lower(text), i, 8) FOR i IN range(1, len(text)-6)]) AS sg
+      |  FROM documents)
+      |SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |  round(CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE), 4) AS j
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE) >= 0.6
+      |ORDER BY 1, 2""".stripMargin
 
   /** events with ts truncated to microseconds — mirrors Tables.events
     * (Spark cannot read parquet TIMESTAMP(NANOS); it truncates to µs, so the
@@ -180,15 +195,11 @@ object SparkEntry {
     "q14_exact_dedup" ->
       "SELECT count(*) AS n FROM (SELECT DISTINCT lower(trim(text)) FROM documents)",
 
-    "q15_near_dup" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct([substr(lower(text), i, 8) FOR i IN range(1, len(text)-6)]) AS sg
-        |  FROM documents)
-        |SELECT a.doc_id AS ida, b.doc_id AS idb,
-        |  round(CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE), 4) AS j
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE) >= 0.6
-        |ORDER BY 1, 2""".stripMargin,
+    "q15_near_dup" -> NearDupOracle,
+
+    // q48: the incremental/streaming ingest must converge to exactly the
+    // batch near-dup answer, so it is checked against the SAME oracle.
+    "q48_incremental_neardup" -> NearDupOracle,
 
     "q16_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -537,6 +537,25 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** q48: the INCREMENTAL near-dup path under the correctness gate — the
+    * corpus is ingested in two batches through
+    * [[graft.streaming.IncrementalNearDup]] (batch 2 band-joins the
+    * persisted store written by batch 1) and the accumulated pair set is
+    * returned. Must equal batch q15 exactly, so it shares q15's DuckDB
+    * oracle: incremental == batch == oracle, all hash-checked. State goes
+    * to a fresh temp dir per call (the driver runs queries once each).
+    */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-incdup-q48").toString
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.streaming.IncrementalNearDup.ingest(
+      spark, docs.filter(pmod(col("doc_id"), lit(2)) === 0), root, 0L)
+    graft.streaming.IncrementalNearDup.ingest(
+      spark, docs.filter(pmod(col("doc_id"), lit(2)) === 1), root, 1L)
+    graft.streaming.IncrementalNearDup.pairs(spark, root)
+      .orderBy("ida", "idb")
+  }
+
   /** q47: heavy hitters (frequent terms) via the two-pass sketch pattern —
     * pass 1 runs the constant-state Misra-Gries sketch ([[MisraGries]],
     * k=29 < the corpus' 31 distinct terms, so eviction genuinely happens)

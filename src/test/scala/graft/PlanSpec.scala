@@ -93,4 +93,31 @@ class PlanSpec extends SparkSpec {
     assert(lines.drop(expandIdx + 1).exists(_.contains("HashAggregate")),
       s"q7 Expand consumes the raw scan (pre-aggregation regressed):\n$s")
   }
+
+  test("runtime bloom filter: selective dim filter injects might_contain into the fact side") {
+    import org.apache.spark.sql.functions._
+    // The 100 TB semi-join reduction: when a join's build side is filtered
+    // selectively, Spark injects a bloom filter into the probe side's scan
+    // stage so non-matching fact rows die before the shuffle. Broadcast is
+    // disabled to force the shuffle-join path where the filter matters
+    // (broadcast joins don't need it; at 100 TB the dim exceeds the
+    // broadcast threshold and THIS is the plan that runs).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf001)
+      val o = Tables.orders(spark, sf001).filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(sum(col("l_quantity")).as("q"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(!j.head().isNullAt(0))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
