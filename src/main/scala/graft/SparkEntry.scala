@@ -450,9 +450,9 @@ object SparkEntry {
         |s AS (SELECT (SELECT count(*) FROM documents) AS n,
         |             (SELECT avg(dl) FROM dl) AS avgdl)
         |SELECT doc_id,
-        |  round(sum(ln((n - df + 0.5)/(df + 0.5) + 1.0)
+        |  CAST(sum(CAST(round(ln((n - df + 0.5)/(df + 0.5) + 1.0)
         |    * (tf * (1.2 + 1.0))
-        |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS bm25
         |FROM tfc JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN s
         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
@@ -467,14 +467,17 @@ object SparkEntry {
     // q45: DuckDB regexp_replace needs the 'g' flag to replace ALL
     // occurrences (Spark always replaces all).
     "q45_pii_redact" ->
-      """WITH r AS (
+      """WITH e AS (
+        |  SELECT event_type, props,
+        |    regexp_replace(props,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS deEmailed
+        |  FROM events),
+        |r AS (
         |  SELECT event_type,
         |    len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |      + len(regexp_extract_all(props, '[0-9]+')) AS hits,
-        |    regexp_replace(regexp_replace(props,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '[0-9]+', '<NUM>', 'g') AS redacted
-        |  FROM events)
+        |      + len(regexp_extract_all(deEmailed, '[0-9]+')) AS hits,
+        |    regexp_replace(deEmailed, '[0-9]+', '<NUM>', 'g') AS redacted
+        |  FROM e)
         |SELECT event_type,
         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_redacted,
         |  CAST(sum(hits) AS BIGINT) AS total_redactions,

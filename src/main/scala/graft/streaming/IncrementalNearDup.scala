@@ -41,10 +41,22 @@ object IncrementalNearDup {
       }
       .start()
 
-  /** All near-dup pairs found so far: union of the per-batch outputs. */
-  def pairs(spark: SparkSession, stateRoot: String): DataFrame =
-    spark.read.parquet(s"$stateRoot/pairs")
-      .select(col("ida"), col("idb"), col("j"))
+  /** All near-dup pairs found so far: union of the per-batch outputs.
+    * Empty (not an error) before the first batch commits.
+    */
+  def pairs(spark: SparkSession, stateRoot: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateRoot/pairs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(s"$stateRoot/pairs")
+        .select(col("ida"), col("idb"), col("j"))
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("ida", LongType), StructField("idb", LongType),
+          StructField("j", DoubleType))))
+    }
+  }
 
   /** One batch: candidates within the batch + against all PRIOR batches,
     * exact-verified, then the batch's docs/bands/pairs are committed to
@@ -85,15 +97,21 @@ object IncrementalNearDup {
       .filter(TextVecExprs.sigMatchCount(col("x.sig"), col("y.sig")) >= 6)
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
     // cross candidates: new batch vs the accumulated store (cost keyed on
-    // the new batch's band rows — the store side is join-pruned by key)
+    // the new batch's band rows — the store side is join-pruned by key).
+    // The doc_id inequality guards against an at-least-once SOURCE
+    // re-delivering a document in a LATER batch: without it the replayed
+    // doc would self-pair (j = 1.0) against its own stored bands.
     val crossCand = priorBands.as("x").join(keys.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
       .filter(TextVecExprs.sigMatchCount(col("x.sig"), col("y.sig")) >= 6)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("ida"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("idb"))
 
     val cand = selfCand.union(crossCand).distinct()
-    val corpus = priorDocs.union(docs)
+    // dropDuplicates: a re-delivered doc appears in two batches' doc
+    // stores; without dedup the verify joins would fan out duplicate rows
+    val corpus = priorDocs.union(docs).dropDuplicates("doc_id")
     val verified = cand
       .join(corpus.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
       .join(corpus.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
@@ -107,5 +125,8 @@ object IncrementalNearDup {
     verified.write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
     keys.write.mode("overwrite").parquet(s"$root/bands/batch=$batchId")
     docs.write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+    // `keys`' localCheckpoint blocks are freed by the ContextCleaner once
+    // this frame goes out of scope (Dataset.unpersist would be a no-op —
+    // checkpoint blocks are not CacheManager entries)
   }
 }

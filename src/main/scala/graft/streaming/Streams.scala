@@ -103,17 +103,6 @@ object Streams {
         })
   }
 
-  /** Continuous ingestion into the KV layer — the biggie-flavored streaming
-    * use case: each micro-batch upserts its latest event per user into a
-    * [[graft.kv.Stash]] (key = user_id; scalar fields value/event_id,
-    * string field last_type). foreachBatch is the sink: within a batch the
-    * per-key winner is picked deterministically (max ts, then event_id),
-    * then one distributed keyed upsert merges it over the previous stash
-    * version, and the result commits to `root/v<batchId>` — a retried batch
-    * rewrites its own version dir, so the pipeline is effectively-once
-    * without a transactional format. State scales as one shuffle per batch
-    * on the key column.
-    */
   /** Land a streaming result in a parquet FILE sink — the continuous-
     * ingestion path that materializes cleaned/deduped data as a table.
     * Exactly-once at the file level: the sink's `_spark_metadata`
@@ -133,6 +122,17 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Continuous ingestion into the KV layer — the biggie-flavored streaming
+    * use case: each micro-batch upserts its latest event per user into a
+    * [[graft.kv.Stash]] (key = user_id; scalar fields value/event_id,
+    * string field last_type). foreachBatch is the sink: within a batch the
+    * per-key winner is picked deterministically (max ts, then event_id),
+    * then one distributed keyed upsert merges it over the previous stash
+    * version, and the result commits to `root/v<batchId>` — a retried batch
+    * rewrites its own version dir, so the pipeline is effectively-once
+    * without a transactional format. State scales as one shuffle per batch
+    * on the key column.
+    */
   def streamIntoStash(events: DataFrame, root: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

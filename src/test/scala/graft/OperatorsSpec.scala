@@ -136,7 +136,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("q47 two-pass heavy hitters equals exact groupBy-and-threshold") {
     import org.apache.spark.sql.functions._
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf0001
     val sketchBased = graft.queries.Pipeline.q47(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     val terms = graft.Tables.documents(spark, dir)

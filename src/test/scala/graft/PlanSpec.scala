@@ -104,6 +104,7 @@ class PlanSpec extends SparkSpec {
     // broadcast threshold and THIS is the plan that runs).
     val conf = spark.conf
     val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
     try {

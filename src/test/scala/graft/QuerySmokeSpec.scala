@@ -23,6 +23,18 @@ class QuerySmokeSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
+  test("Session factory applies contract confs and registers queryable views") {
+    // shared-JVM getOrCreate path: runtime confs land on the existing
+    // session and registerViews wires the tables (the fresh-JVM
+    // construction path incl. extensions is driven via spark-shell in the
+    // verify recipe — extensions cannot attach through getOrCreate)
+    val s = graft.Session.localWithViews(sf0001)
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(s.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+    assert(s.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+  }
+
   test("q9b approx distinct within ±5% of exact q9a (declared tolerance)") {
     val exact = SparkEntry.queries("q9a_distinct")(spark, sf001).head().getLong(0)
     val approx = SparkEntry.queries("q9b_approx_distinct")(spark, sf001).head().getLong(0)
