@@ -104,6 +104,54 @@ class PropertySpec extends AnyFunSuite {
       err.getCause != null && err.getCause.getMessage.contains("multiple of bands"))
   }
 
+  test("zValue == reference bit-interleave on random 16-bit bucket pairs") {
+    import spark.implicits._
+    // reference Morton interleave: bit i of a -> bit 2i, bit i of b -> 2i+1
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1))
+      }
+    val ps = samples(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)), 300) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
+    val rows = ps.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.operators.Layout.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    rows.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == ref(a, b), s"zValue($a, $b) = $z != ${ref(a, b)}")
+    }
+  }
+
+  test("Misra-Gries bounds hold on arbitrary random streams (property)") {
+    // heavy skew, mild skew, uniform — across ks; the superset guarantee
+    // and the n/(k+1) underestimate bound must hold for every stream
+    val streamGen: Gen[List[String]] = for {
+      n <- Gen.chooseNum(200, 2000)
+      zipf <- Gen.chooseNum(1, 3)
+      items <- Gen.listOfN(n, Gen.chooseNum(1, 200).map(i =>
+        "it" + math.min(200, math.pow(i, zipf).toLong / math.pow(200, zipf - 1).toLong)))
+    } yield items
+    samples(Gen.zip(streamGen, Gen.chooseNum(5, 40)), 25).foreach { case (data, k) =>
+      val agg = new graft.functions.MisraGries(k)
+      // simulate distributed partial aggregation: 4 partitions, merged
+      val states = data.grouped(math.max(1, data.size / 4)).map(part =>
+        part.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val sketch = agg.finish(states.reduce(agg.merge))
+      assert(sketch.size <= k)
+      val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = data.size.toLong / (k + 1)
+      val mustHave = exact.filter(_._2 > bound).keySet
+      assert(mustHave.subsetOf(sketch.keySet),
+        s"k=$k n=${data.size}: missing ${mustHave -- sketch.keySet}")
+      sketch.foreach { case (item, est) =>
+        val truth = exact(item)
+        assert(est <= truth && truth - est <= bound,
+          s"k=$k: $item est=$est truth=$truth bound=$bound")
+      }
+    }
+  }
+
   test("minhash signature positions estimate Jaccard within statistical bounds") {
     import spark.implicits._
     // near-identical strings must have high signature agreement; disjoint low
