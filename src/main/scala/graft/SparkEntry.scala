@@ -71,6 +71,8 @@ object SparkEntry {
     "q46_stratified"      -> ((s, d) => Pipeline.q46(s, d)),
     "q47_heavy_hitters"   -> ((s, d) => Pipeline.q47(s, d)),
     "q48_incremental_neardup" -> (Pipeline.q48 _),
+    "q49_pivot"           -> (Relational.q49 _),
+    "q50_unpivot"         -> (Relational.q50 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -483,6 +485,22 @@ object SparkEntry {
         |  CAST(sum(hits) AS BIGINT) AS total_redactions,
         |  count(DISTINCT redacted) AS distinct_shapes
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_pivot" ->
+      s"""SELECT l_returnflag,
+         |  ${dsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1.0 - l_discount) END", 2)} AS F,
+         |  ${dsum("CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1.0 - l_discount) END", 2)} AS O
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag, ${dsum("l_quantity", 2)} AS sum_qty,
+         |    ${dsum("l_extendedprice", 2)} AS sum_price
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_qty', sum_qty FROM a
+         |ORDER BY l_returnflag, measure""".stripMargin,
 
     // q47: the engine side uses a Misra-Gries sketch for candidates, but
     // its output is provably the EXACT heavy-hitter set (sketch superset

@@ -298,4 +298,32 @@ object Relational {
       round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"))
     pct.crossJoin(mom)
   }
+
+  /** q49 PIVOT: revenue wide by linestatus per returnflag. Explicit pivot
+    * values pin the output schema at plan time (no extra distinct-values
+    * job, deterministic columns at any scale); under the hood this is one
+    * hash agg with a conditional sum per pivot value — same cost as the
+    * long-form agg. Oracle mirrors it as CASE-WHEN sums (sum skips NULLs
+    * identically in both engines).
+    */
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("rev"), 2))
+      .orderBy("l_returnflag")
+
+  /** q50 UNPIVOT: per-returnflag aggregates melted to long form — the
+    * inverse reshape (id column, measure name, value). `unpivot` is a
+    * per-row projection ×#measures, no shuffle beyond the feeding agg.
+    */
+  def q50(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "measure", "value")
+      .orderBy("l_returnflag", "measure")
 }
