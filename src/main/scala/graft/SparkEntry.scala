@@ -73,6 +73,7 @@ object SparkEntry {
     "q48_incremental_neardup" -> (Pipeline.q48 _),
     "q49_pivot"           -> (Relational.q49 _),
     "q50_unpivot"         -> (Relational.q50 _),
+    "q51_funnel"          -> (Events.q51 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -511,6 +512,21 @@ object SparkEntry {
         |SELECT term, count(*) AS c FROM t GROUP BY term
         |HAVING count(*) * 30 > (SELECT count(*) FROM t)
         |ORDER BY c DESC, term""".stripMargin,
+
+    // q51: min-ts chain funnel. The engine computes it with windows over one
+    // shuffle; the oracle states the same chain as three joined CTEs (first
+    // view, first click strictly after it, first purchase strictly after
+    // that). Strict `>` on µs-truncated instants on both sides.
+    "q51_funnel" ->
+      s"""WITH ev AS ($evMicros),
+         |v AS (SELECT user_id, min(ts) AS vts FROM ev WHERE event_type='view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS cts FROM ev e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type='click' AND e.ts > v.vts GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS pts FROM ev e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type='purchase' AND e.ts > c.cts GROUP BY 1)
+         |SELECT (SELECT count(*) FROM v) AS n_view,
+         |       (SELECT count(*) FROM c) AS n_view_click,
+         |       (SELECT count(*) FROM p) AS n_funnel""".stripMargin,
 
     "q46_stratified" ->
       """SELECT lang, count(*) AS n_total,

@@ -156,6 +156,31 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q51 conversion funnel: view → later click → later purchase per user,
+    * on strict timestamps (first view, first click after it, first purchase
+    * after that) so the stage definition is engine-independent — no
+    * row-order tiebreaks, just min-ts chains.
+    *
+    * Plan: three chained whole-partition conditional-min windows over ONE
+    * hash partitioning on user_id (Catalyst reuses the exchange for all
+    * three and for the per-user collapse) — vs the naive three scans +
+    * three joins the SQL formulation implies. At 100 TB the funnel costs
+    * one shuffle of (user_id, ts, event_type), nothing else.
+    */
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("vts", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("cts", min(when(col("event_type") === "click" && col("ts") > col("vts"), col("ts"))).over(w))
+      .withColumn("pts", min(when(col("event_type") === "purchase" && col("ts") > col("cts"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("vts")).as("v"), max(col("cts")).as("c"), max(col("pts")).as("p"))
+      .agg(count(col("v")).as("n_view"), count(col("c")).as("n_view_click"),
+        count(col("p")).as("n_funnel"))
+  }
+
   /** Single-sort as-of variant for the 100 TB path: union the tagged
     * streams, one shuffle+sort on (user_id, ts), carry the latest purchase
     * forward with a running `max_by`-style window, keep error rows.
