@@ -94,6 +94,16 @@ class PlanSpec extends SparkSpec {
       s"q7 Expand consumes the raw scan (pre-aggregation regressed):\n$s")
   }
 
+  test("q51: the three funnel stages share ONE user_id shuffle") {
+    val s = finalPlanString(graft.queries.Events.q51(spark, sf0001))
+    // three chained conditional-min windows + the per-user collapse must all
+    // ride the same hashpartitioning(user_id); only the final one-row global
+    // aggregate may add a second (singleton) exchange
+    val exchanges = s.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 2, s"q51 has $exchanges shuffle exchanges:\n$s")
+  }
+
   test("runtime bloom filter: selective dim filter injects might_contain into the fact side") {
     import org.apache.spark.sql.functions._
     // The 100 TB semi-join reduction: when a join's build side is filtered

@@ -35,6 +35,13 @@ class QuerySmokeSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
   }
 
+  test("q51 funnel stages are monotonically non-increasing") {
+    val r = SparkEntry.queries("q51_funnel")(spark, sf001).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: view=$v click=$c purchase=$p")
+    assert(v > 0)
+  }
+
   test("q9b approx distinct within ±5% of exact q9a (declared tolerance)") {
     val exact = SparkEntry.queries("q9a_distinct")(spark, sf001).head().getLong(0)
     val approx = SparkEntry.queries("q9b_approx_distinct")(spark, sf001).head().getLong(0)
