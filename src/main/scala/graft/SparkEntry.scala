@@ -74,6 +74,12 @@ object SparkEntry {
     "q49_pivot"           -> (Relational.q49 _),
     "q50_unpivot"         -> (Relational.q50 _),
     "q51_funnel"          -> (Events.q51 _),
+    "q52_window_suite"    -> (Relational.q52 _),
+    "q53_group_percentiles" -> (Relational.q53 _),
+    "q54_correlated_avg"  -> (Relational.q54 _),
+    "q55_activity_gaps"   -> (Events.q55 _),
+    "q56_fuzzy_names"     -> (Relational.q56 _),
+    "q57_arg_extremes"    -> (Events.q57 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -533,6 +539,58 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-sample')), 1, 6)) AS BIGINT) % 100 < 10
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_window_suite" ->
+      """SELECT o_custkey, o_orderkey, ntile(4) OVER w AS nt,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_orderkey) OVER w AS fv
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin,
+
+    "q53_group_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q54: the ENGINE decorrelates this into a window aggregate; the oracle
+    // keeps the same integer-exact threshold (2·pk·wc > 3·ws ⟺ price >
+    // 1.5·avg) so boundary rows agree bit-for-bit.
+    "q54_correlated_avg" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(round(o_totalprice*10000) AS BIGINT) AS pk,
+        |    sum(CAST(round(o_totalprice*10000) AS BIGINT)) OVER (PARTITION BY o_custkey) AS ws,
+        |    count(*) OVER (PARTITION BY o_custkey) AS wc
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ws // wc AS DOUBLE)/10000.0 AS cust_avg
+        |FROM t WHERE pk*2*wc > ws*3
+        |ORDER BY o_custkey, o_orderkey LIMIT 100""".stripMargin,
+
+    "q55_activity_gaps" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM d GROUP BY 1),
+        |s AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS sd FROM b)
+        |SELECT sd, count(*) AS n_gapped
+        |FROM s WHERE NOT EXISTS (
+        |  SELECT 1 FROM d WHERE d.user_id = s.user_id AND d.d = s.sd)
+        |GROUP BY sd ORDER BY sd""".stripMargin,
+
+    "q56_fuzzy_names" ->
+      """WITH p AS (SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk FROM part),
+        |j AS (SELECT levenshtein(a.p_name, b.p_name) AS d
+        |      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        |SELECT d, count(*) AS c FROM j WHERE d <= 4 GROUP BY d ORDER BY d""".stripMargin,
+
+    "q57_arg_extremes" ->
+      """SELECT event_type,
+        |  arg_max(event_id, CAST(round(value*100) AS BIGINT)*10000000000 + event_id) AS emax,
+        |  arg_min(event_id, CAST(round(value*100) AS BIGINT)*10000000000 - event_id) AS emin,
+        |  round(max(value), 2) AS vmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }
 

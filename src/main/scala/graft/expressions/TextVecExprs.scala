@@ -166,9 +166,13 @@ case class BandKeysFromSig(child: Expression, bands: Int)
     copy(child = newChild)
 }
 
-/** See [[TextVecExprs.sigMatchCount]]. */
+/** See [[TextVecExprs.sigMatchCount]]. Full codegen (not CodegenFallback):
+  * this runs per CANDIDATE PAIR inside the LSH join stage — the generated
+  * loop keeps the whole join stage in whole-stage codegen with no
+  * interpreted-eval row boxing.
+  */
 case class SigMatchCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sig_match_count"
 
@@ -181,6 +185,24 @@ case class SigMatchCount(left: Expression, right: Expression)
     while (i < n) { if (xs(i) == ys(i)) m += 1; i += 1 }
     m
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchCount =
     copy(left = l, right = r)
@@ -251,9 +273,14 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
-/** See [[TextVecExprs.floatVecDot]]. */
+/** See [[TextVecExprs.floatVecDot]]. Full codegen: this is the inner loop
+  * of every similarity join (q16 brute top-k, q29/q38 ANN scoring, q36's
+  * blocked O(N²/B) pair scan — ~12.5M evaluations at sf0.1), so the
+  * generated loop runs inside whole-stage codegen with zero per-row
+  * interpreted-eval overhead.
+  */
 case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
@@ -270,13 +297,33 @@ case class FloatVecDot(left: Expression, right: Expression)
     s
   }
 
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDot =
     copy(left = l, right = r)
 }
 
-/** See [[TextVecExprs.floatVecNorm]]. */
+/** See [[TextVecExprs.floatVecNorm]]. Full codegen — same hot paths as
+  * [[FloatVecDot]].
+  */
 case class FloatVecNorm(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_norm"
@@ -289,6 +336,26 @@ case class FloatVecNorm(child: Expression)
     while (i < n) { val v = xs.getFloat(i).toDouble; s += v * v; i += 1 }
     math.sqrt(s)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): FloatVecNorm =
     copy(child = newChild)

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A biggie-style entity: a keyed record of named tensor fields (value +
-  * shape, row-major), scalar fields, and string fields.
+  * shape, row-major), scalar fields, string fields, and integer fields
+  * (`longs` — 64-bit ids must not ride in the double `scalars` map, which
+  * silently loses precision above 2^53).
   *
   * Mirrors the reference's Entity/Field model (biggie/core.py [public-repo,
   * module-level — see SURVEY.md §0/§1.1]): per-entity dynamic field sets are
@@ -17,7 +19,8 @@ case class Entity(
     tensors: Map[String, Array[Double]] = Map.empty,
     shapes: Map[String, Array[Int]] = Map.empty,
     scalars: Map[String, Double] = Map.empty,
-    strings: Map[String, String] = Map.empty)
+    strings: Map[String, String] = Map.empty,
+    longs: Map[String, Long] = Map.empty)
 
 /** Keyed entity store over Parquet — the Spark-native answer to biggie's
   * HDF5 Stash (biggie/sources.py [public-repo]).
@@ -99,7 +102,22 @@ object Stash {
 
   def open(spark: SparkSession, path: String): Stash = {
     import spark.implicits._
-    new Stash(spark.read.parquet(path).as[Entity])
+    // Schema evolution: a stash written before an Entity field existed (e.g.
+    // `longs`) must still open — backfill missing columns with empty maps so
+    // the typed encoder never sees a null field.
+    val enc = implicitly[org.apache.spark.sql.Encoder[Entity]]
+    var df = spark.read.parquet(path)
+    enc.schema.foreach { f =>
+      if (!df.columns.contains(f.name)) {
+        val fill = f.dataType match {
+          case _: org.apache.spark.sql.types.MapType =>
+            map_from_arrays(array(), array()).cast(f.dataType)
+          case dt => lit(null).cast(dt)
+        }
+        df = df.withColumn(f.name, fill)
+      }
+    }
+    new Stash(df.as[Entity])
   }
 
   def fromEntities(spark: SparkSession, es: Seq[Entity]): Stash = {
@@ -138,6 +156,26 @@ object Stash {
         .filter(_ < beforeVersion)
     if (versions.isEmpty) (empty(spark), -1L)
     else (open(spark, s"$root/v${versions.max}"), versions.max)
+  }
+
+  /** Garbage-collect version dirs strictly below `keepFrom` under a
+    * versioned stash root. Safe once the caller knows no reader can need
+    * them: a streaming batch N (which read version `keepFrom` = the max
+    * committed version < N) may be retried until its checkpoint advances,
+    * and that retry re-reads `keepFrom` — but nothing ever reads below it
+    * again, because openLatest always picks the MAX committed version under
+    * its bound. Without GC a long-running stream accumulates one full state
+    * copy per batch (ADVICE round 3).
+    */
+  def gcVersions(spark: SparkSession, root: String, keepFrom: Long): Unit = {
+    if (keepFrom <= 0) return
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .filter(_.getPath.getName.matches("v\\d+"))
+      .filter(_.getPath.getName.drop(1).toLong < keepFrom)
+      .foreach(d => fs.delete(d.getPath, true))
   }
 
   /** Merge of `updates` into `base`, one shuffle on key: an update always

@@ -181,6 +181,50 @@ object Events {
         count(col("p")).as("n_funnel"))
   }
 
+  /** q55 date-spine gap fill: per calendar day, how many users were
+    * mid-activity-span but INACTIVE that day — the missing-data census a
+    * pipeline runs before imputation. The spine is generated in-plan
+    * (`sequence` of each user's [first, last] activity dates, exploded), so
+    * days with zero coverage exist as rows — a plain groupBy can never
+    * produce them. Shape: distinct (user, day) → per-user span bounds →
+    * generator explode (≤ span rows per user) → left-anti against actual
+    * activity → keyed count. All shuffles are on user_id/day keys; the
+    * explode fan-out is bounded by the time horizon, not the event count.
+    */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val spine = d.groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("sd"))
+    spine.join(d, spine("user_id") === d("user_id") && col("sd") === col("d"), "left_anti")
+      .groupBy(col("sd"))
+      .agg(count(lit(1)).as("n_gapped"))
+      .orderBy("sd")
+  }
+
+  /** q57 arg-extremum aggregates: per event type, WHICH event carried the
+    * max/min value (max_by/min_by — DuckDB arg_max/arg_min), plus the max
+    * itself. Single hash agg, no window, no join — the cheap way to answer
+    * "which row attains the extreme" that is otherwise a rank-window pass.
+    * Ties on value are broken by event_id through an integer composite key
+    * (value is exact at 2 dp, so round(v·100)·10¹⁰ ± id is collision-free
+    * and identical in both engines): max_by prefers the LARGER id, min_by
+    * the larger id too (the −id term), pinning determinism.
+    */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val vk = round(col("value") * 100).cast("long") * 10000000000L
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), vk + col("event_id")).as("emax"),
+        min_by(col("event_id"), vk - col("event_id")).as("emin"),
+        round(max(col("value")), 2).as("vmax"))
+      .orderBy("event_type")
+  }
+
   /** Single-sort as-of variant for the 100 TB path: union the tagged
     * streams, one shuffle+sort on (user_id, ts), carry the latest purchase
     * forward with a running `max_by`-style window, keep error rows.

@@ -314,6 +314,98 @@ object Relational {
       .agg(dsum(col("rev"), 2))
       .orderBy("l_returnflag")
 
+  /** q52 ranking-window suite: ntile / percent_rank / cume_dist /
+    * first_value in one windowed pass — the rest of SURVEY §2.2 row 20's
+    * function family beyond row_number (q5) and rank frames (q22). One
+    * shuffle on o_custkey serves all four functions (same window spec →
+    * one WindowExec); the total (o_totalprice desc, o_orderkey) ordering
+    * makes every value — including the ntile bucket boundaries —
+    * deterministic across engines.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("nt", ntile(4).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("fv", first(col("o_orderkey")).over(w))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(200)
+      .select("o_custkey", "o_orderkey", "nt", "pr", "cd", "fv")
+  }
+
+  /** q53 per-group exact percentiles — q37's distribution stats, grouped.
+    * Same scale discipline: pre-reduce to (group, value, frequency) with a
+    * codegen'd hash agg so the exact interpolated percentile runs over ~50
+    * distinct values per group instead of the fact rows. Spark percentile()
+    * and DuckDB quantile_cont share linear interpolation (verified
+    * bit-identical on q37).
+    */
+  def q53(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("v"), lit(0.5), col("f")), 4).as("p50"),
+        round(percentile(col("v"), lit(0.9), col("f")), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** q54 correlated scalar subquery, decorrelated: orders costing more than
+    * 1.5× their own customer's average order value. The SQL formulation
+    * re-evaluates a correlated `(SELECT avg ... WHERE same custkey)` per
+    * row; the engine decorrelates it into a per-customer window aggregate —
+    * ONE shuffle on o_custkey, no second scan, no join.
+    *
+    * The comparison is pure integer math: with pk = round(price·10⁴) and
+    * (ws, wc) the customer's fixed-point sum/count, `price > 1.5·avg` ⟺
+    * `2·pk·wc > 3·ws` — exact in both engines, no float-division drift on
+    * boundary rows. Headroom: pk < 6e9, ×2×wc(≤~50) ≪ 2⁶³.
+    */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pk", round(col("o_totalprice") * 10000).cast("long"))
+      .withColumn("ws", sum(col("pk")).over(w))
+      .withColumn("wc", count(lit(1)).over(w))
+      .filter(col("pk") * 2 * col("wc") > col("ws") * 3)
+      // cust_avg: integer floor-division in 1e-4 units, descaled once — NO
+      // round() call. round(avg, 2) hits half-ties (e.g. .855) where Spark
+      // and DuckDB legitimately disagree on the double's shortest repr;
+      // floor division of exact longs is engine-independent.
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (expr("ws DIV wc").cast("double") / 10000.0).as("cust_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(100)
+  }
+
+  /** q56 fuzzy string matching: edit-distance near-dup part names, blocked.
+    * The data-cleaning member of the dedup family (exact q14 / MinHash q15 /
+    * SimHash q27 / cosine q36): pairs within a 4-char-prefix BLOCK at
+    * Levenshtein distance ≤ 4, reported as a distance histogram.
+    *
+    * Scale shape: the prefix block key turns an O(N²) all-pairs scan into
+    * an equi-join (shuffle on the block key, pairs only within blocks) —
+    * the standard blocking trick of record linkage; production systems add
+    * more blocking keys (soundex, token sets) for recall across divergent
+    * prefixes. The threshold form levenshtein(a, b, 4) runs the banded DP
+    * and bails at -1 once the distance exceeds 4 — O(len·k) per pair, not
+    * O(len²).
+    */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), substring(col("p_name"), 1, 4).as("blk"))
+    p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_partkey") < col("b.p_partkey"))
+      .select(levenshtein(col("a.p_name"), col("b.p_name"), 4).as("d"))
+      .filter(col("d") >= 0)
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .orderBy("d")
+  }
+
   /** q50 UNPIVOT: per-returnflag aggregates melted to long form — the
     * inverse reshape (id column, measure name, value). `unpivot` is a
     * per-row projection ×#measures, no shuffle beyond the feeding agg.

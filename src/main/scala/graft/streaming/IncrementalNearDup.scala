@@ -41,21 +41,44 @@ object IncrementalNearDup {
       }
       .start()
 
-  /** All near-dup pairs found so far: union of the per-batch outputs.
+  /** `batch=<id>` subdirs under `path` that carry the committer's
+    * `_SUCCESS` marker, with id strictly below `ltBatch`. Reading ONLY
+    * committed dirs (same discipline as Stash.openLatest) keeps truncated
+    * parquet from a crashed write out of both schema inference and results,
+    * and keeps an in-flight batch invisible to concurrent readers.
+    */
+  private def committedBatchDirs(spark: SparkSession, path: String,
+      ltBatch: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap { d =>
+        val name = d.getPath.getName
+        if (name.matches("batch=\\d+")) Some((name.drop(6).toLong, d.getPath))
+        else None
+      }
+      .filter { case (id, dir) =>
+        id < ltBatch && fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+      }
+      .sortBy(_._1)
+      .map(_._2.toString)
+  }
+
+  /** All near-dup pairs found so far: union of the per-batch outputs
+    * (committed batches only — an in-flight or crashed batch is invisible).
     * Empty (not an error) before the first batch commits.
     */
   def pairs(spark: SparkSession, stateRoot: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$stateRoot/pairs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.parquet(s"$stateRoot/pairs")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("ida", LongType),
+      StructField("idb", LongType), StructField("j", DoubleType)))
+    val dirs = committedBatchDirs(spark, s"$stateRoot/pairs", Long.MaxValue)
+    if (dirs.nonEmpty)
+      spark.read.schema(schema).parquet(dirs: _*)
         .select(col("ida"), col("idb"), col("j"))
-    else {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("ida", LongType), StructField("idb", LongType),
-          StructField("j", DoubleType))))
-    }
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
   /** One batch: candidates within the batch + against all PRIOR batches,
@@ -78,11 +101,15 @@ object IncrementalNearDup {
           .as(Seq("band", "bkey")))
       .localCheckpoint()
 
+    // committed batches below this one, read with the EXPLICIT schema of the
+    // current-batch frame: no schema inference over the store (a truncated
+    // footer from a crashed write can no longer fail the retry that would
+    // overwrite it), and path-level selection prunes exactly like the old
+    // `batch < batchId` partition filter did
     def priorOrEmpty(path: String, like: DataFrame): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        spark.read.parquet(path).filter(col("batch") < batchId)
+      val dirs = committedBatchDirs(spark, path, ltBatch = batchId)
+      if (dirs.nonEmpty)
+        spark.read.schema(like.schema).parquet(dirs: _*)
           .select(like.columns.map(col).toSeq: _*)
       else like.limit(0)
     }

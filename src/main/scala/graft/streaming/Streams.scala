@@ -130,8 +130,17 @@ object Streams {
     * then one distributed keyed upsert merges it over the previous stash
     * version, and the result commits to `root/v<batchId>` — a retried batch
     * rewrites its own version dir, so the pipeline is effectively-once
-    * without a transactional format. State scales as one shuffle per batch
-    * on the key column.
+    * without a transactional format. Versions older than the one this batch
+    * read are garbage-collected after the commit (they can never be read
+    * again — see [[graft.kv.Stash.gcVersions]]), so disk holds at most two
+    * state copies, not one per batch.
+    *
+    * Cost model: each batch REWRITES the full accumulated state (one
+    * shuffle on key + O(total state) write). That is the right trade at
+    * moderate key cardinality (last-value-per-user fits comfortably); at
+    * very large key counts, swap the sink for a partitioned upsert
+    * (bucketed state + rewrite-touched-buckets-only) with the same
+    * versioned-commit discipline.
     */
   def streamIntoStash(events: DataFrame, root: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -147,20 +156,27 @@ object Streams {
           .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
           .select(col("user_id").cast("string").as("k"),
             col("value").cast("double").as("v"),
-            col("event_id").cast("double").as("eid"),
+            // event_id stays a LONG end to end: ids above 2^53 would
+            // silently lose precision through a double (ADVICE round 3)
+            col("event_id").cast("long").as("eid"),
             col("event_type").as("t"))
-          .as[(String, Double, Double, String)]
+          .as[(String, Double, Long, String)]
           .map { case (k, v, eid, t) =>
             graft.kv.Entity(k,
-              scalars = Map("value" -> v, "event_id" -> eid),
-              strings = Map("last_type" -> t))
+              scalars = Map("value" -> v),
+              strings = Map("last_type" -> t),
+              longs = Map("event_id" -> eid))
           }
         // beforeVersion = batchId: a RETRIED batch (crash after commit but
         // before the checkpoint recorded the offset) must re-read what the
         // original attempt read — never its own already-committed output,
         // which it is about to overwrite
-        val (cur, _) = graft.kv.Stash.openLatest(spark, root, beforeVersion = batchId)
+        val (cur, readVer) = graft.kv.Stash.openLatest(spark, root, beforeVersion = batchId)
         cur.addAll(ents).save(s"$root/v$batchId")
+        // versions below the one just read are unreachable from now on
+        // (openLatest picks the max committed version; a retry of THIS
+        // batch re-reads readVer, which is kept)
+        graft.kv.Stash.gcVersions(spark, root, keepFrom = readVer)
         ()
       }
       .start()

@@ -115,18 +115,36 @@ class StreamsSpec extends SparkSpec {
     val (stash, version) = graft.kv.Stash.openLatest(spark, dir + "/stash")
     assert(version >= 0, "no stash version was committed")
     val got = stash.scan().collect()
-      .map(e => e.key -> (e.scalars("event_id"), e.scalars("value"), e.strings("last_type")))
+      .map(e => e.key -> (e.longs("event_id"), e.scalars("value"), e.strings("last_type")))
       .toMap
     // batch truth: last event per user by (ts, event_id)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
     val expected = events.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("user_id").cast("string"), col("event_id").cast("double"),
+      .select(col("user_id").cast("string"), col("event_id").cast("long"),
         col("value").cast("double"), col("event_type"))
       .collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getString(3))))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3))))
       .toMap
     assert(got == expected)
+    // GC keeps at most the final version plus the one its batch read —
+    // older versions must be gone (unbounded growth was ADVICE round 3)
+    val versions = new java.io.File(dir + "/stash").listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName)
+    assert(versions.length <= 2,
+      s"stash version dirs not garbage-collected: ${versions.mkString(",")}")
+  }
+
+  test("Stash.open backfills fields missing from older stash parquet") {
+    val dir = tmp()
+    // simulate a stash written before the `longs` field existed
+    val (k, v) = ("u1", 7.5)
+    import spark.implicits._
+    Seq((k, Map("value" -> v), Map("last_type" -> "view")))
+      .toDF("key", "scalars", "strings")
+      .write.mode("overwrite").parquet(dir + "/old")
+    val e = graft.kv.Stash.open(spark, dir + "/old").get(k).get
+    assert(e.scalars("value") == v && e.longs.isEmpty && e.tensors.isEmpty)
   }
 
   test("flatMapGroupsWithState running counts: final state == batch counts") {
