@@ -1,19 +1,40 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — mirrors the BASELINE.md protocol: per query, warm-up
-  * executions then the median of 5 timed runs, each with a full result
+/** Benchmark main — mirrors the BASELINE.md protocol: per query, a global
+  * warm pass, then the median of up to 5 timed runs with a full result
   * fetch (collect) to the driver. Emits ONE JSON line for the driver.
+  *
+  * Delivery guarantees (round-4 failure mode: the driver's timeout killed
+  * the run before the single end-of-run JSON print, yielding NO numbers):
+  *  - a GLOBAL DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 330 s of
+  *    bench time) bounds the whole measured phase; per-query run counts
+  *    shrink (5 → 3 → 1 → warm-pass fallback) so every query still reports
+  *    a number inside the budget;
+  *  - retry blocks for noisy samples run ONLY when budget remains after
+  *    reserving one run for every not-yet-measured query;
+  *  - results accumulate incrementally and a JVM shutdown hook emits the
+  *    JSON line (flagged "partial":true) even if the process is killed
+  *    mid-run — the driver can never again end up with parsed:null.
   *
   * Reproducibility (round-2 verdict: driver runs showed 5–15× outliers vs
   * clean runs — JIT/codegen/GC churn in a fresh JVM):
-  *  - a GLOBAL warm pass executes every query once before any timing, so
+  *  - the global warm pass executes every query once before any timing, so
   *    JIT compilation, codegen caching, and parquet footer/metadata reads
-  *    are paid up front rather than inside someone's timed run;
-  *  - median of 5 (not 3) absorbs a stray GC pause;
+  *    are paid up front rather than inside someone's timed run (it also
+  *    yields the per-query cost estimates the deadline scheduler uses);
+  *  - medians only — never min — so the number remains a typical-run
+  *    figure, not a best-case cherry-pick;
   *  - GC time per query is measured and logged to stderr so an anomalous
   *    number is diagnosable from the run log.
+  *
+  * Regression tripwire: each query's median is compared to the latest
+  * BENCH_r*.json in the working directory (best-effort parse); >1.5×
+  * regressions are logged to stderr so per-query deltas survive even when
+  * the totals move.
   */
 object Bench {
 
@@ -36,7 +57,33 @@ object Bench {
     }
   }
 
+  /** Best-effort per-query medians from the newest BENCH_r*.json in cwd.
+    * The driver's files wrap the JSON line inside a "tail" log capture, so
+    * this regex-scans for `"qname":seconds` pairs after the last
+    * `"queries":{` marker rather than JSON-parsing the envelope.
+    */
+  private def loadPriorMedians(): Map[String, Double] = {
+    val out = scala.util.Try {
+      val files = new java.io.File(".").listFiles()
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      files.reverseIterator.map { f =>
+        val content = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val at = content.lastIndexOf("\"queries\":{")
+        if (at < 0) Map.empty[String, Double]
+        else {
+          val body = content.substring(at, math.min(content.length, at + 20000))
+          val pair = """"(q[\w]+)":(-?\d+\.\d+)""".r
+          pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }.find(_.nonEmpty).getOrElse(Map.empty)
+    }
+    out.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "330").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -59,78 +106,108 @@ object Bench {
         .map(_.getCollectionTime).sum
     }
 
+    // optional arg: comma-separated query subset (local dev; driver passes none)
+    val subset: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
 
-    // Global warm pass: run EVERY query once (guarded — a warm-up failure
-    // must not prevent the JSON line; failing queries are reported -1 below).
-    val tWarm0 = System.nanoTime()
-    ordered.foreach { case (name, fn) =>
-      try fn(spark, sfDir).collect()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}") }
+    // Incremental result sink + at-most-once JSON emission. The shutdown
+    // hook fires on SIGTERM (driver timeout) and prints whatever has been
+    // measured; normal completion prints the same line with partial:false.
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val printed = new AtomicBoolean(false)
+    def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
+      def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      val snap = ordered.flatMap { case (name, _) => Option(results.get(name)).map(name -> _.doubleValue) }
+      val qs = snap.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+      val failures = snap.count(_._2 < 0)
+      // failed queries are excluded from the sum but flagged explicitly:
+      // a query that starts erroring must never make the total look faster
+      val total = snap.collect { case (_, v) if v >= 0 => v }.sum
+      println(s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"queries":$qs,"sf":"$sfDir"}""")
+      System.out.flush()
     }
-    System.err.println(f"[bench] global warm pass: ${(System.nanoTime() - tWarm0) / 1e9}%.1f s")
+    val hook = new Thread(() => emit(partial = true))
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    val prior = loadPriorMedians()
+    if (prior.nonEmpty) System.err.println(s"[bench] regression baseline: ${prior.size} prior medians")
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+      val t = System.nanoTime()
       fn(spark, sfDir).collect()
-      (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t) / 1e9
     }
 
-    // Per query: one re-warm, then a block of 5 consecutive timed runs
-    // (consecutive keeps caches/JIT hot — the honest steady-state number).
-    // The host shows transient multi-second stall windows (observed up to
-    // 21 s on a 0.5 s query, with ZERO attributable GC/IO/steal); if a
-    // block's spread says such a window hit it (median > 1.5× fastest), the
-    // whole block is re-run once and the faster block's median is reported.
-    // A stall window poisons one block; two blocks ~minutes apart rarely
-    // both land in one. Medians only — never min — so the number remains a
-    // typical-run figure, not a best-case cherry-pick.
-    // Up to 3 blocks: the reference floor is the fastest single run seen
-    // across ALL blocks (a poisoned first block cannot hide a stall from
-    // the detector), and the reported value is the best block MEDIAN.
-    def medianBlock(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        name: String): Double = {
-      var bestMed = Double.MaxValue
-      var floor = Double.MaxValue
-      var block = 0
-      while (block < 3 && (block == 0 || bestMed > 1.5 * floor)) {
-        val s = Seq.fill(5)(timeOnce(fn)).sorted
-        bestMed = math.min(bestMed, s(2))
-        floor = math.min(floor, s.head)
-        block += 1
-        if (bestMed > 1.5 * floor)
-          System.err.println(
-            f"[bench] $name noisy block $block samples=${s.map(x => f"$x%.3f").mkString(",")}")
-      }
-      bestMed
+    // Global warm pass: run EVERY query once (guarded — a warm-up failure
+    // must not prevent the JSON line; failing queries are reported -1
+    // below). Warm times double as the scheduler's cost estimates AND as
+    // the fallback value if the deadline leaves no room for a timed run.
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    ordered.foreach { case (name, fn) =>
+      try warm(name) = timeOnce(fn)
+      catch { case e: Throwable =>
+        warm(name) = -1.0
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}") }
     }
-    val results: Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    System.err.println(f"[bench] global warm pass: ${elapsed()}%.1f s (deadline ${deadlineSec}%.0f s)")
+
+    // A block of `runs` consecutive timed runs (consecutive keeps caches/
+    // JIT hot — the honest steady-state number). The host shows transient
+    // multi-second stall windows (observed up to 21 s on a 0.5 s query,
+    // with ZERO attributable GC/IO/steal); if a block's spread says such a
+    // window hit it (median > 1.5× fastest run seen), the block is re-run —
+    // but ONLY while the remaining budget covers one run for every query
+    // not yet measured. The reference floor is the fastest single run seen
+    // across ALL blocks; the reported value is the best block MEDIAN.
+    for (((name, fn), idx) <- ordered.zipWithIndex) {
+      // reserve one warm-time run for every query after this one
+      val tailCost = ordered.drop(idx + 1).map { case (n, _) => math.max(warm(n), 0.1) }.sum
+      val w = math.max(warm(name), 0.05)
+      val room = deadlineSec - elapsed() - tailCost
+      val runs = math.min(5, math.max(1, (room / w).toInt))
       val t = try {
-        timeOnce(fn)
-        val gc0 = gcMillis()
-        val med = medianBlock(fn, name)
-        val gcMs = gcMillis() - gc0
-        if (gcMs > 500) System.err.println(s"[bench] $name gc=${gcMs}ms")
-        med
+        if (warm(name) >= 0 && deadlineSec - elapsed() < w) {
+          // no room for even one timed run: report the warm-pass figure
+          System.err.println(f"[bench] $name deadline-skipped, reporting warm time ${warm(name)}%.3f")
+          warm(name)
+        } else {
+          val gc0 = gcMillis()
+          var bestMed = Double.MaxValue
+          var floor = Double.MaxValue
+          var block = 0
+          var go = true
+          while (go) {
+            val s = Seq.fill(runs)(timeOnce(fn)).sorted
+            bestMed = math.min(bestMed, s(s.length / 2))
+            floor = math.min(floor, s.head)
+            block += 1
+            val noisy = bestMed > 1.5 * floor
+            if (noisy)
+              System.err.println(
+                f"[bench] $name noisy block $block samples=${s.map(x => f"$x%.3f").mkString(",")}")
+            go = noisy && block < 3 &&
+              deadlineSec - elapsed() - tailCost > runs * w + 5.0
+          }
+          val gcMs = gcMillis() - gc0
+          if (gcMs > 500) System.err.println(s"[bench] $name gc=${gcMs}ms")
+          bestMed
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
-      name -> t
+      results.put(name, t)
+      prior.get(name).foreach { p =>
+        if (p > 0 && t > 1.5 * p)
+          System.err.println(f"[bench] REGRESSION $name: $t%.3f s vs prior $p%.3f s (${t / p}%.2fx)")
+      }
     }
     System.err.println(s"[bench] cumulative GC over run: ${gcMillis()}ms")
 
-    // Locale.ROOT formatting: the f-interpolator uses the default locale,
-    // which on comma-decimal locales would emit invalid JSON
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
-    val failures = results.count(_._2 < 0)
-    // failed queries are excluded from the sum but flagged explicitly:
-    // a query that starts erroring must never make the total look faster
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    emit(partial = false)
+    Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
   }
 }

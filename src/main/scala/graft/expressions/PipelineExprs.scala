@@ -39,6 +39,15 @@ object PipelineExprs {
     */
   def srpBucket(vec: Column, planes: Int): Column = col(SrpBucket(expr(vec), planes))
 
+  /** Adjacent word-bigram strings ("tokₖ tokₖ₊₁") over the non-empty
+    * single-space-separated tokens of the text — the single-pass form of
+    * zip_with(slice(toks,1,n-1), slice(toks,2,n-1), concat), which costs
+    * six CodegenFallback HOF passes plus a per-element lambda eval. One
+    * byte-level scan; safe because 0x20 never occurs inside a UTF-8
+    * multi-byte sequence.
+    */
+  def wordBigrams(text: Column): Column = col(WordBigrams(expr(text)))
+
   /** IVF coarse-quantizer probe list: the `nprobe` centroid indices nearest
     * to the vector by cosine (centroids are unit-normalized, so ranking by
     * raw dot product is cosine ranking), nearest first, ties by lower
@@ -132,6 +141,52 @@ case class SrpBucket(child: Expression, planes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.wordBigrams]]. Tokenization matches
+  * string_split(text, ' ') + empty filter exactly: tokens are maximal runs
+  * of non-0x20 bytes (tabs/newlines are NOT separators, as in the oracle).
+  */
+case class WordBigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    val n = bytes.length
+    // token boundaries: starts(t) inclusive, ends(t) exclusive
+    var nTok = 0
+    val starts = new Array[Int](n / 2 + 1)
+    val ends = new Array[Int](n / 2 + 1)
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        starts(nTok) = i
+        while (i < n && bytes(i) != ' ') i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    val out = new Array[AnyRef](math.max(0, nTok - 1))
+    var t = 0
+    while (t < nTok - 1) {
+      val la = ends(t) - starts(t)
+      val lb = ends(t + 1) - starts(t + 1)
+      val bg = new Array[Byte](la + 1 + lb)
+      System.arraycopy(bytes, starts(t), bg, 0, la)
+      bg(la) = ' '
+      System.arraycopy(bytes, starts(t + 1), bg, la + 1, lb)
+      out(t) = UTF8String.fromBytes(bg)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
     copy(child = newChild)
 }
 

@@ -184,26 +184,30 @@ object Events {
   /** q55 date-spine gap fill: per calendar day, how many users were
     * mid-activity-span but INACTIVE that day — the missing-data census a
     * pipeline runs before imputation. The spine is generated in-plan
-    * (`sequence` of each user's [first, last] activity dates, exploded), so
-    * days with zero coverage exist as rows — a plain groupBy can never
-    * produce them. Shape: distinct (user, day) → per-user span bounds →
-    * generator explode (≤ span rows per user) → left-anti against actual
-    * activity → keyed count. All shuffles are on user_id/day keys; the
-    * explode fan-out is bounded by the time horizon, not the event count.
+    * (`sequence` over each user's [first, last] activity dates), so days
+    * with zero coverage exist as rows — a plain groupBy can never produce
+    * them.
+    *
+    * Join-free shape (the SQL formulation's spine-vs-activity anti-join is
+    * a self-join on derived lineage — fragile to resolve and a second
+    * shuffle): collect each user's distinct active days into one set
+    * (collect_set dedups WITH map-side partial aggregation), then each
+    * user's gap days are simply array_except(sequence(min, max), days) —
+    * a per-row generator, no join at all. Shuffles: one on user_id (values
+    * bounded by the calendar horizon, not the event count) + one tiny one
+    * on the output day key.
     */
-  def q55(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.events(spark, dir)
+  def q55(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
-      .distinct()
-    val spine = d.groupBy("user_id")
-      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-      .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("sd"))
-    spine.join(d, spine("user_id") === d("user_id") && col("sd") === col("d"), "left_anti")
+      .groupBy("user_id")
+      .agg(collect_set(col("d")).as("days"))
+      .select(explode(array_except(
+        sequence(array_min(col("days")), array_max(col("days")), expr("INTERVAL 1 DAY")),
+        col("days"))).as("sd"))
       .groupBy(col("sd"))
       .agg(count(lit(1)).as("n_gapped"))
       .orderBy("sd")
-  }
 
   /** q57 arg-extremum aggregates: per event type, WHICH event carried the
     * max/min value (max_by/min_by — DuckDB arg_max/arg_min), plus the max

@@ -148,4 +148,50 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1))
     assert(sketchBased.nonEmpty && sketchBased.sameElements(exact))
   }
+
+  test("q56 fuzzy blocking: dedupe+band histogram == brute force; hot prefix sub-blocks") {
+    import spark.implicits._
+    // planted HOT PREFIX: every name starts with "hotp", lengths 8..34 —
+    // the adversarial case for prefix-only blocking (one quadratic block).
+    // Consecutive lengths differ by 1, so cross-band d<=4 pairs exist and
+    // exercise the band±1 fan-out. Multiplicities exercise the count
+    // products (incl. same-name d=0 pairs).
+    val hot = (4 to 60).map(k => "hotp" + "a" * k)
+    val cold = Seq("cold fish", "cold dish", "warm fish", "warm fish")
+    val rows = (hot ++ cold).zipWithIndex.flatMap { case (n, i) => Seq.fill(1 + i % 3)(n) }
+    val got = graft.queries.Relational.fuzzyNameHistogram(rows.toDF("p_name"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // brute-force reference: all row pairs, same 4-char prefix, lev <= 4
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val arr = rows.toArray
+    val brute = (for {
+      i <- arr.indices.iterator; j <- (i + 1 until arr.length).iterator
+      if arr(i).take(4) == arr(j).take(4)
+      d = lev(arr(i), arr(j)) if d <= 4
+    } yield d).toSeq.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    assert(got == brute, s"got $got expected $brute")
+
+    // sub-blocking bound: the hot prefix's distinct names must spread over
+    // multiple (prefix, band) blocks, so the pair scan is sum of small
+    // squares, not one big square. Mirrors the engine's block key exactly.
+    val bySize = hot.groupBy(n => n.length / 8).view.mapValues(_.size.toLong).toMap
+    assert(bySize.size >= 4, s"expected >=4 length bands, got $bySize")
+    assert(bySize.values.max <= hot.size / 2,
+      s"hot prefix not subdivided: max block ${bySize.values.max} of ${hot.size}")
+    // candidate pairs the banded join generates (each name probes its own
+    // band ±1) vs the quadratic scan prefix-only blocking would pay
+    val banded = bySize.map { case (b, s) =>
+      s * (bySize.getOrElse(b - 1, 0L) + s + bySize.getOrElse(b + 1, 0L))
+    }.sum
+    val quadratic = hot.size.toLong * hot.size
+    assert(banded * 2 < quadratic,
+      s"banded pair scan $banded not < half of quadratic $quadratic")
+  }
 }

@@ -152,6 +152,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WordBigrams == HOF zip_with/slice bigrams on random spacey text") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    val spacey: Gen[String] = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (6, Gen.alphaLowerChar), (3, Gen.const(' ')), (1, Gen.numChar)))
+        .map(_.mkString))
+    val edge = Seq("", " ", "  ", "a", " a ", "a b", "a  b", "  a  b  c ",
+      "héllo wörld ünïcode tëxt", "日本 語 テスト")
+    val texts = samples(spacey, 200) ++ edge
+    texts.toDF("t")
+      .select(PipelineExprs.wordBigrams(col("t")).as("fast"),
+        graft.queries.Pipeline.bigramsHof(col("t")).as("ref"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"fast=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+      }
+  }
+
   test("minhash signature positions estimate Jaccard within statistical bounds") {
     import spark.implicits._
     // near-identical strings must have high signature agreement; disjoint low
