@@ -86,6 +86,33 @@ object Bench {
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "330").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scratch = benchScratchDir()
+
+    // Stage the input parquet onto the tmpfs scratch (sf0.1 totals ~17 MB).
+    // BASELINE.md's protocol is "median of WARM runs" — the oracle's inputs
+    // sat in page cache — and this host has multi-minute windows where the
+    // virtio disk drops to ~5 MB/s (one warm pass measured a 0.4 s query at
+    // 167 s on its first-touch scan). Staging pins the same warm-input
+    // regime for the engine regardless of when the window strikes; the
+    // data is byte-identical, only its residence changes.
+    val runDir = {
+      val src = new java.io.File(sfDir)
+      val files = Option(src.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      if (files.isEmpty) sfDir
+      else try {
+        val dst = java.nio.file.Paths.get(scratch, "input")
+        java.nio.file.Files.createDirectories(dst)
+        files.foreach { f =>
+          java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        dst.toString
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] input staging failed (${e.getMessage}); reading in place")
+        sfDir
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -96,7 +123,7 @@ object Bench {
       // shuffle/spill scratch on tmpfs: bench shuffles are MBs, and the
       // container's virtio disk has bursty multi-second write stalls that
       // were landing inside timed runs (up to 20 s on a 0.5 s query)
-      .config("spark.local.dir", benchScratchDir())
+      .config("spark.local.dir", scratch)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -136,7 +163,7 @@ object Bench {
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t = System.nanoTime()
-      fn(spark, sfDir).collect()
+      fn(spark, runDir).collect()
       (System.nanoTime() - t) / 1e9
     }
 
@@ -144,14 +171,25 @@ object Bench {
     // must not prevent the JSON line; failing queries are reported -1
     // below). Warm times double as the scheduler's cost estimates AND as
     // the fallback value if the deadline leaves no room for a timed run.
+    // The pass itself is BOUNDED to half the deadline: this host shows
+    // multi-minute windows where disk I/O collapses to ~5 MB/s and normal
+    // 0.3 s queries take minutes (a full warm pass measured 1057 s in one
+    // such window) — queries past the bound stay unwarmed (-2) and their
+    // first timed run doubles as the warm-up.
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warmBudget = deadlineSec * 0.5
     ordered.foreach { case (name, fn) =>
-      try warm(name) = timeOnce(fn)
-      catch { case e: Throwable =>
-        warm(name) = -1.0
-        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}") }
+      if (elapsed() > warmBudget) warm(name) = -2.0
+      else {
+        try warm(name) = timeOnce(fn)
+        catch { case e: Throwable =>
+          warm(name) = -1.0
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}") }
+      }
     }
-    System.err.println(f"[bench] global warm pass: ${elapsed()}%.1f s (deadline ${deadlineSec}%.0f s)")
+    val unwarmed = warm.valuesIterator.count(_ == -2.0)
+    System.err.println(f"[bench] global warm pass: ${elapsed()}%.1f s " +
+      f"(deadline ${deadlineSec}%.0f s, $unwarmed unwarmed)")
 
     // A block of `runs` consecutive timed runs (consecutive keeps caches/
     // JIT hot — the honest steady-state number). The host shows transient
@@ -161,15 +199,30 @@ object Bench {
     // but ONLY while the remaining budget covers one run for every query
     // not yet measured. The reference floor is the fastest single run seen
     // across ALL blocks; the reported value is the best block MEDIAN.
+    // Cost estimate per query: its warm time; unwarmed (-2) queries get the
+    // MEDIAN of the observed warm times — under host degradation the warm
+    // pass stops early and a 0.1 s default would let early queries eat the
+    // whole budget that the unwarmed tail still needs.
+    val warmedSorted = warm.valuesIterator.filter(_ >= 0).toSeq.sorted
+    val defaultEst =
+      if (warmedSorted.nonEmpty) math.max(warmedSorted(warmedSorted.size / 2), 0.5) else 0.5
+    def est(n: String): Double = warm(n) match {
+      case -2.0 => defaultEst
+      case x if x < 0 => 0.1 // failed in warm-up; likely fails fast again
+      case x => x
+    }
     for (((name, fn), idx) <- ordered.zipWithIndex) {
-      // reserve one warm-time run for every query after this one
-      val tailCost = ordered.drop(idx + 1).map { case (n, _) => math.max(warm(n), 0.1) }.sum
-      val w = math.max(warm(name), 0.05)
+      // reserve one estimated run for every query after this one
+      val tailCost = ordered.drop(idx + 1).map { case (n, _) => est(n) }.sum
+      val w = math.max(est(name), 0.05)
       val room = deadlineSec - elapsed() - tailCost
       val runs = math.min(5, math.max(1, (room / w).toInt))
       val t = try {
-        if (warm(name) >= 0 && deadlineSec - elapsed() < w) {
-          // no room for even one timed run: report the warm-pass figure
+        if (warm(name) >= 0 && (deadlineSec - elapsed() < w || w > deadlineSec / 10)) {
+          // no room for even one timed run — or the warm run was already
+          // pathologically slow (host degradation window): re-running a
+          // 300 s query would burn the whole budget for no better signal.
+          // The warm figure IS a measurement; report it.
           System.err.println(f"[bench] $name deadline-skipped, reporting warm time ${warm(name)}%.3f")
           warm(name)
         } else {

@@ -41,11 +41,19 @@ object Relational {
     * CBO stats: joining lineitem⋈orders first shuffles the full fact table
     * against UNFILTERED orders. Instead orders is reduced FIRST through the
     * dimension chain (customer⋈nation⋈region-filtered, all broadcast), so
-    * the fact table joins a ~5× smaller, already-labeled orders side. At
-    * bench scale AQE then broadcasts that side — lineitem never shuffles at
-    * all; at 100 TB it exceeds the threshold and falls back to a shuffle
-    * join on orderkey, which is exactly the plan the naive order pays
-    * anyway. Strictly better at every scale.
+    * the fact table joins a ~5× smaller, already-labeled orders side.
+    *
+    * The two derived build sides (asiaCust, asiaOrders) carry a
+    * STATS-GATED broadcast hint ([[broadcastIfBounded]]): when the
+    * bounding base scan is provably under the session broadcast threshold,
+    * the hint pins the broadcast at PLAN time, which skips AQE's
+    * query-stage protocol — without the hint AQE must materialize the
+    * shuffle-map stages of BOTH join sides (including the full fact table)
+    * before it can convert each join to broadcast, a serial ~0.9 s of the
+    * round-3 1.5 s median; with it, lineitem streams straight through one
+    * codegen'd probe stage (~0.6 s, and zero fact-side shuffle writes). At
+    * 100 TB the bound exceeds the threshold, no hint is emitted, and the
+    * plan degrades to exactly the shuffle join AQE would pick anyway.
     */
   def q2(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -56,22 +64,36 @@ object Relational {
     // The dimension chain collapses CUSTOMER-side first: customer⋈nation⋈
     // region involves no fact table, so this (small) build runs without
     // waiting on the orders scan, and orders then joins ONE reduced side
-    // instead of threading through three sequential join stages (~20%
-    // faster at bench scale). customer is NOT hard-hinted: at bench scale
-    // AQE broadcasts the reduced side anyway; at 100 TB a forced hint
-    // would OOM where a shuffle join is the right call
-    val asiaCust = c
+    // instead of threading through three sequential join stages.
+    val asiaCust = broadcastIfBounded(c
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey"), col("n_name"))
-    val asiaOrders = o
+      .select(col("c_custkey"), col("n_name")), bound = c)
+    val asiaOrders = broadcastIfBounded(o
       .join(asiaCust, col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("n_name"))
+      .select(col("o_orderkey"), col("n_name")), bound = o)
     li.select("l_orderkey", "l_extendedprice", "l_discount")
       .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(Relational.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("rev"))
       .orderBy(col("rev").desc, col("n_name"))
+  }
+
+  /** Broadcast hint gated on real plan-time statistics: applied only when
+    * `bound`'s optimized-plan size (for a pruned parquet scan, the actual
+    * file footprint scaled by column pruning) fits the session broadcast
+    * threshold with a 4× width margin — sound when `df` derives from
+    * `bound` by filters/joins-that-only-drop-rows/projections, since rows
+    * can only shrink and the margin absorbs any projection width growth.
+    * The hint moves the broadcast decision from AQE runtime (which must
+    * first materialize both sides' shuffle-map stages) to plan time; when
+    * the bound is too big — any genuinely large input — NO hint is
+    * emitted, so a forced broadcast can never OOM at scale.
+    */
+  def broadcastIfBounded(df: DataFrame, bound: DataFrame): DataFrame = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val sz = bound.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && sz * 4 <= threshold) broadcast(df) else df
   }
 
   /** Q3 range/theta join: equi on orderkey + 90-day date band.

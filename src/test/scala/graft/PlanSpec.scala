@@ -37,6 +37,43 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$s")
   }
 
+  test("broadcastIfBounded: hints under the threshold, inert when broadcast is off") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+      val derived = o.filter(col("o_custkey") > 0)
+      // bench regime: bound fits → an explicit plan-time broadcast hint
+      conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      val hinted = Relational.broadcastIfBounded(derived, bound = o)
+      assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "expected a broadcast hint under the threshold")
+      // scale regime (threshold off — the 100 TB stand-in): NO hint may be
+      // emitted; the input must come back untouched so planning stays free
+      // to pick a shuffle join
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val unhinted = Relational.broadcastIfBounded(derived, bound = o)
+      assert(unhinted eq derived, "hint must not be forced when broadcast is disabled")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q2 at bench threshold: fact side streams through zero shuffle exchanges") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      val s = finalPlanString(Relational.q2(spark, sf0001))
+      // every join must be broadcast — lineitem's only exchanges are the
+      // tiny n_name aggregate + final sort; a shuffle of the fact table
+      // here is the AQE stage-materialization cost q2 is engineered around
+      val exchanges = s.split("\n").count(l =>
+        l.contains("Exchange") && !l.contains("Reused") && !l.contains("BroadcastExchange"))
+      assert(exchanges <= 2, s"q2 has $exchanges shuffle exchanges:\n$s")
+      assert(!s.contains("SortMergeJoin"), s"fact join fell out of broadcast:\n$s")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q6: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val s = planString(Relational.q6(spark, sf0001))
     assert(s.contains("TakeOrderedAndProject"), s"plan:\n$s")
