@@ -80,6 +80,10 @@ object SparkEntry {
     "q55_activity_gaps"   -> (Events.q55 _),
     "q56_fuzzy_names"     -> (Relational.q56 _),
     "q57_arg_extremes"    -> (Events.q57 _),
+    "q58_repetition"      -> (Pipeline.q58 _),
+    "q59_seq_packing"     -> ((s, d) => Pipeline.q59(s, d)),
+    "q60_exact_moments"   -> (Relational.q60 _),
+    "q61_histogram"       -> (Events.q61 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -590,6 +594,80 @@ object SparkEntry {
         |  arg_min(event_id, CAST(round(value*100) AS BIGINT)*10000000000 - event_id) AS emin,
         |  round(max(value), 2) AS vmax
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q58: per-(doc,word) counts via unnest; the engine computes the same
+    // three per-doc numbers in one TokenStats pass. The per-doc distinct
+    // ratio is fixed-pointed (×1e6) before the cross-doc sum in BOTH
+    // engines, so the average is order-independent.
+    "q58_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |pc AS (SELECT doc_id, source, word, count(*) AS c FROM w GROUP BY 1,2,3),
+        |d AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tok,
+        |        count(*) AS n_distinct, max(c) AS top_c
+        |      FROM pc GROUP BY 1,2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(round(CAST(n_distinct AS DOUBLE)/CAST(n_tok AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+        |        /1000000.0/count(*), 4) AS avg_distinct_ratio,
+        |  CAST(sum(CASE WHEN CAST(top_c AS DOUBLE) > CAST(n_tok AS DOUBLE)*0.2
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q59: the oracle computes the token prefix sum with one global window
+    // (fine at oracle scale); the engine reproduces the identical offsets
+    // with the two-pass bucket prefix sum. Window boundaries are exact:
+    // offsets < 2^53 so floor(off/2048.0) is exact double math both sides.
+    "q59_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t),
+        |b AS (
+        |  SELECT CAST(floor(off/2048.0) AS BIGINT) AS bin,
+        |    greatest(CAST(floor(off/2048.0) AS BIGINT),
+        |             CAST(floor((off+n_tok-1)/2048.0) AS BIGINT)) AS bin_last,
+        |    n_tok
+        |  FROM c)
+        |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tok,
+        |  CAST(sum(CASE WHEN bin_last > bin THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q60: moments from integer-exact cent sums (HUGEINT here, decimal(38,0)
+    // in the engine); the closed forms are evaluated in double with the
+    // same expression shape on both sides, so the IEEE ops are identical.
+    "q60_exact_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)) AS q,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)) AS e,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)*CAST(round(l_quantity*100) AS HUGEINT)) AS qq,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)*CAST(round(l_extendedprice*100) AS HUGEINT)) AS ee,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)*CAST(round(l_extendedprice*100) AS HUGEINT)) AS qe
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE)*CAST(qe AS DOUBLE) - CAST(q AS DOUBLE)*CAST(e AS DOUBLE)) /
+        |        (sqrt(CAST(n AS DOUBLE)*CAST(qq AS DOUBLE) - CAST(q AS DOUBLE)*CAST(q AS DOUBLE)) *
+        |         sqrt(CAST(n AS DOUBLE)*CAST(ee AS DOUBLE) - CAST(e AS DOUBLE)*CAST(e AS DOUBLE))), 6)
+        |    AS corr_qty_price,
+        |  round((CAST(n AS DOUBLE)*CAST(qe AS DOUBLE) - CAST(q AS DOUBLE)*CAST(e AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) / 10000.0, 6) AS covar_pop_qty_price,
+        |  round(sqrt(CAST(n AS DOUBLE)*CAST(qq AS DOUBLE) - CAST(q AS DOUBLE)*CAST(q AS DOUBLE)) /
+        |        CAST(n AS DOUBLE) / 100.0, 6) AS stddev_pop_qty
+        |FROM s ORDER BY 1""".stripMargin,
+
+    "q61_histogram" ->
+      """SELECT event_type, CAST(floor(value/50.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(round(value*10000) AS BIGINT)) AS DOUBLE)/10000.0, 4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

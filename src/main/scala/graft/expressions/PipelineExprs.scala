@@ -57,6 +57,16 @@ object PipelineExprs {
     */
   def ivfProbes(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     col(IvfProbes(expr(vec), centroids, nprobe))
+
+  /** Per-document token frequency stats in ONE pass: total token count,
+    * distinct token count, and the highest single-token frequency — the
+    * inputs to Gopher-style repetition filters (top-token fraction,
+    * distinct-token ratio). Tokens are the non-empty runs between 0x20
+    * bytes, exactly string_split(text,' ') + empty filter. The multi-shuffle
+    * alternative (explode → count per (doc,word) → re-agg per doc) pays two
+    * extra exchanges for the same numbers.
+    */
+  def tokenStats(text: Column): Column = col(TokenStats(expr(text)))
 }
 
 /** See [[PipelineExprs.polyFingerprint]]. */
@@ -240,5 +250,46 @@ case class IvfProbes(child: Expression, centroids: Array[Array[Double]], nprobe:
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfProbes =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.tokenStats]]. Counting uses a per-row HashMap keyed
+  * by the token's char content — exact (no hash-collision folding), and the
+  * map lives only for the row, so memory is bounded by the row's distinct
+  * tokens. struct<n_tok, n_distinct, top_count> output keeps the three
+  * numbers in one projection with no repeated tokenization.
+  */
+case class TokenStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val counts = new java.util.HashMap[String, Int]()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && s.charAt(i) != ' ') i += 1
+        val tok = s.substring(start, i)
+        counts.merge(tok, 1, Integer.sum)
+        total += 1L
+      }
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; if (c > top) top = c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, counts.size.toLong, top))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
     copy(child = newChild)
 }

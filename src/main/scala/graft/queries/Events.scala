@@ -229,6 +229,24 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q61: fixed-width histogram of event values per event type — the
+    * distribution profile run before choosing normalization or outlier
+    * cuts. Bucket = floor(value/50): a plain integer projection, so the
+    * whole query is one partial+final hash agg over (type, bucket) — the
+    * canonical linear-scale shape; bucket sums are fixed-point (×10⁴)
+    * exact so the hash matches DuckDB at any partitioning.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bucket"),
+        col("value"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        Relational.dsum(col("value"), 4).as("sum_value"))
+      .orderBy("event_type", "bucket")
+
   /** Single-sort as-of variant for the 100 TB path: union the tagged
     * streams, one shuffle+sort on (user_id, ts), carry the latest purchase
     * forward with a running `max_by`-style window, keep error rows.

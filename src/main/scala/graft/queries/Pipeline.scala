@@ -637,6 +637,80 @@ object Pipeline {
         sum(when(bucket < pct, 1L).otherwise(0L)).as("n_sampled"))
       .orderBy("lang")
   }
+
+  /** q58: Gopher-style repetition/quality signals per source — the filters
+    * a pretraining corpus runs before anything expensive: distinct-token
+    * ratio (low ⇒ repetitive boilerplate) and top-token fraction (one token
+    * dominating ⇒ spam). The per-doc numbers come from [[PipelineExprs
+    * .tokenStats]] in a single projection pass, so the whole query is
+    * scan → project → one keyed agg: linear at 100 TB with map-side
+    * combine, and no per-(doc,word) shuffle anywhere. The per-doc ratio is
+    * fixed-pointed (×1e6) before summing so the cross-source average is
+    * order-independent and hash-matches the oracle at any parallelism.
+    */
+  def q58(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), PipelineExprs.tokenStats(col("text")).as("st"))
+      .select(col("source"),
+        col("st.n_tok").as("n_tok"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.top_count").as("top_count"))
+      .filter(col("n_tok") > 0)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(
+          sum(round(col("n_distinct").cast("double") / col("n_tok").cast("double") * 1000000.0)
+            .cast("long")).cast("double") / 1000000.0 / count(lit(1)),
+          4).as("avg_distinct_ratio"),
+        sum(when(col("top_count").cast("double") > col("n_tok").cast("double") * 0.2,
+          1L).otherwise(0L)).as("n_repetitious"))
+      .orderBy("source")
+
+  /** q59: sequence packing — lay the corpus out in doc_id order and assign
+    * every document its token offset in the concatenated stream, then cut
+    * fixed `budget`-token context windows (the concat-then-slice packing a
+    * GPT-style pretraining loader does). The global prefix sum is computed
+    * scalably in two passes: an intra-bucket running sum (window partitioned
+    * by a coarse doc_id bucket — parallel, never a single-partition
+    * WindowExec) plus per-bucket totals whose cumulative offsets come from a
+    * broadcast theta-join over the TINY totals table (#buckets rows). At
+    * 100 TB this is the textbook distributed scan: one narrow window per
+    * bucket + one broadcast, no global sort, no driver collect.
+    * Output: per window — docs starting in it, their total tokens, and how
+    * many straddle the boundary (the padding/fragmentation signal).
+    */
+  def q59(spark: SparkSession, dir: String,
+          budget: Long = 2048, bucketSize: Long = 256): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        floor(col("doc_id").cast("double") / bucketSize).cast("long").as("bkt"))
+    val intraW = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = d.withColumn("intra_off", coalesce(sum("n_tok").over(intraW), lit(0L)))
+    val totals = d.groupBy("bkt").agg(sum("n_tok").as("tot"))
+    // cumulative bucket offsets: rename before the self-join so the two
+    // sides share no lineage attributes (no ambiguous-resolution rescue)
+    val prior = totals.select(col("bkt").as("bkt2"), col("tot").as("tot2"))
+    val offsets = totals
+      .join(broadcast(prior), col("bkt2") < col("bkt"), "left")
+      .groupBy("bkt")
+      .agg(coalesce(sum("tot2"), lit(0L)).as("bkt_off"))
+    intra.join(broadcast(offsets), "bkt")
+      .withColumn("off", col("bkt_off") + col("intra_off"))
+      .withColumn("bin", floor(col("off").cast("double") / budget).cast("long"))
+      .withColumn("bin_last",
+        greatest(col("bin"),
+          floor((col("off") + col("n_tok") - 1).cast("double") / budget).cast("long")))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("bin_tok"),
+        sum(when(col("bin_last") > col("bin"), 1L).otherwise(0L)).as("n_crossing"))
+      .orderBy("bin")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

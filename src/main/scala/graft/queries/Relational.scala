@@ -478,4 +478,44 @@ object Relational {
       .unpivot(Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price")), "measure", "value")
       .orderBy("l_returnflag", "measure")
+
+  /** q60: second-moment statistics (Pearson correlation, population
+    * covariance, population stddev) per return flag — computed from
+    * INTEGER-EXACT cent sums rather than Spark's built-in corr/covar_pop,
+    * whose float accumulation is partition-order-dependent and can never
+    * hash-match another engine. Each value is fixed-pointed (×100 → exact
+    * cents), every sum/product accumulates in decimal(38,0) (a per-group
+    * ee term reaches ~6×10¹⁹ at sf0.1 — past long range, trivially inside
+    * 38 digits), and the closed-form moments are evaluated in double ONLY
+    * at the very end, with the identical expression shape the oracle uses —
+    * so both engines perform the same IEEE ops on the same exact inputs.
+    * One partial+final hash agg; linear at 100 TB like q1.
+    */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val qi = round(col("l_quantity") * 100.0, 0).cast("decimal(18,0)")
+    val ei = round(col("l_extendedprice") * 100.0, 0).cast("decimal(18,0)")
+    val agg = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), qi.as("qi"), ei.as("ei"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qi")).as("q"),
+        sum(col("ei")).as("e"),
+        sum(col("qi") * col("qi")).as("qq"),
+        sum(col("ei") * col("ei")).as("ee"),
+        sum(col("qi") * col("ei")).as("qe"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    agg.select(
+        col("l_returnflag"),
+        col("n"),
+        round((nd * d("qe") - d("q") * d("e")) /
+          (sqrt(nd * d("qq") - d("q") * d("q")) *
+           sqrt(nd * d("ee") - d("e") * d("e"))), 6).as("corr_qty_price"),
+        round((nd * d("qe") - d("q") * d("e")) / (nd * nd) / 10000.0, 6)
+          .as("covar_pop_qty_price"),
+        round(sqrt(nd * d("qq") - d("q") * d("q")) / nd / 100.0, 6)
+          .as("stddev_pop_qty"))
+      .orderBy("l_returnflag")
+  }
 }
