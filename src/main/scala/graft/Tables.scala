@@ -23,6 +23,15 @@ object Tables {
     * Safe because Datasets are immutable and the test tables are static;
     * sessions here are process-lived, so strong keys don't leak. Paths the
     * engine WRITES (Stash stores, stream sinks) never go through Tables.
+    *
+    * ALIASING CONTRACT: repeated loads return the IDENTICAL DataFrame
+    * object, so its expression IDs are shared. Any query that self-joins a
+    * table must alias each side (`load(...).as("l")` / `.as("r")`) or
+    * derive fresh attributes (select-with-rename) before joining —
+    * otherwise the join condition resolves trivially-true/ambiguous.
+    * Every current self-join in the repo does this (q15/q36 rename, q59
+    * windows); the contract is recorded here because fresh exprIds per
+    * call used to mask the mistake.
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

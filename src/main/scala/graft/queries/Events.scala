@@ -213,18 +213,20 @@ object Events {
     * max/min value (max_by/min_by — DuckDB arg_max/arg_min), plus the max
     * itself. Single hash agg, no window, no join — the cheap way to answer
     * "which row attains the extreme" that is otherwise a rank-window pass.
-    * Ties on value are broken by event_id through an integer composite key
-    * (value is exact at 2 dp, so round(v·100)·10¹⁰ ± id is collision-free
-    * and identical in both engines): max_by prefers the LARGER id, min_by
-    * the larger id too (the −id term), pinning determinism.
+    * Ties on value are broken by event_id through a lexicographic STRUCT
+    * ordering key (value exact at 2 dp via round(v·100), then ±event_id),
+    * so determinism holds for ANY id range — the earlier integer composite
+    * key (round(v·100)·10¹⁰ + id) silently collided for ids ≥ 10¹⁰.
+    * max_by prefers the LARGER id, min_by the larger id too (the −id
+    * field), matching DuckDB's arg_max/arg_min tiebreak in the oracle.
     */
   def q57(spark: SparkSession, dir: String): DataFrame = {
-    val vk = round(col("value") * 100).cast("long") * 10000000000L
+    val vk = round(col("value") * 100).cast("long")
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        max_by(col("event_id"), vk + col("event_id")).as("emax"),
-        min_by(col("event_id"), vk - col("event_id")).as("emin"),
+        max_by(col("event_id"), struct(vk.as("v"), col("event_id").as("t"))).as("emax"),
+        min_by(col("event_id"), struct(vk.as("v"), (-col("event_id")).as("t"))).as("emin"),
         round(max(col("value")), 2).as("vmax"))
       .orderBy("event_type")
   }

@@ -673,10 +673,15 @@ object Pipeline {
     * GPT-style pretraining loader does). The global prefix sum is computed
     * scalably in two passes: an intra-bucket running sum (window partitioned
     * by a coarse doc_id bucket — parallel, never a single-partition
-    * WindowExec) plus per-bucket totals whose cumulative offsets come from a
-    * broadcast theta-join over the TINY totals table (#buckets rows). At
-    * 100 TB this is the textbook distributed scan: one narrow window per
-    * bucket + one broadcast, no global sort, no driver collect.
+    * WindowExec over the DATA) plus per-bucket totals whose cumulative
+    * offsets come from ONE running-sum window over the tiny totals table
+    * (#buckets rows — linear, where the previous broadcast theta-join was
+    * O(#buckets²)). At 100 TB this is the textbook distributed scan: one
+    * narrow window per bucket + one small sort + one broadcast, no global
+    * sort of the data, no driver collect. Size `bucketSize` so #buckets
+    * stays ≤ ~1e7 (the offsets table must sort in one task); at 100 TB
+    * that means thousands of docs per bucket, which the intra-bucket
+    * window handles in parallel.
     * Output: per window — docs starting in it, their total tokens, and how
     * many straddle the boundary (the padding/fragmentation signal).
     */
@@ -691,13 +696,14 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, -1)
     val intra = d.withColumn("intra_off", coalesce(sum("n_tok").over(intraW), lit(0L)))
     val totals = d.groupBy("bkt").agg(sum("n_tok").as("tot"))
-    // cumulative bucket offsets: rename before the self-join so the two
-    // sides share no lineage attributes (no ambiguous-resolution rescue)
-    val prior = totals.select(col("bkt").as("bkt2"), col("tot").as("tot2"))
+    // cumulative bucket offsets: an exclusive running sum over the totals
+    // table. The un-partitioned window IS a single task — by design: it
+    // sorts #buckets rows (bounded by doc_id range / bucketSize), never
+    // the data itself.
+    val offW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
-      .join(broadcast(prior), col("bkt2") < col("bkt"), "left")
-      .groupBy("bkt")
-      .agg(coalesce(sum("tot2"), lit(0L)).as("bkt_off"))
+      .withColumn("bkt_off", coalesce(sum("tot").over(offW), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
     intra.join(broadcast(offsets), "bkt")
       .withColumn("off", col("bkt_off") + col("intra_off"))
       .withColumn("bin", floor(col("off").cast("double") / budget).cast("long"))

@@ -81,10 +81,15 @@ object Relational {
 
   /** Broadcast hint gated on real plan-time statistics: applied only when
     * `bound`'s optimized-plan size (for a pruned parquet scan, the actual
-    * file footprint scaled by column pruning) fits the session broadcast
-    * threshold with a 4× width margin — sound when `df` derives from
+    * COMPRESSED file footprint scaled by column pruning) fits the session
+    * broadcast threshold with an 8× margin — sound when `df` derives from
     * `bound` by filters/joins-that-only-drop-rows/projections, since rows
-    * can only shrink and the margin absorbs any projection width growth.
+    * can only shrink, and the margin covers both projection width growth
+    * and parquet decompression (an explicit hint bypasses AQE's runtime
+    * size re-check, so the estimate must be conservative about in-memory
+    * expansion). A threshold-INDEPENDENT 256 MB cap on the expanded
+    * estimate bounds driver/executor memory even if a caller raises
+    * autoBroadcastJoinThreshold to something reckless.
     * The hint moves the broadcast decision from AQE runtime (which must
     * first materialize both sides' shuffle-map stages) to plan time; when
     * the bound is too big — any genuinely large input — NO hint is
@@ -92,8 +97,9 @@ object Relational {
     */
   def broadcastIfBounded(df: DataFrame, bound: DataFrame): DataFrame = {
     val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val sz = bound.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (threshold > 0 && sz * 4 <= threshold) broadcast(df) else df
+    val expanded = bound.queryExecution.optimizedPlan.stats.sizeInBytes * 8
+    val absCap = BigInt(256L * 1024 * 1024)
+    if (threshold > 0 && expanded <= threshold && expanded <= absCap) broadcast(df) else df
   }
 
   /** Q3 range/theta join: equi on orderkey + 90-day date band.
