@@ -84,6 +84,7 @@ object SparkEntry {
     "q59_seq_packing"     -> ((s, d) => Pipeline.q59(s, d)),
     "q60_exact_moments"   -> (Relational.q60 _),
     "q61_histogram"       -> (Events.q61 _),
+    "q62_decontamination" -> ((s, d) => Pipeline.q62(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -668,6 +669,27 @@ object SparkEntry {
         |  count(*) AS n,
         |  round(CAST(sum(CAST(round(value*10000) AS BIGINT)) AS DOUBLE)/10000.0, 4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // q62: q40's fingerprint fold defines the split; a val doc is
+    // contaminated if any 32-char shingle of lower(text) appears in any
+    // train doc. Same shingle construction as the q15 oracle, length 32.
+    "q62_decontamination" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, lower(text) AS lt,
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text,'')]),
+        |        (a,b) -> (a*31+b) % 1000000007) % 100 < 80
+        |      THEN 'train' ELSE 'val' END AS split
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT unnest([substr(lt, i, 32) FOR i IN range(1, len(lt)-30)]) AS sg
+        |       FROM f WHERE split='train' AND len(lt) >= 32),
+        |vs AS (SELECT doc_id, unnest(list_distinct([substr(lt, i, 32) FOR i IN range(1, len(lt)-30)])) AS sg
+        |       FROM f WHERE split='val' AND len(lt) >= 32),
+        |hit AS (SELECT DISTINCT vs.doc_id FROM vs JOIN tr USING (sg))
+        |SELECT source, count(*) AS n_val,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated
+        |FROM f WHERE split='val' GROUP BY 1 ORDER BY 1""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

@@ -220,10 +220,16 @@ object Events {
     * max_by prefers the LARGER id, min_by the larger id too (the −id
     * field), matching DuckDB's arg_max/arg_min tiebreak in the oracle.
     */
-  def q57(spark: SparkSession, dir: String): DataFrame = {
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    argExtremes(Tables.events(spark, dir))
+
+  /** The q57 aggregation over any (event_type, event_id, value) frame —
+    * split out so the boundary-id spec can feed ids ≥ 10¹⁰ (where the old
+    * integer composite key collided) without a table detour.
+    */
+  def argExtremes(df: DataFrame): DataFrame = {
     val vk = round(col("value") * 100).cast("long")
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
+    df.groupBy(col("event_type"))
       .agg(
         max_by(col("event_id"), struct(vk.as("v"), col("event_id").as("t"))).as("emax"),
         min_by(col("event_id"), struct(vk.as("v"), (-col("event_id")).as("t"))).as("emin"),

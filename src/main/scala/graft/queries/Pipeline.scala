@@ -445,6 +445,42 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** REAL-codec proof for the batched decode seam: decodes actual image
+    * payloads (PNG and the other javax.imageio formats — the one codec
+    * family available offline in a stock JVM) through the SAME batch API
+    * as [[mmDecodeBatched]], demonstrating that swapping the stub for a
+    * real decoder changes one function, not the pipeline. Input: any
+    * DataFrame with (doc_id: Long, payload: binary) — unlike the stub this
+    * is not tied to the documents table, because real image bytes come
+    * from an ingest (e.g. binaryFile source), not from text.
+    *
+    * Undecodable payloads yield (-1, -1, "undecodable") instead of
+    * throwing: at 100 TB a corrupt blob must mark its row, never kill the
+    * job. The decoder is per-element inside the batch because imageio has
+    * no bulk API; a JNI/Python codec would take the whole Seq at the same
+    * boundary.
+    */
+  def mmDecodeImages(spark: SparkSession, images: DataFrame,
+                     batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    images.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, payload) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: Exception => null }
+            if (img == null) MmMeta(id, payload.length.toLong, -1, -1, "undecodable")
+            else MmMeta(id, payload.length.toLong, img.getWidth, img.getHeight,
+              s"imageio-type-${img.getType}")
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "pixfmt")
+      .orderBy("doc_id")
+  }
+
   /** Shared tokenizer of the retrieval family (q42/q43/q44): the engine's
     * whitespace tokenizer ([[TextFunctions.tokens]]) as a `tk` column,
     * mirroring the DuckDB oracle's `list_filter(string_split(text,' '))`.
@@ -716,6 +752,46 @@ object Pipeline {
         sum("n_tok").as("bin_tok"),
         sum(when(col("bin_last") > col("bin"), 1L).otherwise(0L)).as("n_crossing"))
       .orderBy("bin")
+  }
+  /** q62: train/val decontamination census — the check a pretraining
+    * pipeline runs before trusting held-out metrics: which validation
+    * documents share a LONG exact character n-gram (32 chars ≈ a 6-word
+    * span on this corpus) with any training document. The split is q40's
+    * content-stable fingerprint fold (no seed, no ordering dependence), so
+    * the census itself is reproducible at any partitioning. 32-char
+    * shingles are the discriminative length here: at 16 chars (~3 words of
+    * a 30-word vocabulary) EVERY val doc collides by chance; at 32 only
+    * genuine near-dup leakage survives (8/119 at sf0.01 — the planted
+    * dups).
+    *
+    * Scale: one distinct-shuffle of train shingles, one semi-join of val
+    * shingles against them keyed on the shingle string — no cross join,
+    * no driver materialization. At 100 TB, join on xxhash64(shingle)
+    * instead of the 32-byte string to shrink shuffle bytes (the 2⁻⁶⁴
+    * collision rate is below any decontamination tolerance); the string
+    * key is kept here for exact oracle parity.
+    */
+  def q62(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("split",
+        when(pmod(PipelineExprs.polyFingerprint(col("text")), lit(100)) < 80, "train")
+          .otherwise("val"))
+    val trainSg = d.filter(col("split") === "train")
+      .select(explode(TextFunctions.shingles(col("text"), k)).as("sg"))
+      .distinct()
+    val valSg = d.filter(col("split") === "val")
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), k)).as("sg"))
+    val hit = valSg.join(trainSg, Seq("sg"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hitflag", lit(1L))
+    d.filter(col("split") === "val")
+      .select(col("doc_id"), col("source"))
+      .join(hit, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_val"),
+        sum(coalesce(col("hitflag"), lit(0L))).as("n_contaminated"))
+      .orderBy("source")
   }
 }
 

@@ -194,4 +194,30 @@ class OperatorsSpec extends SparkSpec {
     assert(banded * 2 < quadratic,
       s"banded pair scan $banded not < half of quadratic $quadratic")
   }
+
+  test("q57 arg-extremes tiebreak survives event_ids past the old 10^10 bound") {
+    import spark.implicits._
+    // the retired integer composite key (round(v*100)*1e10 + id) collided
+    // exactly here: ids >= 1e10 bled into the value digits. The struct key
+    // must keep ordering by value FIRST, then by id, at any id magnitude.
+    val big = 10000000000L // 1e10 — first id the old encoding corrupted
+    val df = Seq(
+      ("a", big + 7L, 5.00), ("a", big + 3L, 5.00), // tie on value, huge ids
+      ("a", 12L, 99.99),                            // larger value, small id
+      ("b", big + 1L, 1.00), ("b", 2L, 1.00),       // tie across the bound
+      ("b", 3L, 0.50),
+      // the smoking gun: a huge id on the SMALLER value. Old key for
+      // (6e10, 1.00) = 100e10 + 6e10 = 1.06e12 beat (5, 1.01)'s 1.01e12,
+      // returning the wrong arg-max; the struct key orders value first.
+      ("c", 6L * big, 1.00), ("c", 5L, 1.01)
+    ).toDF("event_type", "event_id", "value")
+    val got = graft.queries.Events.argExtremes(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // emax: row attaining max value (tiebreak: larger id); emin: min value
+    // (tiebreak: larger id); vmax: the max value itself
+    assert(got.toSeq == Seq(
+      ("a", 12L, big + 7L, 99.99), // min value 5.00 tie -> larger id wins
+      ("b", big + 1L, 3L, 1.00),   // max value 1.00 tie -> larger id wins
+      ("c", 5L, 6L * big, 1.01)))  // value outranks any id magnitude
+  }
 }

@@ -151,6 +151,39 @@ class PipelineSpec extends SparkSpec {
     assert(rate > 0.02 && rate < 0.25, f"sample rate $rate%.3f far from 10%%")
   }
 
+  test("mmDecodeImages: real PNG bytes decode through the batched seam") {
+    import spark.implicits._
+    // real codec proof: generate PNGs of known dimensions, ship them
+    // through the SAME (doc_id, payload) batch API as the stub, and read
+    // the dimensions back out of the actual bytes. One corrupt payload
+    // verifies the job survives undecodable blobs.
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(640, 480)), (2L, png(1, 1)), (3L, png(13, 257)),
+      (4L, "not an image".getBytes("UTF-8")), (5L, png(320, 200)))
+    val df = rows.toDF("doc_id", "payload").repartition(3)
+    val out = Pipeline.mmDecodeImages(spark, df, batchSize = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(byId(1L)._1 == 640 && byId(1L)._2 == 480)
+    assert(byId(2L)._1 == 1 && byId(2L)._2 == 1)
+    assert(byId(3L)._1 == 13 && byId(3L)._2 == 257)
+    assert(byId(5L)._1 == 320 && byId(5L)._2 == 200)
+    assert(byId(4L) == ((-1, -1, "undecodable")))
+    assert(byId(1L)._3.startsWith("imageio-type-"))
+    // n_bytes is the raw payload size, not the decoded size
+    val nb = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, bytes) => assert(nb(id) == bytes.length.toLong) }
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these
