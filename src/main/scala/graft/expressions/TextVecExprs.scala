@@ -94,6 +94,29 @@ object TextVecExprs {
     sig
   }
 
+  /** Distinct 64-bit hashes of lower(text)'s k-gram shingles, sorted —
+    * the single-pass replacement for `explode(transform(sequence...))`
+    * string shingling when only set membership matters (q62): no per-
+    * window string materialization, 8-byte join keys instead of k-byte
+    * strings. The 2⁻⁶⁴-collision caveat is the same one q15's hashed
+    * verify carries (proven brute-equal at three SFs).
+    */
+  def shingleHashes(text: Column, k: Int): Column = col(ShingleHashes(expr(text), k))
+
+  private[expressions] def shingleHashSet(s0: String, k: Int): Array[Long] = {
+    val s = s0.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val arr = new Array[Long](n)
+    var pos = 0
+    while (pos < n) { arr(pos) = mix64(windowHash(s, pos, k)); pos += 1 }
+    java.util.Arrays.sort(arr)
+    var w = 1
+    var i = 1
+    while (i < n) { if (arr(i) != arr(i - 1)) { arr(w) = arr(i); w += 1 }; i += 1 }
+    if (w == n) arr else java.util.Arrays.copyOf(arr, w)
+  }
+
   /** Band keys (bands longs) from a signature. */
   private[expressions] def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
     val rowsPerBand = sig.length / bands
@@ -131,6 +154,20 @@ case class MinHashBandKeys(child: Expression, k: Int, numHashes: Int, bands: Int
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+/** See [[TextVecExprs.shingleHashes]]. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextVecExprs.shingleHashSet(input.asInstanceOf[UTF8String].toString, k))
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 

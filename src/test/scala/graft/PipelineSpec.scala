@@ -151,6 +151,22 @@ class PipelineSpec extends SparkSpec {
     assert(rate > 0.02 && rate < 0.25, f"sample rate $rate%.3f far from 10%%")
   }
 
+  test("q62 hashed-shingle census == string-shingle census (oracle mirror)") {
+    // the shipped q62 joins on 64-bit shingle hashes; the oracle joins on
+    // the strings themselves. Byte-equality of the censuses at two scales
+    // is the no-collision evidence (same argument as q15's hashed verify).
+    for (dir <- Seq(sf0001, sf001)) {
+      val hashed = Pipeline.q62(spark, dir).collect().toSeq
+      val strings = Pipeline.q62StringShingles(spark, dir).collect().toSeq
+      assert(hashed == strings, s"hashed vs string census diverged at $dir")
+    }
+    // the census is non-degenerate: some val docs contaminated, not all
+    val rows = Pipeline.q62(spark, sf001).collect()
+    val (nv, nc) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
+      (a + r.getLong(1), b + r.getLong(2)) }
+    assert(nc > 0 && nc < nv, s"degenerate census: $nc of $nv")
+  }
+
   test("mmDecodeImages: real PNG bytes decode through the batched seam") {
     import spark.implicits._
     // real codec proof: generate PNGs of known dimensions, ship them
