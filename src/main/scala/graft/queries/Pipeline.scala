@@ -786,13 +786,16 @@ object Pipeline {
 
   private def decontamCensus(spark: SparkSession, dir: String,
                              shingleArr: org.apache.spark.sql.Column): DataFrame = {
-    // (split, shingle-set) is computed ONCE and localCheckpointed: three
-    // branches read it (train shingles, val shingles, val census) and
-    // would otherwise re-shingle the corpus per branch. The repartition
-    // spreads the work past the single-file scan's row-group cap (3 input
-    // partitions at bench scale); at 100 TB multi-file inputs arrive
-    // already parallel and the repartition coalesces to a no-op-sized
-    // shuffle relative to the shingle work it unlocks.
+    // The repartition spreads the shingle work past the single-file
+    // scan's row-group cap (3 input partitions at bench scale); at 100 TB
+    // multi-file inputs arrive already parallel and it coalesces to a
+    // no-op-sized shuffle relative to the shingle work it unlocks. The
+    // three branches (train shingles, val shingles, val census) recompute
+    // this projection rather than localCheckpoint-ing it: the single-pass
+    // ShingleHashes expression made recompute cheap (~0.3 s/branch at
+    // sf0.1), while an eager checkpoint pins non-evictable storage blocks
+    // per invocation — session-state the repeated-run bench showed
+    // interacting badly with everything else's memory.
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
@@ -801,13 +804,19 @@ object Pipeline {
         when(pmod(PipelineExprs.polyFingerprint(col("text")), lit(100)) < 80, "train")
           .otherwise("val").as("split"),
         shingleArr.as("sgs"))
-      .localCheckpoint()
     // no distinct() on the train side: a left-semi probe dedupes
     // inherently, and the per-doc sets are already distinct, so a distinct
     // here would only add a full aggregation pass over the biggest
-    // intermediate for nothing
+    // intermediate for nothing. shuffle_hash hint: the train side is the
+    // whole training corpus's shingle set — at 100 TB it can never
+    // broadcast, and at bench scale letting a generous broadcast
+    // threshold collect ~2.3M rows to the driver per run is pure
+    // allocation churn (measured: it turns host stall windows into 10×
+    // GC amplification). The shuffle join is the honest plan at every
+    // scale; the keys are 8-byte longs, so the exchange is cheap.
     val trainSg = d.filter(col("split") === "train")
       .select(explode(col("sgs")).as("sg"))
+      .hint("shuffle_hash")
     val valSg = d.filter(col("split") === "val")
       .select(col("doc_id"), explode(col("sgs")).as("sg"))
     val hit = valSg.join(trainSg, Seq("sg"), "left_semi")
