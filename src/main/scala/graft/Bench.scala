@@ -436,13 +436,24 @@ object Bench {
         SparkEntry.oracleSql.get(name).foreach { sql =>
           sidecar.measure(name, sql).foreach { o => oracleSec.put(name, o) }
         }
-    def markSuspectIfInflated(name: String, t: Double): Unit =
+    def markSuspectIfInflated(name: String, t: Double): Unit = {
       prior.get(name).foreach { p =>
         if (p > 0 && t > 5 * p) {
           suspect.add(name)
           System.err.println(f"[bench] $name SUSPECT: $t%.3f s > 5x prior best $p%.3f s")
         }
       }
+      // no-prior guard (new queries): a median far above the query's OWN
+      // warm time means a stall covered the whole timed block uniformly
+      // (the intra-block spread detector can't see a uniform stall; warm
+      // ran minutes earlier). Warm includes first-ever JIT/codegen, so a
+      // clean median is normally BELOW warm — 5× above it is pathological.
+      val w0 = warm.getOrElse(name, -1.0)
+      if (!prior.contains(name) && w0 > 0 && t > 5 * w0) {
+        suspect.add(name)
+        System.err.println(f"[bench] $name SUSPECT: $t%.3f s > 5x own warm $w0%.3f s")
+      }
+    }
 
     for (((name, fn), idx) <- ordered.zipWithIndex) {
       // reserve one estimated run for every query after this one
@@ -504,10 +515,16 @@ object Bench {
     // of old and new (a stall can only inflate), re-time the oracle
     // alongside so the pair stays contemporaneous, and clear the flags
     // when the re-probe produced a clean, un-inflated timed value.
+    // The re-probe phase gets a 15% budget extension past the deadline:
+    // a degraded run arrives here with the deadline already spent, which
+    // previously meant the queries MOST in need of a clean re-probe never
+    // got one. The extension is bounded and the shutdown hook still emits
+    // if the driver kills us inside it.
     {
       import scala.jdk.CollectionConverters._
+      val reprobeDeadline = deadlineSec * 1.15
       val toProbe = suspect.asScala.toSeq.sorted
-      for (name <- toProbe if deadlineSec - elapsed() > est(name) + 5.0) {
+      for (name <- toProbe if reprobeDeadline - elapsed() > est(name) + 5.0) {
         ordered.find(_._1 == name).foreach { case (_, fn) =>
           try {
             val (t1, censored) = timeOnce(s"$name-reprobe", fn, warmCapSec)
