@@ -85,6 +85,10 @@ object SparkEntry {
     "q60_exact_moments"   -> (Relational.q60 _),
     "q61_histogram"       -> (Events.q61 _),
     "q62_decontamination" -> ((s, d) => Pipeline.q62(s, d)),
+    "q63_canonical_docs"  -> (Pipeline.q63 _),
+    "q64_inverted_index"  -> (Pipeline.q64 _),
+    "q65_familiarity"     -> (Pipeline.q65 _),
+    "q66_source_mixture"  -> (Pipeline.q66 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -690,6 +694,87 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_contaminated
         |FROM f WHERE split='val' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q63: q35's recursive reachability labels + q26's per-row quality
+    // score; the kept doc is the quality argmax (doc_id tiebreak) per
+    // cluster, expressed as a window rank.
+    "q63_canonical_docs" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([substr(lower(text), i, 8) FOR i IN range(1, len(text)-6)]) AS sg
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sg,b.sg)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sg,b.sg))) AS DOUBLE) >= 0.6),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION SELECT idb, ida FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |labels AS (SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS nt,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE) AS nonalpha,
+        |    CAST(len(list_filter(string_split(lower(text),' '),
+        |          x -> list_contains(STOPWORDS, x))) AS DOUBLE) AS sw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, round((
+        |      (CASE WHEN (CASE WHEN nt > 0 THEN nc/nt ELSE 0 END) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+        |      + (CASE WHEN nc > 0 THEN (nc - nonalpha)/nc ELSE 0 END)
+        |      + (CASE WHEN (CASE WHEN nt > 0 THEN sw/nt ELSE 0 END) > 0.02 THEN 1.0 ELSE 0.5 END)
+        |    ) / 3.0, 4) AS q
+        |  FROM f),
+        |j AS (SELECT l.group_id, l.doc_id, s.q FROM labels l JOIN s USING (doc_id)),
+        |r AS (SELECT group_id, doc_id, q,
+        |      row_number() OVER (PARTITION BY group_id ORDER BY q DESC, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY group_id) AS n_members FROM j)
+        |SELECT group_id, doc_id, CAST(n_members AS BIGINT) AS n_members, q
+        |FROM r WHERE rn = 1 ORDER BY group_id""".stripMargin,
+
+    "q64_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT tok, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+        |r AS (SELECT tok, doc_id, tf,
+        |      row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY tok) AS df,
+        |      sum(tf) OVER (PARTITION BY tok) AS cf FROM tf)
+        |SELECT tok, df, CAST(cf AS BIGINT) AS cf, doc_id AS top_doc, tf AS top_tf
+        |FROM r WHERE rn = 1 AND df >= 5 ORDER BY df DESC, tok LIMIT 100""".stripMargin,
+
+    // q65: trigram strings here mirror the 64-bit trigram hashes the engine
+    // joins on (same construction as q62's shingle census).
+    "q65_familiarity" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text,'')]),
+        |        (a,b) -> (a*31+b) % 1000000007) % 100 < 80 THEN 1 ELSE 0 END AS is_train,
+        |    list_distinct([substr(lower(text), i, 3) FOR i IN range(1, len(text)-1)]) AS sgs
+        |  FROM documents WHERE length(text) >= 3),
+        |tr AS (SELECT sg, count(*) AS df
+        |       FROM (SELECT unnest(sgs) AS sg FROM g WHERE is_train = 1) GROUP BY 1),
+        |e AS (SELECT doc_id, lang, len(sgs) AS n_sg, unnest(sgs) AS sg FROM g),
+        |s AS (SELECT e.doc_id, e.lang, e.n_sg, sum(least(coalesce(tr.df, 0), 100)) AS fs
+        |      FROM e LEFT JOIN tr USING (sg) GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, round(CAST(fs AS DOUBLE)/n_sg, 4) AS fam
+        |FROM s ORDER BY fam, doc_id LIMIT 20""".stripMargin,
+
+    "q66_source_mixture" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text,'')]),
+        |      (a,b) -> (a*31+b) % 1000000007) % 10000 AS b
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs FROM f GROUP BY 1),
+        |t AS (SELECT source, n_docs,
+        |      CAST((10000 * (SELECT min(n_docs) FROM c)) // n_docs AS BIGINT) AS threshold FROM c)
+        |SELECT source, t.n_docs, t.threshold,
+        |  CAST(sum(CASE WHEN f.b < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM f JOIN t USING (source) GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

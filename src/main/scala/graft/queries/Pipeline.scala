@@ -831,6 +831,136 @@ object Pipeline {
         sum(coalesce(col("hitflag"), lit(0L))).as("n_contaminated"))
       .orderBy("source")
   }
+
+  /** q63: canonical-document selection — the half of dedup that q39 leaves
+    * open. q39 keeps the smallest-id member of each near-dup cluster; a
+    * real pipeline keeps the BEST member. Per q35 cluster, the member with
+    * the highest quality score (qualityScore is pre-rounded to 4dp, so the
+    * argmax is exact), smallest doc_id on ties. Output one row per
+    * multi-member cluster: the kept doc, the cluster size, the kept score.
+    *
+    * Shape: q35's labels (dup-cluster members only — a small fraction of
+    * the corpus) join the per-doc score projection on doc_id, then one
+    * groupBy(group_id) with a struct-max argmax — ordinary partial+final
+    * agg, no window, no second shuffle beyond the join. At 100 TB the
+    * labels side stays proportional to the duplicate population, and the
+    * score projection is computed only for joined rows (column-pruned scan
+    * of doc_id + text).
+    */
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val labels = q35(spark, dir) // (doc_id, group_id), multi-member groups only
+    val scores = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+    labels.join(scores, Seq("doc_id"))
+      .groupBy("group_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        // struct ordering: max q first, then max (-doc_id) = min doc_id
+        max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("group_id"), (-col("w.nid")).as("doc_id"),
+        col("n_members"), col("w.q").as("q"))
+      .orderBy("group_id")
+  }
+
+  /** q64: inverted-index materialization — the retrieval primitive under
+    * q42/q43 made explicit. Token postings are built as (token, doc) term
+    * frequencies, then folded per token into document frequency, corpus
+    * frequency, and the argmax posting (highest-tf doc, smallest id on
+    * ties). Output: the 100 highest-df tokens with df >= 5.
+    *
+    * Scale: explode → two keyed aggregations. Both have map-side partial
+    * aggregation, so a hot token (stopword-grade skew) arrives at the
+    * final agg as one partial row per map task, never as its raw posting
+    * list — aggregation skew, unlike join skew, is absorbed by partial
+    * combine. The top-100 is a TakeOrderedAndProject, not a global sort.
+    */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy("tok")
+      .agg(
+        count(lit(1)).as("df"), // (tok, doc) rows are distinct => doc count
+        sum(col("tf")).as("cf"),
+        max(struct(col("tf").as("tf"), (-col("doc_id")).as("nid"))).as("w"))
+      .filter(col("df") >= 5)
+      .select(col("tok"), col("df"), col("cf"),
+        (-col("w.nid")).as("top_doc"), col("w.tf").as("top_tf"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(100)
+  }
+
+  /** q65: n-gram familiarity scoring — the distribution-shift filter of a
+    * training pipeline ("which candidate documents look least like the
+    * training corpus?"). The training split (q40's content fingerprint,
+    * mod-100 < 80) defines a character-trigram document-frequency table;
+    * every document (>= 3 chars) scores the mean over its DISTINCT
+    * trigrams of min(train_df, 100) — a capped-DF familiarity, integer
+    * arithmetic until one final division so the 4dp rounding is exact
+    * cross-engine. Output: the 20 least-familiar documents (the drop
+    * list), ascending score, doc_id tiebreak.
+    *
+    * Scale: the trigram DF table is bounded by the cube of the alphabet
+    * size, NOT by corpus size — it is broadcastable at any scale, so the
+    * per-document scoring join ships zero bytes of the corpus. The
+    * explode-side groupBy(doc_id) folds through partial aggregation
+    * (trigram rows of one doc are co-partitioned by the scan). Join keys
+    * are the same 64-bit shingle hashes as q62 (collision caveat
+    * spec-covered there); the oracle computes the identical counts over
+    * the trigram strings.
+    */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 3)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(
+        col("doc_id"), col("lang"),
+        (pmod(PipelineExprs.polyFingerprint(col("text")), lit(100)) < 80).as("is_train"),
+        TextVecExprs.shingleHashes(col("text"), 3).as("sgs"))
+    val trainDf = d.filter(col("is_train"))
+      .select(explode(col("sgs")).as("sg"))
+      .groupBy("sg").agg(count(lit(1)).as("df")) // per-doc sets distinct => doc count
+    d.select(col("doc_id"), col("lang"), size(col("sgs")).as("n_sg"),
+        explode(col("sgs")).as("sg"))
+      .join(broadcast(trainDf), Seq("sg"), "left")
+      .groupBy("doc_id", "lang", "n_sg")
+      .agg(sum(least(coalesce(col("df"), lit(0L)), lit(100L))).as("fs"))
+      .select(col("doc_id"), col("lang"),
+        round(col("fs").cast("double") / col("n_sg"), 4).as("fam"))
+      .orderBy(col("fam"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** q66: balanced source mixture — static data-mixing: downsample every
+    * source to the size of the smallest one, deterministically, from
+    * content alone. The keep decision is `fingerprint mod 10000 <
+    * floor(10000 * min_count / source_count)` — integer arithmetic end to
+    * end, so the same document is kept on every run, any cluster, any
+    * partitioning (the mixture analog of q40's stable split). Output: the
+    * per-source census (size, integer keep-threshold, kept count).
+    *
+    * Scale: per-source counts are one keyed agg; the thresholds table has
+    * one row per source, so the min is a single-partition window over a
+    * tiny table (same shape as q59's offsets — never a theta join) and the
+    * threshold join back to the corpus is a broadcast.
+    */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        pmod(PipelineExprs.polyFingerprint(col("text")), lit(10000)).as("b"))
+    val thresholds = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("min_n", min(col("n_docs")).over(Window.partitionBy()))
+      // `div`, not `/`: Spark's Divide is double division, and a correctly-
+      // rounded double can land on the wrong side of the floor boundary;
+      // integer `div` matches DuckDB's `//` exactly at any magnitude
+      .select(col("source"), col("n_docs"),
+        expr("(10000 * min_n) div n_docs").as("threshold"))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .groupBy("source", "n_docs", "threshold")
+      .agg(sum(when(col("b") < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

@@ -212,4 +212,89 @@ class PipelineSpec extends SparkSpec {
         r.getInt(3) >= 1 && r.getInt(3) <= 1080 && r.getString(4) == "stub-rgb8"
     })
   }
+
+  test("q63 canonical docs: winner is the quality argmax of its own cluster") {
+    import graft.functions.TextFunctions
+    val labels = Pipeline.q35(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> group_id
+    val q = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = labels.groupBy(_._2).map { case (gid, members) =>
+      val ids = members.keys.toSeq
+      val best = ids.map(id => (q(id), id)).sortBy { case (s, id) => (-s, id) }.head
+      gid -> (best._2, ids.size.toLong, best._1)
+    }
+    val got = Pipeline.q63(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    assert(got.values.forall(_._2 >= 2), "every q35 cluster has >= 2 members")
+  }
+
+  test("q64 inverted index: df/cf/argmax agree with a brute token recount") {
+    val brute = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (t, r.getLong(0))))
+      .groupBy(_._1).map { case (tok, occ) =>
+        val perDoc = occ.groupBy(_._2).map { case (d, o) => d -> o.length.toLong }
+        val (topDoc, topTf) = perDoc.toSeq.sortBy { case (d, c) => (-c, d) }.head
+        tok -> (perDoc.size.toLong, perDoc.values.sum, topDoc, topTf)
+      }
+    val expected = brute.filter(_._2._1 >= 5).toSeq
+      .sortBy { case (tok, (df, _, _, _)) => (-df, tok) }.take(100)
+    val got = Pipeline.q64(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q65 familiarity: hashed-trigram scoring equals the string-shingle form") {
+    import graft.expressions.PipelineExprs
+    import graft.functions.TextFunctions
+    // mirror q65 with string trigrams (the oracle's construction) — proves
+    // the 64-bit trigram hashes are collision-free on this corpus and the
+    // join/agg shape is value-identical
+    val d = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        (pmod(PipelineExprs.polyFingerprint(col("text")), lit(100)) < 80).as("is_train"),
+        TextFunctions.shingles(col("text"), 3).as("sgs"))
+    val trainDf = d.filter(col("is_train"))
+      .select(explode(col("sgs")).as("sg"))
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+    val ref = d.select(col("doc_id"), col("lang"), size(col("sgs")).as("n_sg"),
+        explode(col("sgs")).as("sg"))
+      .join(trainDf, Seq("sg"), "left")
+      .groupBy("doc_id", "lang", "n_sg")
+      .agg(sum(least(coalesce(col("df"), lit(0L)), lit(100L))).as("fs"))
+      .select(col("doc_id"), col("lang"),
+        round(col("fs").cast("double") / col("n_sg"), 4).as("fam"))
+      .orderBy(col("fam"), col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val got = Pipeline.q65(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == ref)
+    assert(got.forall { case (_, _, fam) => fam >= 0.0 && fam <= 100.0 })
+  }
+
+  test("q66 source mixture: smallest source keeps everything, rest downsample") {
+    val rows = Pipeline.q66(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val minN = rows.map(_._2).min
+    rows.foreach { case (src, nDocs, threshold, nKept) =>
+      assert(threshold == 10000L * minN / nDocs, s"$src threshold")
+      assert(threshold <= 10000L && nKept <= nDocs, s"$src bounds")
+      if (nDocs == minN)
+        assert(threshold == 10000L && nKept == nDocs, s"min source $src keeps all")
+      // the content-hash buckets are near-uniform: kept count tracks the
+      // threshold fraction within a loose band
+      val expectedFrac = threshold.toDouble / 10000.0
+      assert(math.abs(nKept.toDouble / nDocs - expectedFrac) <= 0.25,
+        s"$src kept ${nKept}/${nDocs} vs frac $expectedFrac")
+    }
+    // determinism: content-derived, partitioning-free
+    val again = Pipeline.q66(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -168,4 +168,20 @@ class PlanSpec extends SparkSpec {
       assert(!j.head().isNullAt(0))
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("q64: postings top-100 plans as TakeOrderedAndProject over partial aggs") {
+    val s = planString(graft.queries.Pipeline.q64(spark, sf0001))
+    assert(s.contains("TakeOrderedAndProject"), s"plan:\n$s")
+    // both aggregation levels must have a partial (map-side) stage — that
+    // is what absorbs hot-token skew before any shuffle
+    assert(s.split("\n").count(_.contains("HashAggregate")) >= 4,
+      s"missing partial aggregation stage:\n$s")
+  }
+
+  test("q65: the trigram-DF join is a broadcast (bounded-vocabulary side)") {
+    val s = planString(graft.queries.Pipeline.q65(spark, sf0001))
+    assert(s.contains("BroadcastHashJoin"), s"plan:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"trigram DF join fell back to a shuffle join:\n$s")
+  }
 }
