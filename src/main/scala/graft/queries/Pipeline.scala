@@ -839,13 +839,16 @@ object Pipeline {
     * argmax is exact), smallest doc_id on ties. Output one row per
     * multi-member cluster: the kept doc, the cluster size, the kept score.
     *
-    * Shape: q35's labels (dup-cluster members only — a small fraction of
-    * the corpus) join the per-doc score projection on doc_id, then one
-    * groupBy(group_id) with a struct-max argmax — ordinary partial+final
-    * agg, no window, no second shuffle beyond the join. At 100 TB the
-    * labels side stays proportional to the duplicate population, and the
-    * score projection is computed only for joined rows (column-pruned scan
-    * of doc_id + text).
+    * Shape: q35's labels (dup-cluster members only) join the per-doc score
+    * projection on doc_id, then one groupBy(group_id) with a struct-max
+    * argmax — ordinary partial+final agg, no window, no second shuffle
+    * beyond the join. The score is deliberately computed BEFORE the join,
+    * for every document: that is one embarrassingly-parallel CPU pass over
+    * the column-pruned (doc_id, text) scan with no shuffle, and the join
+    * then ships 12 bytes per doc instead of the text itself — at 100 TB,
+    * scoring all docs map-side is far cheaper than shuffling member text
+    * to score after the join (and a dup population can be a large fraction
+    * of a web corpus, so the labels side is not reliably broadcastable).
     */
   def q63(spark: SparkSession, dir: String): DataFrame = {
     val labels = q35(spark, dir) // (doc_id, group_id), multi-member groups only
