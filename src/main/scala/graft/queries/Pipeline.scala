@@ -948,8 +948,17 @@ object Pipeline {
     * tiny table (same shape as q59's offsets — never a theta join) and the
     * threshold join back to the corpus is a broadcast.
     */
-  def q66(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def q66(spark: SparkSession, dir: String): DataFrame =
+    sourceMixture(Tables.documents(spark, dir))
+
+  /** The q66 operator over an arbitrary (source, text) frame. Split out
+    * because the generator's corpus is perfectly source-balanced (every
+    * threshold lands at 10000), so the oracle can never exercise the
+    * partial-keep branch — the spec drives THIS on a skewed subset of the
+    * real testdata instead.
+    */
+  def sourceMixture(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("source"),
         pmod(PipelineExprs.polyFingerprint(col("text")), lit(10000)).as("b"))
     val thresholds = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))

@@ -297,4 +297,34 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("q66 operator on a skewed corpus: partial-keep branch matches a brute recount") {
+    import graft.expressions.PipelineExprs
+    // the generator's corpus is perfectly balanced (all thresholds 10000),
+    // so build real skew from real data: sources src0..src9 keep all docs,
+    // the rest only the lower half of the id range (doc_id stripes sources
+    // mod 20, so a modulus cut would select whole sources — a range cut
+    // halves each remaining source instead)
+    val skewed = Tables.documents(spark, sf001)
+      .filter(col("source").isin((0 until 10).map("src" + _): _*) ||
+        col("doc_id") < 250)
+    val got = Pipeline.sourceMixture(skewed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute recount from the same frame's fingerprint buckets
+    val buckets = skewed
+      .select(col("source"),
+        pmod(PipelineExprs.polyFingerprint(col("text")), lit(10000)).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = buckets.groupBy(_._1)
+    val minN = bySrc.values.map(_.length).min
+    val expected = bySrc.toSeq.map { case (src, bs) =>
+      val threshold = 10000L * minN / bs.length
+      (src, bs.length.toLong, threshold, bs.count(_._2 < threshold).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // the skew must actually exercise the partial-keep branch
+    assert(got.exists { case (_, _, threshold, nKept) =>
+      threshold < 10000L && nKept < minN * 2 })
+    assert(got.exists(_._3 == 10000L), "smallest sources keep everything")
+  }
 }
