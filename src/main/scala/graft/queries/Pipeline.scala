@@ -850,10 +850,20 @@ object Pipeline {
     * to score after the join (and a dup population can be a large fraction
     * of a web corpus, so the labels side is not reliably broadcastable).
     */
-  def q63(spark: SparkSession, dir: String): DataFrame = {
-    val labels = q35(spark, dir) // (doc_id, group_id), multi-member groups only
-    val scores = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+  def q63(spark: SparkSession, dir: String): DataFrame =
+    canonicalByScore(
+      q35(spark, dir), // (doc_id, group_id), multi-member groups only
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q")))
+
+  /** The q63 operator over arbitrary (doc_id, group_id) labels and
+    * (doc_id, q) scores. Split out because near-dup members of the
+    * generator's corpus all score identically (exact copies), so on the
+    * oracle data the quality argmax can never disagree with the min-id
+    * tiebreak — the spec drives THIS with a score that forces a
+    * non-minimal winner.
+    */
+  def canonicalByScore(labels: DataFrame, scores: DataFrame): DataFrame =
     labels.join(scores, Seq("doc_id"))
       .groupBy("group_id")
       .agg(
@@ -863,7 +873,6 @@ object Pipeline {
       .select(col("group_id"), (-col("w.nid")).as("doc_id"),
         col("n_members"), col("w.q").as("q"))
       .orderBy("group_id")
-  }
 
   /** q64: inverted-index materialization — the retrieval primitive under
     * q42/q43 made explicit. Token postings are built as (token, doc) term

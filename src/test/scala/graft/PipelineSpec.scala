@@ -327,4 +327,33 @@ class PipelineSpec extends SparkSpec {
       threshold < 10000L && nKept < minN * 2 })
     assert(got.exists(_._3 == 10000L), "smallest sources keep everything")
   }
+
+  test("q63 operator: a score gradient forces non-minimal winners (argmax, not min-id)") {
+    // exact near-dup copies all score identically, so the oracle data can
+    // never distinguish the quality argmax from the min-id tiebreak; drive
+    // the operator with score = doc_id so the winner MUST be the LARGEST
+    // member of every cluster
+    val labels = Pipeline.q35(spark, sf0001)
+    val ascScores = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("doc_id").cast("double").as("q"))
+    val got = Pipeline.canonicalByScore(labels, ascScores).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val members = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (g, m) => g -> m.map(_._1) }
+    assert(got.keySet == members.keySet)
+    members.foreach { case (g, ids) =>
+      val (winner, n, q) = got(g)
+      assert(winner == ids.max, s"group $g: expected max-id winner")
+      assert(n == ids.length.toLong && q == ids.max.toDouble)
+      assert(winner != ids.min || ids.length == 1,
+        s"group $g never exercised a non-minimal winner")
+    }
+    // and a constant score must fall back to the min-id tiebreak
+    val tieScores = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), lit(1.0).as("q"))
+    val tied = Pipeline.canonicalByScore(labels, tieScores).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    members.foreach { case (g, ids) => assert(tied(g) == ids.min) }
+  }
 }
