@@ -94,8 +94,16 @@ object Bench {
   private def loadPriorMedians(): Map[String, Double] = {
     val acc = scala.collection.mutable.Map[String, Double]()
     scala.util.Try {
-      val files = new java.io.File(".").listFiles()
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      // two sources: the driver's per-round envelopes, and the repo's
+      // committed full-detail runs (tools/bench_full_*). The latter matter
+      // since round 7: the driver's tail capture is 2000 chars and the
+      // 68-query detail line no longer fits, so the stdout line is now a
+      // compact B-set summary and only the detail files carry every median.
+      val envelope = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      val detail = Option(new java.io.File("tools").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("bench_full_"))
+      val files = (envelope ++ detail).sortBy(_.getName)
       files.foreach { f =>
         // the driver embeds the bench's JSON line inside a "tail" string
         // field, so its quotes are escaped on disk — unescape before
@@ -141,8 +149,9 @@ object Bench {
     * out, the sidecar is marked dead and the bench simply reports no
     * oracle/ratio fields, never an error.
     */
-  private final class OracleSidecar(dataDir: String, scratch: String) {
+  private final class OracleSidecar(dataDir: String, scratch: String, threads: String) {
     @volatile private var dead = false
+    private var restartsLeft = 2
     private var proc: Process = _
     private var toProc: java.io.BufferedWriter = _
     private val reader = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
@@ -157,7 +166,9 @@ object Bench {
         |    print(json.dumps({"fatal": str(e)[:200]}), flush=True); sys.exit(0)
         |con = duckdb.connect()
         |try:
-        |    con.execute("SET threads=32")
+        |    # parallelism must mirror the engine's (SPARK_GRAFT_CPUS), or the
+        |    # contemporaneous ratio is systematically skewed on non-32-cpu hosts
+        |    con.execute("SET threads=%d" % int(sys.argv[2]))
         |except Exception:
         |    pass
         |d = sys.argv[1]
@@ -189,7 +200,7 @@ object Bench {
     def start(): Unit = try {
       val path = java.nio.file.Paths.get(scratch, "oracle_sidecar.py")
       java.nio.file.Files.writeString(path, script)
-      val pb = new ProcessBuilder("python3", "-u", path.toString, dataDir)
+      val pb = new ProcessBuilder("python3", "-u", path.toString, dataDir, threads)
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       proc = pb.start()
@@ -229,13 +240,29 @@ object Bench {
           case Some(line) =>
             System.err.println(s"[bench] oracle $name: $line"); None
           case None =>
-            System.err.println(s"[bench] oracle $name timed out; sidecar retired")
-            kill(); None
+            System.err.println(s"[bench] oracle $name timed out")
+            restartOrRetire(); None
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] oracle $name failed: ${e.getMessage}")
-        kill(); None
+        restartOrRetire(); None
       }
+    }
+
+    /** One stalled response must not retire co-measurement for every later
+      * query (a whole-run ratio regime losing its baseline half-way is the
+      * r6-advice failure mode). A hung duckdb query can't be cancelled over
+      * the line protocol, so kill the process and start a fresh one —
+      * views re-register in ~100 ms. Bounded restarts: a sidecar that dies
+      * twice is genuinely broken and stays dead (fail-soft, no error).
+      */
+    private def restartOrRetire(): Unit = {
+      if (proc != null) proc.destroyForcibly()
+      if (restartsLeft > 0) {
+        restartsLeft -= 1
+        System.err.println(s"[bench] oracle sidecar restarting ($restartsLeft restarts left)")
+        start()
+      } else { dead = true; System.err.println("[bench] oracle sidecar retired") }
     }
 
     def kill(): Unit = { dead = true; if (proc != null) proc.destroyForcibly() }
@@ -320,6 +347,13 @@ object Bench {
     val suspect = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val floors = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val printed = new AtomicBoolean(false)
+    // Two-line emission (round-6 lesson): the driver keeps only the LAST
+    // ~2000 chars of stdout, and the full 68-query detail line outgrew
+    // that — BENCH_r06's tail lost the headline "metric"/"value" fields.
+    // So the FULL detail object goes to a repo file (and an early stdout
+    // line, for logs), and the FINAL stdout line is a compact summary —
+    // headline total, the graded B-set with its contemporaneous oracle
+    // times and ratios, flags, floors — sized to always fit the tail.
     def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
       def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
       def qmap(m: Seq[(String, Double)]): String =
@@ -336,7 +370,18 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val fl = floors.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + num(v) + "," }.mkString
-      println(s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"queries":${qmap(snap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"est":${qarr(estimated.asScala.toSeq)},"suspect":${qarr(suspect.asScala.toSeq)},$fl"sf":"$sfDir"}""")
+      val estAll = estimated.asScala.toSeq
+      val susAll = suspect.asScala.toSeq
+      val detail = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"queries":${qmap(snap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"est":${qarr(estAll)},"suspect":${qarr(susAll)},$fl"sf":"$sfDir"}"""
+      val detailPath = "tools/bench_full_latest.json"
+      scala.util.Try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
+      }
+      println(detail)
+      val bsnap = snap.filter(p => bset.contains(p._1))
+      val compact = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"bset_queries":${qmap(bsnap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"est_n":${estAll.size},"suspect_n":${susAll.size},"est_bset":${qarr(estAll.filter(bset.contains))},"suspect_bset":${qarr(susAll.filter(bset.contains))},$fl"detail":"$detailPath","sf":"$sfDir"}"""
+      println(compact)
       System.out.flush()
     }
     val hook = new Thread(() => emit(partial = true))
@@ -345,7 +390,7 @@ object Bench {
     val prior = loadPriorMedians()
     if (prior.nonEmpty) System.err.println(s"[bench] regression baseline: ${prior.size} prior medians (best non-flagged across rounds)")
 
-    val sidecar = new OracleSidecar(runDir, scratch)
+    val sidecar = new OracleSidecar(runDir, scratch, cpus)
     sidecar.start()
 
     // One bounded engine execution under a watchdog: if the cap fires, the
@@ -436,24 +481,31 @@ object Bench {
         SparkEntry.oracleSql.get(name).foreach { sql =>
           sidecar.measure(name, sql).foreach { o => oracleSec.put(name, o) }
         }
-    def markSuspectIfInflated(name: String, t: Double): Unit = {
-      prior.get(name).foreach { p =>
-        if (p > 0 && t > 5 * p) {
-          suspect.add(name)
-          System.err.println(f"[bench] $name SUSPECT: $t%.3f s > 5x prior best $p%.3f s")
-        }
-      }
-      // no-prior guard (new queries): a median far above the query's OWN
-      // warm time means a stall covered the whole timed block uniformly
-      // (the intra-block spread detector can't see a uniform stall; warm
-      // ran minutes earlier). Warm includes first-ever JIT/codegen, so a
-      // clean median is normally BELOW warm — 5× above it is pathological.
-      val w0 = warm.getOrElse(name, -1.0)
-      if (!prior.contains(name) && w0 > 0 && t > 5 * w0) {
-        suspect.add(name)
-        System.err.println(f"[bench] $name SUSPECT: $t%.3f s > 5x own warm $w0%.3f s")
-      }
+    // The FULL inflation predicate, shared by the first-pass flagging and
+    // the end-of-run re-probe unflagging (the r6 advice caught the re-probe
+    // rechecking only the prior-median arm, so a new query whose re-probe
+    // was still >5x its warm time got silently unflagged):
+    //  - prior arm: >5x the best non-flagged prior-round median;
+    //  - no-prior arm (new queries): a value far above the query's OWN warm
+    //    time means a stall covered the whole timed block uniformly (the
+    //    intra-block spread detector can't see a uniform stall; warm ran
+    //    minutes earlier). Warm includes first-ever JIT/codegen, so a clean
+    //    median is normally BELOW warm — 5x above it is pathological.
+    def inflationReason(name: String, t: Double): Option[String] = {
+      val byPrior = prior.get(name).collect {
+        case p if p > 0 && t > 5 * p => f"$t%.3f s > 5x prior best $p%.3f s" }
+      lazy val w0 = warm.getOrElse(name, -1.0)
+      lazy val byWarm =
+        if (!prior.contains(name) && w0 > 0 && t > 5 * w0)
+          Some(f"$t%.3f s > 5x own warm $w0%.3f s")
+        else None
+      byPrior.orElse(byWarm)
     }
+    def markSuspectIfInflated(name: String, t: Double): Unit =
+      inflationReason(name, t).foreach { why =>
+        suspect.add(name)
+        System.err.println(s"[bench] $name SUSPECT: $why")
+      }
 
     for (((name, fn), idx) <- ordered.zipWithIndex) {
       // reserve one estimated run for every query after this one
@@ -532,9 +584,18 @@ object Bench {
             System.err.println(f"[bench] re-probe $name: $t1%.3f s (was $old%.3f)")
             if (!censored && t1 < old) {
               results.put(name, t1)
+              // the old oracle time was measured alongside the DEGRADED
+              // engine run; pairing it with the improved engine time would
+              // fake a contemporaneous ratio. Drop it first — coMeasure
+              // re-adds a fresh one unless the sidecar is gone, in which
+              // case the query reports engine time only, no stale ratio.
+              oracleSec.remove(name)
               coMeasureOracle(name)
-              val inflated = prior.get(name).exists(p => p > 0 && t1 > 5 * p)
-              if (!inflated) { suspect.remove(name); estimated.remove(name) }
+              // full recheck (both arms), not just the prior-median one: a
+              // re-probe still 5x above its own warm must stay flagged
+              if (inflationReason(name, t1).isEmpty) {
+                suspect.remove(name); estimated.remove(name)
+              }
             }
           } catch { case e: Throwable =>
             System.err.println(s"[bench] re-probe $name failed: ${e.getMessage}")

@@ -593,10 +593,15 @@ object SparkEntry {
         |      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
         |SELECT d, count(*) AS c FROM j WHERE d <= 4 GROUP BY d ORDER BY d""".stripMargin,
 
+    // Tiebreak key mirrors the engine's lexicographic STRUCT (vk, ±id):
+    // DuckDB's arg_max can't take a struct key, so the pair is packed into
+    // a HUGEINT as vk*2^64 ± id — collision-free for EVERY bigint id (the
+    // retired vk*10^10 ± id integer key silently collided for ids >= 10^10,
+    // diverging from the engine's struct ordering on large id spaces).
     "q57_arg_extremes" ->
       """SELECT event_type,
-        |  arg_max(event_id, CAST(round(value*100) AS BIGINT)*10000000000 + event_id) AS emax,
-        |  arg_min(event_id, CAST(round(value*100) AS BIGINT)*10000000000 - event_id) AS emin,
+        |  arg_max(event_id, CAST(round(value*100) AS HUGEINT)*18446744073709551616 + event_id) AS emax,
+        |  arg_min(event_id, CAST(round(value*100) AS HUGEINT)*18446744073709551616 - event_id) AS emin,
         |  round(max(value), 2) AS vmax
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
