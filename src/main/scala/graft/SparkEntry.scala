@@ -89,6 +89,9 @@ object SparkEntry {
     "q64_inverted_index"  -> (Pipeline.q64 _),
     "q65_familiarity"     -> (Pipeline.q65 _),
     "q66_source_mixture"  -> (Pipeline.q66 _),
+    "q67_winnow_census"   -> (Pipeline.q67 _),
+    "q68_ngram_jaccard"   -> (Pipeline.q68 _),
+    "q69_filter_funnel"   -> (Pipeline.q69 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -780,6 +783,73 @@ object SparkEntry {
         |SELECT source, t.n_docs, t.threshold,
         |  CAST(sum(CASE WHEN f.b < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM f JOIN t USING (source) GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // q67: same rolling k-gram hash as the engine's WinnowFingerprints
+    // (fold (a*31+b) mod 1e9+7 over char codes, init 0 — identical to the
+    // engine's rolling form), window minima via a 4-row frame, full windows
+    // only except the single clipped window for docs with < w k-grams.
+    "q67_winnow_census" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, CAST(unnest(range(1, len(text)-6)) AS BIGINT) AS i
+        |  FROM documents WHERE len(text) >= 8),
+        |hh AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(substr(text, CAST(i AS INT), 8), '')]),
+        |      (a,b) -> (a*31+b) % 1000000007) AS hv
+        |  FROM pos),
+        |np AS (SELECT doc_id, count(*) AS p FROM hh GROUP BY 1),
+        |w AS (
+        |  SELECT hh.doc_id, i, p,
+        |    min(hv) OVER (PARTITION BY hh.doc_id ORDER BY i
+        |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM hh JOIN np USING (doc_id)),
+        |fp AS (SELECT DISTINCT doc_id, mh FROM w WHERE i <= greatest(p - 3, 1)),
+        |c AS (SELECT mh, CAST(count(*) AS BIGINT) AS docs FROM fp GROUP BY 1)
+        |SELECT docs AS docs_sharing, CAST(count(*) AS BIGINT) AS n_fps
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q68_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM t WHERE len(ws) >= 3)),
+        |g AS (SELECT DISTINCT doc_id, g FROM g0),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, inter,
+        |  round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jacc
+        |FROM pr JOIN s sa ON sa.doc_id = pr.da JOIN s sb ON sb.doc_id = pr.db
+        |WHERE 3*inter >= sa.n + sb.n
+        |ORDER BY da, db""".stripMargin,
+
+    "q69_filter_funnel" ->
+      """WITH pc AS (
+        |  SELECT doc_id, word, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+        |    FROM documents) GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ntok, CAST(count(*) AS BIGINT) AS ndis
+        |      FROM pc GROUP BY 1),
+        |f AS (
+        |  SELECT doc.source,
+        |    CASE WHEN length(doc.text) < 100 THEN 1 ELSE 0 END AS f_short,
+        |    CASE WHEN 10*coalesce(d.ndis,0) < 3*coalesce(d.ntok,0) THEN 1 ELSE 0 END AS f_rep,
+        |    CASE WHEN len(list_filter(string_split(lower(doc.text),' '),
+        |         x -> list_contains(STOPWORDS, x))) < 2 THEN 1 ELSE 0 END AS f_lang,
+        |    CASE WHEN length(replace(doc.text,' ','')) < 3*coalesce(d.ntok,0)
+        |           OR length(replace(doc.text,' ','')) > 12*coalesce(d.ntok,0)
+        |         THEN 1 ELSE 0 END AS f_wlen
+        |  FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(f_short) AS BIGINT) AS n_short, CAST(sum(f_rep) AS BIGINT) AS n_rep,
+        |  CAST(sum(f_lang) AS BIGINT) AS n_lang, CAST(sum(f_wlen) AS BIGINT) AS n_wlen,
+        |  CAST(sum(CASE WHEN f_short+f_rep+f_lang+f_wlen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

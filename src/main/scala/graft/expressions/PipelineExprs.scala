@@ -67,6 +67,20 @@ object PipelineExprs {
     * extra exchanges for the same numbers.
     */
   def tokenStats(text: Column): Column = col(TokenStats(expr(text)))
+
+  /** Winnowing (MOSS-style) document fingerprints: the sorted distinct
+    * minima of a `w`-wide sliding window over the rolling polynomial hashes
+    * of the text's `k`-grams. The guarantee that makes this THE containment
+    * fingerprint: any shared substring of length >= k+w-1 contributes at
+    * least one identical fingerprint to both documents, while storage is
+    * ~1/w of the k-gram count. Hash = fold (h*31 + charCode) mod 1e9+7 over
+    * the k chars (exactly DuckDB list_reduce over ord(), so the oracle can
+    * reproduce it); for fewer than w positions the single clipped window's
+    * minimum is kept, so every doc with >= k chars fingerprints. One pass,
+    * O(len) via rolling updates; per-char cost is a mul+add+mod.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    col(WinnowFingerprints(expr(text), k, w))
 }
 
 /** See [[PipelineExprs.polyFingerprint]]. */
@@ -291,5 +305,76 @@ case class TokenStats(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.winnowFingerprints]]. Mirrors the oracle's
+  * formulation exactly: 1-indexed k-gram positions i = 1..P (P = len-k+1),
+  * h(i) = fold over the k char codes, window minima
+  * min(h(i)..h(min(i+w-1, P))) kept for i <= max(P-w+1, 1) — i.e. full
+  * windows, plus one clipped window when the doc has fewer than w k-grams.
+  * Rolling hash update: drop the leading char's 31^(k-1) term (mod-safe),
+  * shift, add the new char. Window minima via a monotonic index deque —
+  * O(P) total, independent of w.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  private val Mod = 1000000007L
+  // 31^(k-1) mod p, for the rolling drop-term
+  private val powK1: Long = {
+    var r = 1L; var i = 0
+    while (i < k - 1) { r = r * 31 % Mod; i += 1 }
+    r
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val p = n - k + 1
+    if (p <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val h = new Array[Long](p)
+    var acc = 0L
+    var i = 0
+    while (i < k) { acc = (acc * 31 + s.charAt(i)) % Mod; i += 1 }
+    h(0) = acc
+    while (i < n) {
+      // remove s[i-k], append s[i]; +Mod keeps the subtraction non-negative
+      acc = ((acc - s.charAt(i - k) * powK1 % Mod + Mod) * 31 + s.charAt(i)) % Mod
+      h(i - k + 1) = acc
+      i += 1
+    }
+    val fps = new java.util.TreeSet[Long]()
+    if (p <= w) {
+      var m = h(0); var j = 1
+      while (j < p) { if (h(j) < m) m = h(j); j += 1 }
+      fps.add(m)
+    } else {
+      // monotonic deque of indices with increasing h; front = window min
+      val deque = new Array[Int](p)
+      var head = 0; var tail = 0 // [head, tail)
+      var j = 0
+      while (j < p) {
+        while (tail > head && h(deque(tail - 1)) >= h(j)) tail -= 1
+        deque(tail) = j; tail += 1
+        val start = j - w + 1 // window covering positions start..j
+        if (start >= 0) {
+          if (deque(head) < start) head += 1
+          fps.add(h(deque(head)))
+        }
+        j += 1
+      }
+    }
+    val out = new Array[Long](fps.size)
+    val it = fps.iterator()
+    var t = 0
+    while (it.hasNext) { out(t) = it.next(); t += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }

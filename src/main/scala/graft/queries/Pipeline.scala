@@ -982,6 +982,135 @@ object Pipeline {
       .agg(sum(when(col("b") < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
       .orderBy("source")
   }
+
+  /** q67: winnowing-fingerprint sharing census. Each doc is reduced to its
+    * MOSS winnowing fingerprints (k=8-gram rolling hashes, window w=4 —
+    * see [[graft.expressions.PipelineExprs.winnowFingerprints]]); the
+    * output is the sharing histogram: how many fingerprints are held by
+    * exactly d documents, for each d. The d >= 2 tail is the corpus's
+    * copied-substring mass — any shared run of >= k+w-1 = 11 chars is
+    * guaranteed to surface here, which is what makes winnowing the
+    * standard containment detector (MOSS) where shingle-Jaccard (q15)
+    * only sees whole-document similarity.
+    *
+    * Scale: the expression is one linear pass per doc emitting ~len/w
+    * longs; the rest is two partial+final hash aggs (fp, then d). No
+    * joins, no windows — the same shape as a word-count, so it survives
+    * any corpus size that can be scanned.
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame =
+    winnowCensus(Tables.documents(spark, dir))
+
+  /** The q67 operator over any (text) frame — split out so specs can drive
+    * the clipped-window and containment-guarantee branches on constructed
+    * rows (every corpus doc is >= 48 chars, far above the k+w-1 boundary).
+    */
+  def winnowCensus(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(PipelineExprs.winnowFingerprints(col("text"), 8, 4)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("docs"))
+      .groupBy(col("docs").as("docs_sharing")).agg(count(lit(1)).as("n_fps"))
+      .orderBy("docs_sharing")
+
+  /** q68: exact word-3-gram Jaccard similarity join — doc pairs whose
+    * DISTINCT trigram sets overlap with Jaccard >= 0.5, with the exact
+    * intersection size and coefficient. Complements q15 (char-shingle
+    * MinHash, approximate candidates + verify) with the n-gram-set family:
+    * here candidates come from an inverted-index equi-join on the trigram
+    * itself, so the result is exact BY CONSTRUCTION — no signature recall
+    * question — at the price of one shuffle keyed on trigrams.
+    *
+    * The >= 0.5 predicate is evaluated in integers (3*inter >= na+nb ⟺
+    * inter/(na+nb-inter) >= 1/2), so the filter can't straddle a double
+    * rounding edge between engines; the reported coefficient is rounded
+    * AFTER the filter.
+    *
+    * Scale: per-doc trigram sets are computed inline (size carried with
+    * each exploded row, so no size-lookup join back). The equi-join on
+    * trigram is the inverted-index pattern; worst case is a corpus-stopword
+    * trigram whose posting list goes quadratic — the standard mitigations
+    * (df-cap on join keys, or prefix filtering a la PPJoin) change or keep
+    * semantics respectively; at this corpus's vocabulary the hottest
+    * trigram's posting list is bounded by the near-dup cluster size, so the
+    * plain join is the honest exact baseline.
+    */
+  def q68(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir))
+
+  /** The q68 operator over any (doc_id, text) frame — split out so the
+    * boundary spec can plant pairs sitting exactly ON the Jaccard = 1/2
+    * threshold (3*inter == na+nb), which the corpus doesn't guarantee.
+    */
+  def ngramJaccardPairs(documents: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), " "), x => x =!= "")
+    val grams = when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(1), size(words) - 2), i =>
+        concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+          element_at(words, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val g = documents
+      .select(col("doc_id"), grams.as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).as("n"), explode(col("gs")).as("g"))
+    val a = g.select(col("doc_id").as("da"), col("n").as("na"), col("g"))
+    val b = g.select(col("doc_id").as("db"), col("n").as("nb"), col("g"))
+    a.join(b, Seq("g")).filter(col("da") < col("db"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("da"), col("db"), col("inter"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jacc"))
+      .orderBy("da", "db")
+  }
+
+  /** q69: quality-filter funnel census — the rejection report a real
+    * curation pipeline prints before committing a corpus. Four independent
+    * Gopher/C4-style rules, each counted per source, plus the survivor
+    * count (docs failing none):
+    *   short  — fewer than 100 chars;
+    *   rep    — distinct-token ratio < 0.3 (repetition);
+    *   lang   — fewer than 2 English stopword hits (language screen);
+    *   wlen   — mean token length outside [3, 12] (gibberish screen).
+    * Every rule is integer-compared (10*distinct < 3*total; nonspace <
+    * 3*tok, nonspace > 12*tok), so no double rounding can flip a count
+    * between engines. One TokenStats pass per row + one keyed agg — the
+    * whole census is a projection and a partial+final hash aggregate.
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame =
+    filterFunnel(Tables.documents(spark, dir))
+
+  /** The q69 operator over any (source, text) frame — split out because
+    * the corpus never trips the word-length rule (its words are all
+    * natural-length); the spec drives the wlen branches (and the empty-text
+    * guard) on constructed rows.
+    */
+  def filterFunnel(documents: DataFrame): DataFrame = {
+    val ts = PipelineExprs.tokenStats(col("text"))
+    documents
+      .select(col("source"),
+        length(col("text")).as("nc"),
+        length(regexp_replace(col("text"), " ", "")).as("nsc"),
+        ts.getField("n_tok").as("ntok"),
+        ts.getField("n_distinct").as("ndis"),
+        TextFunctions.stopwordHits(col("text")).as("sw"))
+      .select(col("source"),
+        when(col("nc") < 100, 1L).otherwise(0L).as("f_short"),
+        when(lit(10) * col("ndis") < lit(3) * col("ntok"), 1L).otherwise(0L).as("f_rep"),
+        when(col("sw") < 2, 1L).otherwise(0L).as("f_lang"),
+        when(col("nsc") < lit(3) * col("ntok") ||
+             col("nsc") > lit(12) * col("ntok"), 1L).otherwise(0L).as("f_wlen"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_short")).as("n_short"),
+        sum(col("f_rep")).as("n_rep"),
+        sum(col("f_lang")).as("n_lang"),
+        sum(col("f_wlen")).as("n_wlen"),
+        sum(when(col("f_short") + col("f_rep") + col("f_lang") + col("f_wlen") === 0, 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

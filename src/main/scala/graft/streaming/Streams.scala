@@ -77,6 +77,30 @@ object Streams {
       .select(col("e_id"), col("p_id"), col("e_user").as("user_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[errorPurchaseJoin]],
+    * but errors with NO purchase in the prior hour also emit — with a null
+    * p_id — once the watermark passes the error's event time (the interval
+    * bound p_ts < e_ts means no later-arriving purchase can ever match, so
+    * the row is provably complete and its state evictable). This deferred
+    * null emission is the semantic difference from the batch left join,
+    * which sees the whole input at once: rows still inside the final
+    * watermark horizon when the stream stops remain unemitted. Same keyed
+    * state, same eviction bound, same 100 TB story as the inner form.
+    */
+  def errorPurchaseJoinOuter(errors: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    e.join(p,
+      col("e_user") === col("p_user") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") < col("e_ts"),
+      "left_outer")
+      .select(col("e_id"), col("p_id"), col("e_user").as("user_id"), col("e_ts"))
+  }
+
   /** Q14s: stateful dedup by key within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

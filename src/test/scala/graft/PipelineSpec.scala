@@ -356,4 +356,99 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     members.foreach { case (g, ids) => assert(tied(g) == ids.min) }
   }
+
+  /** Reference winnowing, written independently of the expression: direct
+    * per-position k-gram hashes (no rolling update) and a naive window min.
+    */
+  private def bruteWinnow(s: String, k: Int = 8, w: Int = 4): Seq[Long] = {
+    val p = s.length - k + 1
+    if (p <= 0) Seq.empty
+    else {
+      val h = (0 until p).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      }
+      val nw = math.max(p - w + 1, 1)
+      (0 until nw).map(j => h.slice(j, math.min(j + w, p)).min).distinct.sorted
+    }
+  }
+
+  test("winnow fingerprints: rolling expression == direct recompute on corpus docs") {
+    import graft.expressions.PipelineExprs
+    val rows = Tables.documents(spark, sf001)
+      .select(col("text"), PipelineExprs.winnowFingerprints(col("text"), 8, 4).as("fp"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == bruteWinnow(r.getString(0)),
+        s"mismatch on: ${r.getString(0).take(40)}...")
+    }
+  }
+
+  test("winnow fingerprints: clipped-window and too-short branches") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    val df = Seq(
+      "abcdefg",      // 7 chars < k: no k-gram, no fingerprint
+      "abcdefgh",     // exactly k: one position, one clipped window
+      "abcdefghij"    // 3 positions < w=4: one clipped window over all
+    ).toDF("text")
+      .select(col("text"), PipelineExprs.winnowFingerprints(col("text"), 8, 4).as("fp"))
+    val out = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("abcdefg").isEmpty)
+    assert(out("abcdefgh") == bruteWinnow("abcdefgh"))
+    assert(out("abcdefgh").size == 1)
+    assert(out("abcdefghij") == bruteWinnow("abcdefghij"))
+    assert(out("abcdefghij").size == 1) // single clipped window -> one min
+  }
+
+  test("winnow fingerprints: a shared >= k+w-1 substring guarantees a shared fingerprint") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    // 11 = k+w-1 is the winnowing guarantee threshold: the shared run
+    // contains a full window of shared k-grams, whose min fingerprints both
+    val shared = "QQQWWWEEERR" // 11 chars
+    val a = "left padding here " + shared + " and a tail"
+    val b = "completely different start " + shared + " other end"
+    val out = Seq(a, b).toDF("text")
+      .select(PipelineExprs.winnowFingerprints(col("text"), 8, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert((out(0) & out(1)).nonEmpty)
+  }
+
+  test("q68 operator: pairs exactly ON the Jaccard=1/2 boundary are kept, below dropped") {
+    import spark.implicits._
+    // A: 5 words -> 3 trigrams; B shares 2 of them and has 3 -> jacc 2/4 = 0.5
+    // C shares 2 and has 4 -> jacc 2/5 = 0.4 -> dropped by 3*inter >= na+nb
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 x"),
+      (3L, "w1 w2 w3 w4 y z")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 0.5)
+    assert(!out.contains((1L, 3L)))
+    assert(!out.contains((2L, 3L))) // inter=2, na=3, nb=4 -> 0.4
+  }
+
+  test("q69 operator: every rule branch fires on constructed rows; corpus misses wlen") {
+    import spark.implicits._
+    val rep = ("tok " * 49).trim + " tok" // 50 identical tokens, 199 chars
+    val longWords = (1 to 10).map(i => s"pneumonoultramicrow$i").mkString(" ")
+    val clean = "the quick brown fox jumps over a lazy dog and runs to the river " +
+      "in morning light for fun on sunny days of spring"
+    assert(clean.length >= 100 && rep.length >= 100 && longWords.length >= 100)
+    val docs = Seq(
+      ("s1", "ab"), ("s1", rep), ("s2", longWords), ("s3", ""), ("s4", clean)
+    ).toDF("source", "text")
+    val out = Pipeline.filterFunnel(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // (n_docs, n_short, n_rep, n_lang, n_wlen, n_kept)
+    assert(out("s1") == ((2L, 1L, 1L, 2L, 1L, 0L)))
+    assert(out("s2") == ((1L, 0L, 0L, 1L, 1L, 0L)))
+    assert(out("s3") == ((1L, 1L, 0L, 1L, 0L, 0L)))
+    assert(out("s4") == ((1L, 0L, 0L, 0L, 0L, 1L)))
+  }
 }

@@ -107,6 +107,40 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join: matches == batch, nulls emitted after watermark") {
+    val dir1 = tmp(); val dir2 = tmp()
+    val errors = events.filter(col("event_type") === "error")
+    val purchases = events.filter(col("event_type") === "purchase")
+    val se = Streams.chunkedFileStream(spark, errors, dir1, chunks = 3)
+    val sp = Streams.chunkedFileStream(spark, purchases, dir2, chunks = 3)
+    val q = Streams.errorPurchaseJoinOuter(se, sp).writeStream.format("memory")
+      .queryName("t_ssjoin_outer").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_ssjoin_outer")
+    val batch = Streams.errorPurchaseJoinOuter(errors, purchases)
+    // matched rows: identical to the batch left join's matched subset
+    val sm = streamed.filter(col("p_id").isNotNull)
+    val bm = batch.filter(col("p_id").isNotNull)
+    assert(sm.exceptAll(bm).isEmpty && bm.exceptAll(sm).isEmpty)
+    // null rows: everything streamed is a true batch null (no spurious
+    // nulls for errors that DID match), and every batch null strictly
+    // below the final watermark (max event time − 1h delay, with a 1 s
+    // guard against the eviction boundary) must have been emitted
+    val sn = streamed.filter(col("p_id").isNull)
+    val bn = batch.filter(col("p_id").isNull)
+    assert(bn.count() > 0, "fixture has no unmatched errors")
+    assert(sn.exceptAll(bn).isEmpty)
+    // the query's global watermark is the MIN across inputs of
+    // (that input's max event time - delay) — the slower side gates it
+    val wmTs = Seq(errors, purchases)
+      .map(_.agg(max("ts")).head().getTimestamp(0)).minBy(_.getTime)
+    val mustEmit = bn.filter(
+      col("e_ts") < lit(wmTs) - expr("INTERVAL 1 HOUR") - expr("INTERVAL 1 SECOND"))
+    assert(mustEmit.count() > 0, "watermark never passed any unmatched error")
+    assert(mustEmit.exceptAll(sn).isEmpty,
+      "null rows provably complete under the final watermark were not emitted")
+  }
+
   test("streaming ingestion into Stash: final KV state == batch last-event-per-user") {
     val dir = tmp()
     val in = Streams.chunkedFileStream(spark, events, dir + "/src", chunks = 3)
