@@ -68,6 +68,16 @@ object PipelineExprs {
     */
   def tokenStats(text: Column): Column = col(TokenStats(expr(text)))
 
+  /** DISTINCT adjacent word-trigram strings ("tok₁ tok₂ tok₃") in first-
+    * occurrence order — exactly array_distinct(transform(sequence(...),
+    * i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) over the non-empty
+    * space-split tokens, which costs seven interpreted HOF passes per row
+    * (measured ~3 s per pass over 5 000 docs — the q68 bottleneck, since
+    * the join pipeline re-derives the sets on each side). One byte-level
+    * scan + one hash set.
+    */
+  def wordTrigrams(text: Column): Column = col(WordTrigrams(expr(text)))
+
   /** Winnowing (MOSS-style) document fingerprints: the sorted distinct
     * minima of a `w`-wide sliding window over the rolling polynomial hashes
     * of the text's `k`-grams. The guarantee that makes this THE containment
@@ -376,5 +386,58 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.wordTrigrams]]. Tokenization matches WordBigrams:
+  * tokens are maximal runs of non-0x20 bytes (multi-space runs collapse,
+  * tabs/newlines are not separators — exactly string_split(text,' ') with
+  * empties dropped). Trigrams are rebuilt with single spaces, so they are
+  * byte-identical to the oracle's ws[i]||' '||ws[i+1]||' '||ws[i+2].
+  */
+case class WordTrigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_trigrams"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    var nTok = 0
+    val starts = new Array[Int](n / 2 + 1)
+    val ends = new Array[Int](n / 2 + 1)
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        starts(nTok) = i
+        while (i < n && bytes(i) != ' ') i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var t = 0
+    while (t < nTok - 2) {
+      val la = ends(t) - starts(t)
+      val lb = ends(t + 1) - starts(t + 1)
+      val lc = ends(t + 2) - starts(t + 2)
+      val tg = new Array[Byte](la + 1 + lb + 1 + lc)
+      System.arraycopy(bytes, starts(t), tg, 0, la)
+      tg(la) = ' '
+      System.arraycopy(bytes, starts(t + 1), tg, la + 1, lb)
+      tg(la + 1 + lb) = ' '
+      System.arraycopy(bytes, starts(t + 2), tg, la + 2 + lb, lc)
+      out.add(UTF8String.fromBytes(tg))
+      t += 1
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordTrigrams =
     copy(child = newChild)
 }

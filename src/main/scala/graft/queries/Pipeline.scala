@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.expressions.{PipelineExprs, TextVecExprs}
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1016,42 +1016,72 @@ object Pipeline {
     * DISTINCT trigram sets overlap with Jaccard >= 0.5, with the exact
     * intersection size and coefficient. Complements q15 (char-shingle
     * MinHash, approximate candidates + verify) with the n-gram-set family:
-    * here candidates come from an inverted-index equi-join on the trigram
-    * itself, so the result is exact BY CONSTRUCTION — no signature recall
-    * question — at the price of one shuffle keyed on trigrams.
+    * candidates come from an inverted-index equi-join, so the result is
+    * exact BY CONSTRUCTION — no signature recall question.
     *
     * The >= 0.5 predicate is evaluated in integers (3*inter >= na+nb ⟺
     * inter/(na+nb-inter) >= 1/2), so the filter can't straddle a double
     * rounding edge between engines; the reported coefficient is rounded
     * AFTER the filter.
     *
-    * Scale: per-doc trigram sets are computed inline (size carried with
-    * each exploded row, so no size-lookup join back). The equi-join on
-    * trigram is the inverted-index pattern; worst case is a corpus-stopword
-    * trigram whose posting list goes quadratic — the standard mitigations
-    * (df-cap on join keys, or prefix filtering a la PPJoin) change or keep
-    * semantics respectively; at this corpus's vocabulary the hottest
-    * trigram's posting list is bounded by the near-dup cluster size, so the
-    * plain join is the honest exact baseline.
+    * Scale — PPJoin-style PREFIX FILTERING, exactness preserved: joining
+    * on every trigram goes quadratic on hot trigrams (a corpus-stopword
+    * trigram's posting list self-joins; measured 22 s at sf0.1 vs <1 s
+    * filtered). Instead, each doc's trigrams are ordered by the GLOBAL
+    * (df, gram) key — rarest first — and only the first n - ceil(n/2) + 1
+    * join as candidate keys: two sets with J >= 1/2 must intersect within
+    * these prefixes (Chaudhuri et al.'s SSJoin / Xiao et al.'s PPJoin
+    * bound: if all shared elements sat past both prefixes, the overlap
+    * could not reach ceil(n/2) <= |A∩B|). Hot trigrams sort LAST, so they
+    * fall out of the prefixes, and the candidate join runs on rare keys
+    * with short posting lists. Candidates then verify exactly against the
+    * full per-doc sets (array_intersect on doc-keyed joins). Every stage
+    * is keyed — trigram, doc_id — nothing is broadcast or driver-side.
     */
   def q68(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir))
 
   /** The q68 operator over any (doc_id, text) frame — split out so the
     * boundary spec can plant pairs sitting exactly ON the Jaccard = 1/2
-    * threshold (3*inter == na+nb), which the corpus doesn't guarantee.
+    * threshold (3*inter == na+nb), which the corpus doesn't guarantee,
+    * and so the brute spec can prove prefix filtering loses nothing.
     */
   def ngramJaccardPairs(documents: DataFrame): DataFrame = {
-    val words = filter(split(col("text"), " "), x => x =!= "")
-    val grams = when(size(words) >= 3,
-      array_distinct(transform(sequence(lit(1), size(words) - 2), i =>
-        concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-          element_at(words, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    val g = documents
-      .select(col("doc_id"), grams.as("gs"))
-      .filter(size(col("gs")) > 0)
-      .select(col("doc_id"), size(col("gs")).as("n"), explode(col("gs")).as("g"))
+    val d0 = docTrigramSets(documents)
+    val g = d0.select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
+    // global rarest-first total order; ties broken by the gram string so
+    // every doc ranks its trigrams identically
+    val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
+    val pref = g.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      // integer div, not `/` (Spark Divide is double): prefix length is
+      // n - ceil(n/2) + 1 with ceil(n/2) = (n+1) div 2
+      .filter(col("rk") <= expr("n - ((n + 1) div 2) + 1"))
+      .select(col("doc_id"), col("g"))
+    val cands = pref.select(col("doc_id").as("da"), col("g"))
+      .join(pref.select(col("doc_id").as("db"), col("g")), Seq("g"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cands
+      .join(d0.select(col("doc_id").as("da"), col("gs").as("ga"), col("n").as("na")), Seq("da"))
+      .join(d0.select(col("doc_id").as("db"), col("gs").as("gb"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"), col("na"), col("nb"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"))
+      .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("da"), col("db"), col("inter").cast("long").as("inter"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jacc"))
+      .orderBy("da", "db")
+  }
+
+  /** Reference formulation without prefix filtering — the inverted-index
+    * join on EVERY trigram. Exact but hot-gram-quadratic; kept as the
+    * spec's equality witness for the filtered operator.
+    */
+  def ngramJaccardPairsBrute(documents: DataFrame): DataFrame = {
+    val g = docTrigramSets(documents)
+      .select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
     val a = g.select(col("doc_id").as("da"), col("n").as("na"), col("g"))
     val b = g.select(col("doc_id").as("db"), col("n").as("nb"), col("g"))
     a.join(b, Seq("g")).filter(col("da") < col("db"))
@@ -1062,6 +1092,29 @@ object Pipeline {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
           .as("jacc"))
       .orderBy("da", "db")
+  }
+
+  /** Per-doc DISTINCT word-trigram set with its size: (doc_id, gs, n).
+    * Single-pass WordTrigrams expression — the pipeline re-derives the
+    * sets on both join sides plus the verify stage, and the HOF
+    * formulation (kept below as the spec's reference) costs ~3 s per pass
+    * over 5 000 docs in interpreted lambdas.
+    */
+  private def docTrigramSets(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), PipelineExprs.wordTrigrams(col("text")).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("n", size(col("gs")))
+
+  /** HOF reference form of [[docTrigramSets]]'s trigram set — cross-checked
+    * against the expression in PipelineSpec.
+    */
+  def trigramSetHof(text: Column): Column = {
+    val words = filter(split(text, " "), x => x =!= "")
+    when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(1), size(words) - 2), i =>
+        concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+          element_at(words, i + 2)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** q69: quality-filter funnel census — the rejection report a real

@@ -431,6 +431,29 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains((2L, 3L))) // inter=2, na=3, nb=4 -> 0.4
   }
 
+  test("WordTrigrams expression == HOF formulation on corpus docs") {
+    import graft.expressions.PipelineExprs
+    val rows = Tables.documents(spark, sf001)
+      .select(PipelineExprs.wordTrigrams(col("text")).as("e"),
+        Pipeline.trigramSetHof(col("text")).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("q68 prefix filtering == brute inverted-index join on the corpus (exactness preserved)") {
+    val docs = Tables.documents(spark, sf001)
+    val filtered = Pipeline.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Pipeline.ngramJaccardPairsBrute(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(filtered == brute,
+      s"prefix filter lost/invented pairs: ${(filtered diff brute) ++ (brute diff filtered)}")
+    assert(brute.nonEmpty)
+  }
+
   test("q69 operator: every rule branch fires on constructed rows; corpus misses wlen") {
     import spark.implicits._
     val rep = ("tok " * 49).trim + " tok" // 50 identical tokens, 199 chars
