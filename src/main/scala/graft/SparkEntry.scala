@@ -92,6 +92,7 @@ object SparkEntry {
     "q67_winnow_census"   -> (Pipeline.q67 _),
     "q68_ngram_jaccard"   -> (Pipeline.q68 _),
     "q69_filter_funnel"   -> (Pipeline.q69 _),
+    "q70_retention"       -> (Events.q70 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -850,6 +851,14 @@ object SparkEntry {
         |  CAST(sum(f_lang) AS BIGINT) AS n_lang, CAST(sum(f_wlen) AS BIGINT) AS n_wlen,
         |  CAST(sum(CASE WHEN f_short+f_rep+f_lang+f_wlen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q70_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |f AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort FROM uw)
+        |SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

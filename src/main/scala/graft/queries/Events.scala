@@ -279,4 +279,25 @@ object Events {
       .select(col("event_id"), col("last_p").as("prior_purchase"))
       .orderBy("event_id")
   }
+
+  /** q70: weekly retention cohorts — for each first-activity week (the
+    * cohort), how many of its users were active k weeks later. THE
+    * engagement table every analytics stack derives from raw events.
+    * Shape: distinct (user, week) -> per-user min-week via ONE user_id
+    * window (no self-join back to the events table) -> integer week
+    * offset -> one keyed agg. Both shuffles are user-bounded; nothing is
+    * proportional to raw event count past the first distinct. Week
+    * truncation (Monday-aligned in both engines) is ns/us-insensitive,
+    * so the oracle reads raw ts like q11.
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    uw.withColumn("cohort", min(col("wk")).over(Window.partitionBy("user_id")))
+      .select(col("cohort"), expr("datediff(wk, cohort) div 7").cast("long").as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
 }

@@ -220,4 +220,22 @@ class OperatorsSpec extends SparkSpec {
       ("b", big + 1L, 3L, 1.00),   // max value 1.00 tie -> larger id wins
       ("c", 5L, 6L * big, 1.01)))  // value outranks any id magnitude
   }
+
+  test("q70 retention: offset-0 equals cohort size, later offsets never exceed it") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Events.q70(spark, sf001).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val base = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    // every cohort must have an offset-0 row (its members were, by
+    // definition, active in their first week) bounding all later weeks
+    rows.foreach { case (cohort, _, n) =>
+      assert(base.contains(cohort))
+      assert(n <= base(cohort), s"cohort $cohort retains more users than it has")
+    }
+    // cohort sizes partition the user base: totals must match
+    val users = graft.Tables.events(spark, sf001)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(base.values.sum == users)
+  }
 }
