@@ -171,6 +171,53 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("WordTrigrams == HOF trigram sets on random spacey text") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    val spacey: Gen[String] = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (6, Gen.alphaLowerChar), (3, Gen.const(' ')), (1, Gen.numChar)))
+        .map(_.mkString))
+    val edge = Seq("", " ", "a b", "a b c", "a  b   c", " a b c d ",
+      "x x x x", "héllo wörld ünïcode tëxt quatre")
+    val texts = samples(spacey, 200) ++ edge
+    texts.toDF("t")
+      .select(PipelineExprs.wordTrigrams(col("t")).as("fast"),
+        graft.queries.Pipeline.trigramSetHof(col("t")).as("ref"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"fast=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+      }
+  }
+
+  test("WinnowFingerprints == direct recompute on random ascii text (property)") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    def brute(s: String, k: Int, w: Int): Seq[Long] = {
+      val p = s.length - k + 1
+      if (p <= 0) Seq.empty
+      else {
+        val h = (0 until p).map { i =>
+          s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+        }
+        (0 until math.max(p - w + 1, 1))
+          .map(j => h.slice(j, math.min(j + w, p)).min).distinct.sorted
+      }
+    }
+    // lengths straddling every branch: < k, == k, in (k, k+w-1), >= k+w
+    val gen: Gen[String] = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (8, Gen.alphaLowerChar), (2, Gen.const(' ')), (1, Gen.numChar)))
+        .map(_.mkString))
+    val texts = samples(gen, 250)
+    texts.toDF("t")
+      .select(col("t"), PipelineExprs.winnowFingerprints(col("t"), 8, 4).as("fp"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](1) == brute(r.getString(0), 8, 4),
+          s"mismatch on '${r.getString(0)}'")
+      }
+  }
+
   test("minhash signature positions estimate Jaccard within statistical bounds") {
     import spark.implicits._
     // near-identical strings must have high signature agreement; disjoint low
