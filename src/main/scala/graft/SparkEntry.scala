@@ -93,6 +93,7 @@ object SparkEntry {
     "q68_ngram_jaccard"   -> (Pipeline.q68 _),
     "q69_filter_funnel"   -> (Pipeline.q69 _),
     "q70_retention"       -> (Events.q70 _),
+    "q71_transitions"     -> (Events.q71 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -851,6 +852,16 @@ object SparkEntry {
         |  CAST(sum(f_lang) AS BIGINT) AS n_lang, CAST(sum(f_wlen) AS BIGINT) AS n_wlen,
         |  CAST(sum(CASE WHEN f_short+f_rep+f_lang+f_wlen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q71_transitions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |l AS (SELECT event_type AS nxt,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prv
+        |      FROM ev),
+        |c AS (SELECT prv, nxt, count(*) AS c FROM l WHERE prv IS NOT NULL GROUP BY 1, 2)
+        |SELECT prv, nxt, c,
+        |  round(CAST(c AS DOUBLE)/sum(c) OVER (PARTITION BY prv), 4) AS share
+        |FROM c ORDER BY 1, 2""".stripMargin,
 
     "q70_retention" ->
       """WITH uw AS (

@@ -300,4 +300,26 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort", "week_offset")
   }
+
+  /** q71: event-type transition census — the first-order Markov table of
+    * user behavior (prev type -> next type, count and within-prev share).
+    * One lag window over the SAME (user_id, (ts, event_id)) order every
+    * sessionization query uses — ties are impossible under the event_id
+    * tiebreak, so the matrix is deterministic — then one keyed agg; the
+    * share denominator is a window over the aggregated matrix itself
+    * (|types|^2 rows, negligible at any corpus size). The heavy shuffle is
+    * user_id-keyed and carries only (ts, event_id, event_type).
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prv", lag(col("event_type"), 1).over(w))
+      .filter(col("prv").isNotNull)
+      .groupBy(col("prv"), col("event_type").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("share",
+        round(col("c").cast("double") / sum(col("c")).over(Window.partitionBy("prv")), 4))
+      .orderBy("prv", "nxt")
+  }
 }

@@ -238,4 +238,23 @@ class OperatorsSpec extends SparkSpec {
       .select(countDistinct(col("user_id"))).head().getLong(0)
     assert(base.values.sum == users)
   }
+
+  test("q71 transitions: matrix mass = events - users; shares sum to 1 per row") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Events.q71(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // each user's first event has no predecessor, every other event has
+    // exactly one: total transition count = |events| - |users|
+    val (nEv, nUs) = {
+      val h = graft.Tables.events(spark, sf001)
+        .agg(count(lit(1)), countDistinct(col("user_id"))).head()
+      (h.getLong(0), h.getLong(1))
+    }
+    assert(rows.map(_._3).sum == nEv - nUs)
+    rows.groupBy(_._1).foreach { case (prv, g) =>
+      val s = g.map(_._4).sum
+      assert(math.abs(s - 1.0) < 0.01, s"shares for $prv sum to $s")
+    }
+  }
 }
