@@ -149,7 +149,8 @@ object Bench {
     * out, the sidecar is marked dead and the bench simply reports no
     * oracle/ratio fields, never an error.
     */
-  private final class OracleSidecar(dataDir: String, scratch: String, threads: String) {
+  private final class OracleSidecar(dataDir: String, scratch: String, threads: String,
+      tag: String = "") {
     @volatile private var dead = false
     private var restartsLeft = 2
     private var proc: Process = _
@@ -198,7 +199,7 @@ object Bench {
         |""".stripMargin
 
     def start(): Unit = try {
-      val path = java.nio.file.Paths.get(scratch, "oracle_sidecar.py")
+      val path = java.nio.file.Paths.get(scratch, s"oracle_sidecar$tag.py")
       java.nio.file.Files.writeString(path, script)
       val pb = new ProcessBuilder("python3", "-u", path.toString, dataDir, threads)
       pb.redirectErrorStream(false)
@@ -294,13 +295,13 @@ object Bench {
     // 167 s on its first-touch scan). Staging pins the same warm-input
     // regime for the engine regardless of when the window strikes; the
     // data is byte-identical, only its residence changes.
-    val runDir = {
-      val src = new java.io.File(sfDir)
+    def stageInput(dir: String, sub: String): String = {
+      val src = new java.io.File(dir)
       val files = Option(src.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
-      if (files.isEmpty) sfDir
+      if (files.isEmpty) dir
       else try {
-        val dst = java.nio.file.Paths.get(scratch, "input")
+        val dst = java.nio.file.Paths.get(scratch, sub)
         java.nio.file.Files.createDirectories(dst)
         files.foreach { f =>
           java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName),
@@ -309,9 +310,10 @@ object Bench {
         dst.toString
       } catch { case e: Throwable =>
         System.err.println(s"[bench] input staging failed (${e.getMessage}); reading in place")
-        sfDir
+        dir
       }
     }
+    val runDir = stageInput(sfDir, "input")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -603,6 +605,63 @@ object Bench {
         }
       }
     }
+    // SLOPE phase (opt-in, local analysis only — the driver never sets the
+    // env): re-measure each B-set query at TWO scale factors back-to-back
+    // (engine and oracle, all four medians inside one tight window) and
+    // report marginal_ratio = (e_hi − e_lo) / (o_hi − o_lo). The subtraction
+    // cancels every size-independent cost on both sides — Catalyst
+    // analysis/optimization (~100 ms/query, measured: a fresh trivial plan
+    // costs ~125 ms vs 21 ms to re-execute), job dispatch, DuckDB's ~1 ms
+    // planner — so the ratio estimates the DATA-PROPORTIONAL cost ratio,
+    // i.e. the number that actually predicts 100 TB behavior, which the
+    // headline ratio on sub-second queries cannot (it is floor-dominated).
+    // Deltas below noise (either side < 3× its measurement jitter) are
+    // reported with ratio null rather than a garbage division.
+    sys.env.get("SPARK_GRAFT_BENCH_SLOPE_DIR").foreach { loSrc =>
+      scala.util.Try {
+        val loDir = stageInput(loSrc, "input_lo")
+        val sidecarLo = new OracleSidecar(loDir, scratch, cpus, tag = "_lo")
+        sidecarLo.start()
+        def medianOf3(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Double = {
+          val f: (SparkSession, String) => org.apache.spark.sql.DataFrame = (s, _) => fn(s, dir)
+          timeOnce(s"$name-slope-warm", f, warmCapSec) // warm: codegen/footers for this dir
+          val ts = Seq.fill(3)(timeOnce(s"$name-slope", f, warmCapSec)._1).sorted
+          ts(1)
+        }
+        val rows = scala.collection.mutable.LinkedHashMap[String, String]()
+        for (name <- bset; fn <- ordered.find(_._1 == name).map(_._2)) {
+          val sql = SparkEntry.oracleSql.get(name)
+          val oLo = sql.flatMap(s => sidecarLo.measure(name, s))
+          val oHi = sql.flatMap(s => sidecar.measure(name, s))
+          val eLo = medianOf3(name, fn, loDir)
+          val eHi = medianOf3(name, fn, runDir)
+          val eDelta = eHi - eLo
+          val oDelta = for (l <- oLo; h <- oHi) yield h - l
+          // noise gates: engine jitter observed ~5–20 ms between identical
+          // runs; oracle jitter ~0.5 ms. A delta inside jitter means the
+          // query is floor-bound even at the high SF — report null.
+          val ratio = oDelta match {
+            case Some(od) if eDelta > 0.02 && od > 0.002 =>
+              f"${eDelta / od}%.3f"
+            case _ => "null"
+          }
+          def n(v: Double) = f"$v%.4f"
+          def o(v: Option[Double]) = v.map(n).getOrElse("null")
+          rows(name) =
+            s"""{"e_lo":${n(eLo)},"e_hi":${n(eHi)},"o_lo":${o(oLo)},"o_hi":${o(oHi)},"marginal_ratio":$ratio}"""
+          System.err.println(s"[bench] slope $name: e ${n(eLo)}->${n(eHi)} o ${o(oLo)}->${o(oHi)} ratio $ratio")
+        }
+        sidecarLo.kill()
+        val body = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+        val json = s"""{"lo_sf":"$loSrc","hi_sf":"$sfDir","queries":{$body}}"""
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("tools/bench_slope_latest.json"), json + "\n")
+        System.err.println("[bench] slope detail -> tools/bench_slope_latest.json")
+      }.failed.foreach(e => System.err.println(s"[bench] slope phase failed: ${e.getMessage}"))
+    }
+
     floorProbe("end")
     System.err.println(s"[bench] cumulative GC over run: ${gcMillis()}ms")
 
