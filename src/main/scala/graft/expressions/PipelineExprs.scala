@@ -91,6 +91,19 @@ object PipelineExprs {
     */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     col(WinnowFingerprints(expr(text), k, w))
+
+  /** Single-pass top-level JSON scalar probe — `get_json_object(json,
+    * '$.key')` specialized to one top-level key with a scalar value, as a
+    * byte scan with zero parser allocation (what a native engine's JSON
+    * path probe does). Contract, property-tested against get_json_object:
+    * identical for values that are strings (unescaped), booleans, or
+    * numbers in canonical form, and for JSON null / missing key / invalid
+    * JSON (all SQL NULL). Declared divergence: a key whose value is an
+    * object or array returns NULL (get_json_object re-serializes the
+    * subtree) — use from_json / parse_json for nested access (q34/q41).
+    */
+  def jsonScalarProbe(json: Column, key: String): Column =
+    col(JsonScalarProbe(expr(json), key))
 }
 
 /** See [[PipelineExprs.polyFingerprint]]. */
@@ -440,4 +453,248 @@ case class WordTrigrams(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): WordTrigrams =
     copy(child = newChild)
+}
+
+/** See [[PipelineExprs.jsonScalarProbe]]. One byte-level pass over the
+  * document: walk the top-level object's key/value pairs, skipping values
+  * (strings with escape handling, nested structures by depth count) until
+  * the key matches, then materialize the scalar. No tokenizer object, no
+  * per-row parser allocation — the probe cost is the bytes actually
+  * scanned, which is what lets the per-row JSON cost track the oracle's
+  * native parser instead of a general-purpose streaming tokenizer.
+  */
+case class JsonScalarProbe(child: Expression, key: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "json_scalar_probe"
+
+  @transient private lazy val keyBytes: Array[Byte] =
+    UTF8String.fromString(key).getBytes
+
+  protected override def nullSafeEval(input: Any): Any =
+    JsonScalarProbe.probe(input.asInstanceOf[UTF8String].getBytes, keyBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): JsonScalarProbe =
+    copy(child = newChild)
+}
+
+object JsonScalarProbe {
+  private def skipWs(b: Array[Byte], start: Int): Int = {
+    var i = start
+    while (i < b.length &&
+      (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+    i
+  }
+
+  private def hex4(b: Array[Byte], i: Int): Int = {
+    var v = 0
+    var k = 0
+    while (k < 4) {
+      val c = b(i + k)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else return -1
+      v = (v << 4) | d
+      k += 1
+    }
+    v
+  }
+
+  private def writeUtf8(out: java.io.ByteArrayOutputStream, cp: Int): Unit = {
+    if (cp < 0x80) out.write(cp)
+    else if (cp < 0x800) {
+      out.write(0xC0 | (cp >> 6)); out.write(0x80 | (cp & 0x3F))
+    } else if (cp < 0x10000) {
+      out.write(0xE0 | (cp >> 12)); out.write(0x80 | ((cp >> 6) & 0x3F))
+      out.write(0x80 | (cp & 0x3F))
+    } else {
+      out.write(0xF0 | (cp >> 18)); out.write(0x80 | ((cp >> 12) & 0x3F))
+      out.write(0x80 | ((cp >> 6) & 0x3F)); out.write(0x80 | (cp & 0x3F))
+    }
+  }
+
+  /** Parse the JSON string whose opening quote is at `start`; unescaped
+    * content goes to `out` when non-null. Returns the index AFTER the
+    * closing quote, or -1 if malformed.
+    */
+  private def parseString(b: Array[Byte], start: Int,
+      out: java.io.ByteArrayOutputStream): Int = {
+    val n = b.length
+    var i = start + 1
+    while (i < n) {
+      val c = b(i)
+      if (c == '"') return i + 1
+      else if (c == '\\') {
+        if (i + 1 >= n) return -1
+        b(i + 1) match {
+          case '"'  => if (out != null) out.write('"');  i += 2
+          case '\\' => if (out != null) out.write('\\'); i += 2
+          case '/'  => if (out != null) out.write('/');  i += 2
+          case 'b'  => if (out != null) out.write('\b'); i += 2
+          case 'f'  => if (out != null) out.write('\f'); i += 2
+          case 'n'  => if (out != null) out.write('\n'); i += 2
+          case 'r'  => if (out != null) out.write('\r'); i += 2
+          case 't'  => if (out != null) out.write('\t'); i += 2
+          case 'u' =>
+            if (i + 5 >= n) return -1
+            var cp = hex4(b, i + 2)
+            if (cp < 0) return -1
+            i += 6
+            if (cp >= 0xD800 && cp <= 0xDBFF && i + 5 < n &&
+                b(i) == '\\' && b(i + 1) == 'u') {
+              val lo = hex4(b, i + 2)
+              if (lo >= 0xDC00 && lo <= 0xDFFF) {
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                i += 6
+              }
+            }
+            if (out != null) writeUtf8(out, cp)
+          case _ => return -1
+        }
+      } else { if (out != null) out.write(c); i += 1 }
+    }
+    -1
+  }
+
+  private def isNumByte(c: Byte): Boolean =
+    (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.' || c == 'e' || c == 'E'
+
+  /** Skip one JSON value starting at `start`. Returns the index after the
+    * value, or -1 if malformed.
+    */
+  private def skipValue(b: Array[Byte], start: Int): Int = {
+    val n = b.length
+    if (start >= n) return -1
+    b(start) match {
+      case '"' => parseString(b, start, null)
+      case '{' | '[' =>
+        var depth = 0
+        var i = start
+        while (i < n) {
+          b(i) match {
+            case '"' =>
+              i = parseString(b, i, null)
+              if (i < 0) return -1
+            case '{' | '[' => depth += 1; i += 1
+            case '}' | ']' =>
+              depth -= 1; i += 1
+              if (depth == 0) return i
+            case _ => i += 1
+          }
+        }
+        -1
+      case 't' =>
+        if (start + 4 <= n && b(start + 1) == 'r' && b(start + 2) == 'u' &&
+          b(start + 3) == 'e') start + 4 else -1
+      case 'f' =>
+        if (start + 5 <= n && b(start + 1) == 'a' && b(start + 2) == 'l' &&
+          b(start + 3) == 's' && b(start + 4) == 'e') start + 5 else -1
+      case 'n' =>
+        if (start + 4 <= n && b(start + 1) == 'u' && b(start + 2) == 'l' &&
+          b(start + 3) == 'l') start + 4 else -1
+      case c if isNumByte(c) =>
+        var i = start + 1
+        while (i < n && isNumByte(b(i))) i += 1
+        i
+      case _ => -1
+    }
+  }
+
+  /** Materialize the scalar value starting at `start`, or null for
+    * null/object/array/malformed.
+    */
+  private def extractScalar(b: Array[Byte], start: Int): UTF8String = {
+    val n = b.length
+    if (start >= n) return null
+    b(start) match {
+      case '"' =>
+        val out = new java.io.ByteArrayOutputStream(32)
+        if (parseString(b, start, out) < 0) null
+        else UTF8String.fromBytes(out.toByteArray)
+      case '{' | '[' => null // declared divergence: nested values -> NULL
+      case 't' =>
+        if (skipValue(b, start) < 0) null else UTF8String.fromString("true")
+      case 'f' =>
+        if (skipValue(b, start) < 0) null else UTF8String.fromString("false")
+      case 'n' => null // JSON null -> SQL NULL, as get_json_object
+      case c if isNumByte(c) =>
+        val end = skipValue(b, start)
+        if (end < 0) null
+        else {
+          // integers: raw digits (Jackson writes ints/BigIntegers as-is);
+          // floats: get_json_object re-renders via double ("1e3"->"1000.0")
+          var float = false
+          var k = start
+          while (k < end) {
+            val x = b(k)
+            if (x == '.' || x == 'e' || x == 'E') float = true
+            k += 1
+          }
+          if (!float) UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, end))
+          else try {
+            val s = new String(b, start, end - start, java.nio.charset.StandardCharsets.US_ASCII)
+            UTF8String.fromString(java.lang.Double.toString(java.lang.Double.parseDouble(s)))
+          } catch { case _: NumberFormatException => null }
+        }
+      case _ => null
+    }
+  }
+
+  /** Probe `json` for top-level `key`; null when missing, non-scalar, or
+    * the document is not a well-formed JSON object. The scan continues
+    * past the match to the object's closing brace — get_json_object
+    * (streaming over the whole object) returns NULL on a document whose
+    * remainder is malformed, so an early return here would diverge (e.g.
+    * the truncated `{"k":5`).
+    */
+  def probe(b: Array[Byte], key: Array[Byte]): UTF8String = {
+    val n = b.length
+    var i = skipWs(b, 0)
+    if (i >= n || b(i) != '{') return null
+    i = skipWs(b, i + 1)
+    if (i < n && b(i) == '}') return null // empty object: key absent
+    var result: UTF8String = null
+    var found = false
+    while (i < n) {
+      if (b(i) != '"') return null
+      // key fast path: no escapes -> zero-copy compare against keyBytes
+      var j = i + 1
+      while (j < n && b(j) != '"' && b(j) != '\\') j += 1
+      if (j >= n) return null
+      var matched = false
+      if (b(j) == '"') {
+        val len = j - (i + 1)
+        if (len == key.length) {
+          matched = true
+          var k = 0
+          while (matched && k < len) {
+            if (b(i + 1 + k) != key(k)) matched = false
+            k += 1
+          }
+        }
+        i = j + 1
+      } else {
+        val out = new java.io.ByteArrayOutputStream(16)
+        val end = parseString(b, i, out)
+        if (end < 0) return null
+        matched = java.util.Arrays.equals(out.toByteArray, key)
+        i = end
+      }
+      i = skipWs(b, i)
+      if (i >= n || b(i) != ':') return null
+      i = skipWs(b, i + 1)
+      if (i >= n) return null
+      if (matched && !found) { result = extractScalar(b, i); found = true }
+      i = skipValue(b, i)
+      if (i < 0) return null
+      i = skipWs(b, i)
+      if (i >= n) return null
+      if (b(i) == ',') i = skipWs(b, i + 1)
+      else if (b(i) == '}') return result // well-formed object end
+      else return null
+    }
+    null
+  }
 }

@@ -4,7 +4,7 @@ import graft.expressions._
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL surface for graft's custom Catalyst expressions: every expression
   * the Column API exposes is also callable from `spark.sql` once
@@ -25,6 +25,12 @@ object GraftSqlFunctions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def litStr(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
   }
 
   private def bad(fn: String, got: Seq[Expression]): Nothing =
@@ -63,6 +69,10 @@ object GraftSqlFunctions {
     "graft_fingerprint" -> {
       case Seq(t) => PolyFingerprint(t)
       case o => bad("graft_fingerprint", o)
+    },
+    "graft_json_probe" -> {
+      case Seq(j, k) => JsonScalarProbe(j, litStr(k, "graft_json_probe", "key"))
+      case o => bad("graft_json_probe", o)
     },
     "graft_srp_bucket" -> {
       case Seq(v, p) => SrpBucket(v, litInt(p, "graft_srp_bucket", "planes"))

@@ -218,6 +218,62 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("JsonScalarProbe == get_json_object on generated JSON objects") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    // JSON text generator: top-level objects with unique keys, scalar and
+    // nested values, random whitespace — the probe must agree with
+    // get_json_object on every scalar case (strings incl. escapes/quotes/
+    // unicode/surrogate pairs, ints, canonical doubles, booleans, null,
+    // missing key) and return NULL for nested values (declared divergence,
+    // asserted separately).
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val strChunk: Gen[String] = Gen.frequency(
+      (6, Gen.alphaNumChar.map(_.toString)), (1, Gen.const("\"")),
+      (1, Gen.const("\\")), (1, Gen.const("é")), (1, Gen.const("€")),
+      (1, Gen.const(new String(Character.toChars(0x1F600)))),
+      (1, Gen.const("\n")), (1, Gen.const(" ")))
+    val scalarVal: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(-1000000, 1000000).map(_.toString),
+      Gen.chooseNum(-1000.0, 1000.0).map(d => (math.rint(d * 100) / 100).toString),
+      Gen.oneOf("true", "false", "null"),
+      Gen.oneOf(
+        Gen.const("\"\""),
+        Gen.listOfN(6, strChunk).map(cs => "\"" + esc(cs.mkString) + "\"")))
+    val nestedVal: Gen[String] = Gen.oneOf(
+      "{\"in\":\"nested \\\" str\",\"m\":[1,{\"d\":2}]}", "[1,2,\"x]\"]", "{}", "[]")
+    val ws: Gen[String] = Gen.oneOf("", " ", "  ", "\n", "\t")
+    val docGen: Gen[String] = for {
+      keys <- Gen.someOf(Seq("k", "aa", "bb", "cc", "dd"))
+      shuffled <- Gen.const(keys)
+      vals <- Gen.listOfN(keys.size, Gen.frequency((6, scalarVal), (1, nestedVal)))
+      w1 <- ws; w2 <- ws; w3 <- ws; w4 <- ws
+    } yield shuffled.zip(vals)
+      .map { case (k, v) => s"""$w1"$k"$w2:$w3$v""" }.mkString("{", ",", s"}$w4")
+    val docs = samples(docGen, 300) ++ Seq(
+      "", "   ", "not json", "{", "{\"k\"", "{\"k\":}", "{\"k\":5",
+      "{\"k\":5}", "{\"k\" : -12.5 }", "{\"k\":\"\\u0041\\ud83d\\ude00\"}",
+      "{\"other\":1}", "null", "[1,2]", "{\"k\":1e3}")
+    val rows = docs.toDF("j").select(
+      PipelineExprs.jsonScalarProbe(col("j"), "k").as("fast"),
+      get_json_object(col("j"), "$.k").as("ref"),
+      col("j")).collect()
+    rows.foreach { r =>
+      val fast = Option(r.getString(0))
+      val ref = Option(r.getString(1))
+      // declared divergence: nested values -> probe NULL while
+      // get_json_object re-serializes the subtree
+      val nested = ref.exists(v => v.startsWith("{") || v.startsWith("["))
+      if (nested) assert(fast.isEmpty, s"nested should be NULL: ${r.getString(2)}")
+      else assert(fast == ref, s"fast=$fast ref=$ref on ${r.getString(2)}")
+    }
+  }
+
   test("minhash signature positions estimate Jaccard within statistical bounds") {
     import spark.implicits._
     // near-identical strings must have high signature agreement; disjoint low
