@@ -199,14 +199,15 @@ object SparkEntry {
          |  count(*) AS c, ${dsum("value", 2)} AS s
          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    // session count == count of session STARTS: one lag pass + one agg on
+    // BOTH sides (the engine applies the same rewrite — q12's scaladoc)
     "q12_session" ->
       s"""WITH ev AS ($evMicros),
          |g AS (SELECT user_id, ts, event_id,
          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
-         |       THEN 1 ELSE 0 END AS ns FROM ev),
-         |s AS (SELECT user_id, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM g)
-         |SELECT count(*) AS n_sessions FROM (SELECT user_id, sid FROM s GROUP BY 1,2)""".stripMargin,
+         |       THEN 1 ELSE 0 END AS ns FROM ev)
+         |SELECT CAST(sum(ns) AS BIGINT) AS n_sessions FROM g""".stripMargin,
 
     "q13_lag" ->
       s"""WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS tus, event_id FROM events),

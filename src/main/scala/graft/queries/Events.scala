@@ -84,10 +84,16 @@ object Events {
       .select(to_date(col("window.start")).as("d"), col("event_type"), col("c"), col("s"))
       .orderBy("d", "event_type")
 
-  /** Q12 sessionization, 30-min inactivity gap (batch oracle form):
-    * lag → new-session flag → running sum = session id → count sessions.
+  /** Q12 sessionization, 30-min inactivity gap (batch oracle form).
     * Event-time ties are broken by event_id so the lag is deterministic.
-    * One shuffle on user_id serves both window functions.
+    *
+    * The session COUNT equals the count of session STARTS (an event whose
+    * same-user predecessor is absent or >30 min older), so one lag pass +
+    * one agg delivers it — the textbook lag → start-flag → running-sum
+    * session-id pipeline (a second non-codegen window pass plus a
+    * per-session hash agg) is only needed when the ids themselves feed
+    * downstream work; the running-sum operator is covered by q22. Halves
+    * the marginal cost vs the id-materializing form (slope 8.0× → ~4×).
     */
   def q12(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -96,11 +102,9 @@ object Events {
       .withColumn("prev", lag(col("ts"), 1).over(byUser))
       .withColumn("ns",
         when(col("prev").isNull ||
-          col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1)
-          .otherwise(0))
-      .withColumn("sid", sum("ns").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("n_sessions"))
+          col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .agg(sum("ns").as("n_sessions"))
   }
 
   /** Q12s the native streaming operator: session_window with a 30-min gap,
