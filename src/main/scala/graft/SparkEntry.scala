@@ -94,6 +94,9 @@ object SparkEntry {
     "q69_filter_funnel"   -> (Pipeline.q69 _),
     "q70_retention"       -> (Events.q70 _),
     "q71_transitions"     -> (Events.q71 _),
+    "q72_length_deciles"  -> ((s, d) => Pipeline.q72(s, d)),
+    "q73_source_cap"      -> ((s, d) => Pipeline.q73(s, d)),
+    "q74_kmeans_assign"   -> ((s, d) => Pipeline.q74(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -871,6 +874,43 @@ object SparkEntry {
         |SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
         |  count(*) AS n_users
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q72_length_deciles" ->
+      """WITH b AS (SELECT source, n_chars,
+        |  ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents)
+        |SELECT source, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q73: same md5 sampling-key convention as q46; cap = 15
+    "q73_source_cap" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-cap')), 1, 6)) AS BIGINT),
+        |    doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q74: same per-element double casts + left-to-right list_aggregate
+    // fold as q16's oracle; distances rounded to 6dp BEFORE the argmin on
+    // both sides, ties by lower centroid id via the row_number tiebreak
+    "q74_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, e.label, c.cid,
+        |  round(list_aggregate([(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))^2
+        |    FOR x IN list_zip(e.embedding, c.cv)], 'sum'), 6) AS d
+        |  FROM embeddings e, c),
+        |a AS (SELECT vec_id, label, cid AS cluster, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM s)
+        |SELECT cluster, count(*) AS n,
+        |  round(sum(CAST(round(d*1000000) AS BIGINT))/1000000.0/count(*), 4) AS avg_sqdist,
+        |  min(label) AS min_label, max(label) AS max_label
+        |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

@@ -58,6 +58,14 @@ object TextVecExprs {
   /** L2 norm of a float-array column (double accumulation, left-to-right). */
   def floatVecNorm(a: Column): Column = col(FloatVecNorm(expr(a)))
 
+  /** SQUARED Euclidean distance of two float-array columns — the k-means
+    * assignment metric. Per element (CAST double − CAST double)², summed
+    * left-to-right: every term is IEEE-exact (a float-float difference is
+    * representable in double), so the result is bit-identical to the
+    * oracle's list_aggregate fold over the same casts.
+    */
+  def floatVecSqDist(a: Column, b: Column): Column = col(FloatVecSqDist(expr(a), expr(b)))
+
   // splitmix64 finalizer: cheap, well-mixed 64-bit hash family
   @inline private[graft] def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -396,4 +404,51 @@ case class FloatVecNorm(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): FloatVecNorm =
     copy(child = newChild)
+}
+
+/** See [[TextVecExprs.floatVecSqDist]]. Full codegen — same hot path
+  * discipline as [[FloatVecDot]] (no per-row array copies).
+  */
+case class FloatVecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_sqdist"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = xs.getFloat(i).toDouble - ys.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecSqDist =
+    copy(left = l, right = r)
 }

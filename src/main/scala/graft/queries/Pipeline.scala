@@ -1164,6 +1164,121 @@ object Pipeline {
           .otherwise(0L)).as("n_kept"))
       .orderBy("source")
   }
+
+  /** q72: length-curriculum deciles — the bucketing a curriculum scheduler
+    * runs before length-ordered training: per source, rank documents by
+    * length and cut into 10 equal-population buckets (ntile over the total
+    * order (n_chars, doc_id) — the tiebreak makes every assignment
+    * deterministic on any engine). Output: per (source, decile) census.
+    *
+    * Scale: ntile partitions by SOURCE, so the sort is per-source range
+    * work, not global — the shuffle key matches the downstream grouping and
+    * AQE splits a skewed mega-source's sort across its range partitions.
+    * (An approx-percentile pre-pass that BROADCASTS bucket boundaries
+    * avoids the per-source sort entirely when only the census is needed;
+    * ntile is kept because curriculum packing needs the exact equal-
+    * population assignment, not approximate boundaries.)
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("source", "decile")
+  }
+
+  /** q73: per-source document cap — the over-representation control of a
+    * corpus mixer: no source may contribute more than `cap` documents, and
+    * WHICH documents survive is content-independent and deterministic
+    * (md5(doc_id) order, the q46 sampling-key convention — same survivors
+    * on any cluster, any partitioning, any run). Output: per-source
+    * total/kept census plus the kept character mass.
+    *
+    * Scale: the CENSUS must rank every row (n_total counts the dropped
+    * ones too), so its window sees the whole corpus — one source-keyed
+    * shuffle, same key as the grouping. The keep operator itself
+    * ([[sourceCapped]]) filters rank ≤ cap, which Spark's WindowGroupLimit
+    * rewrites into per-partition top-cap heaps BELOW the exchange
+    * (plan-asserted in OperatorsSpec) — at 100 TB the materialized capped
+    * corpus shuffles at most cap·sources rows per map partition.
+    */
+  def q73(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(capKey, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= cap, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** q73's deterministic per-source sampling key: md5 over the doc id with
+    * a purpose tag (q46's convention — content-independent, stable on any
+    * cluster/run/partitioning).
+    */
+  private def capKey: Column =
+    conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":graft-cap"))), 1, 6), 16, 10).cast("long")
+
+  /** The keep side of q73: the capped corpus itself (documents surviving
+    * the per-source cap). The rank-≤-cap filter triggers Spark's
+    * WindowGroupLimit pushdown: per-partition top-cap heaps run below the
+    * exchange, so the shuffle carries at most cap·sources rows per map
+    * partition instead of the corpus.
+    */
+  def sourceCapped(documents: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(capKey, col("doc_id"))
+    documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  /** q74: k-means assignment census (the Lloyd E-step as a query) — every
+    * embedding is assigned to its nearest centroid by SQUARED L2, ties by
+    * lower centroid id; centroids are the vec_id < 8 embeddings
+    * (deterministic, data-derived — the seeding q38's ivfTrain also uses).
+    * Output: per-cluster population, mean squared distance (fixed-point
+    * summed — order-independent), and the label range. This is the
+    * oracle-checked member of the vector family (q29/q38's ANN recall is
+    * spec-checked; here every number hash-matches DuckDB).
+    *
+    * Scale: centroids broadcast (k·d doubles); the scan computes k
+    * distances per row in one codegen'd projection ([[TextVecExprs
+    * .floatVecSqDist]]) and reduces by cluster with a partial+final hash
+    * agg — no shuffle of the embeddings, the canonical distributed
+    * k-means step. Distances are rounded to 6dp BEFORE the argmin (q16's
+    * convention) so float noise cannot flip an assignment across engines.
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    emb.join(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        struct(
+          round(TextVecExprs.floatVecSqDist(col("embedding"), col("cv")), 6).as("d"),
+          col("cid")).as("dc"))
+      .groupBy("vec_id", "label")
+      .agg(min(col("dc")).as("m"))
+      .select(col("m.cid").as("cluster"), col("label"), col("m.d").as("d"))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("d") * 1000000.0).cast("long")).cast("double")
+          / 1000000.0 / count(lit(1)), 4).as("avg_sqdist"),
+        min("label").as("min_label"),
+        max("label").as("max_label"))
+      .orderBy("cluster")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

@@ -239,6 +239,54 @@ class OperatorsSpec extends SparkSpec {
     assert(base.values.sum == users)
   }
 
+  test("q72 length deciles: equal population, contiguous length ranges") {
+    val rows = graft.queries.Pipeline.q72(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      // ntile: bucket populations within a source differ by at most 1,
+      // and every one of the 10 deciles is populated (>= 10 docs/source)
+      assert(g.map(_._2).sorted.toSeq == (1L to 10L), s"$src deciles")
+      val ns = g.map(_._3)
+      assert(ns.max - ns.min <= 1, s"$src populations $ns")
+      // ordering by n_chars: decile d's max never exceeds decile d+1's min
+      val byD = g.sortBy(_._2)
+      byD.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$src ranges overlap: $a $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("q73 source cap: kept = min(total, cap); keep side WindowGroupLimits") {
+    val rows = graft.queries.Pipeline.q73(spark, sf001, cap = 15).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, total, kept) =>
+      assert(kept == math.min(total, 15L), s"$src total=$total kept=$kept")
+    }
+    // the keep-side operator agrees with the census and pushes the rank
+    // filter below the exchange (per-partition top-cap heaps)
+    val docs = graft.Tables.documents(spark, sf001)
+    val capped = graft.queries.Pipeline.sourceCapped(docs, 15)
+    val keptBy = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, _, kept) => assert(keptBy.getOrElse(src, 0L) == kept) }
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+  }
+
+  test("q74 kmeans assignment: mass conserved, all centroids live, self-distance zero") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Pipeline.q74(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // each centroid is its own nearest (d = 0), so all 8 clusters are live
+    assert(rows.map(_._1).sorted.toSeq == (0L to 7L))
+    val total = graft.Tables.embeddings(spark, sf001).count()
+    assert(rows.map(_._2).sum == total, "every embedding assigned exactly once")
+    rows.foreach { case (c, n, avg) => assert(avg >= 0.0 && n > 0, s"cluster $c") }
+  }
+
   test("q71 transitions: matrix mass = events - users; shares sum to 1 per row") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.Events.q71(spark, sf001).collect()
