@@ -104,6 +104,19 @@ object PipelineExprs {
     */
   def jsonScalarProbe(json: Column, key: String): Column =
     col(JsonScalarProbe(expr(json), key))
+
+  /** SORTED distinct 64-bit hashes of the text's adjacent word trigrams —
+    * [[wordTrigrams]] with 8-byte set elements instead of strings: the
+    * join keys shrink, the shuffle carries longs, and intersection runs as
+    * a two-pointer scan ([[sortedLongIntersectCount]]) instead of a per-row
+    * hash set over strings. Same 2⁻⁶⁴-collision caveat as q62/q15's hashed
+    * shingles (spec-proven count-equal to the string form on the corpus).
+    */
+  def wordTrigramHashes(text: Column): Column = col(WordTrigramHashes(expr(text)))
+
+  /** |A ∩ B| of two SORTED distinct long-array columns (two-pointer). */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    col(SortedLongIntersectCount(expr(a), expr(b)))
 }
 
 /** See [[PipelineExprs.polyFingerprint]]. */
@@ -697,4 +710,91 @@ object JsonScalarProbe {
     }
     null
   }
+}
+
+/** See [[PipelineExprs.wordTrigramHashes]]. Same tokenization as
+  * [[WordTrigrams]]; each trigram's single-space-joined bytes are hashed
+  * (poly-31 seeded 1125899906842597, then splitmix64) WITHOUT materializing
+  * the string, and the distinct hashes are returned SORTED ascending — the
+  * layout [[SortedLongIntersectCount]]'s two-pointer scan requires.
+  */
+case class WordTrigramHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_trigram_hashes"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    var nTok = 0
+    val starts = new Array[Int](n / 2 + 1)
+    val ends = new Array[Int](n / 2 + 1)
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        starts(nTok) = i
+        while (i < n && bytes(i) != ' ') i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    val m = math.max(0, nTok - 2)
+    val arr = new Array[Long](m)
+    var t = 0
+    while (t < m) {
+      var h = 1125899906842597L
+      var w = 0
+      while (w < 3) {
+        var p = starts(t + w)
+        val e = ends(t + w)
+        while (p < e) { h = h * 31 + bytes(p); p += 1 }
+        if (w < 2) h = h * 31 + ' '
+        w += 1
+      }
+      arr(t) = TextVecExprs.mix64(h)
+      t += 1
+    }
+    java.util.Arrays.sort(arr)
+    var wp = if (m == 0) 0 else 1
+    var r = 1
+    while (r < m) { if (arr(r) != arr(r - 1)) { arr(wp) = arr(r); wp += 1 }; r += 1 }
+    val out = if (wp == m) arr else java.util.Arrays.copyOf(arr, wp)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordTrigramHashes =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.sortedLongIntersectCount]]: |A ∩ B| of two SORTED
+  * distinct long arrays by a two-pointer merge scan — O(|A|+|B|), no
+  * per-row hash set (array_intersect builds one per evaluation and
+  * compares full strings when elements are strings).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = xs.numElements()
+    val nb = ys.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
+    copy(left = l, right = r)
 }

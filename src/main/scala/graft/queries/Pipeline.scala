@@ -1047,9 +1047,16 @@ object Pipeline {
     * and so the brute spec can prove prefix filtering loses nothing.
     */
   def ngramJaccardPairs(documents: DataFrame): DataFrame = {
-    val d0 = docTrigramSets(documents)
+    // 8-byte hashed trigram sets (sorted): long join keys through every
+    // exchange, two-pointer verify — the string form (docTrigramSets) is
+    // kept as the spec's equality witness, same hashed==string discipline
+    // as q62. PipelineSpec proves pair-set equality on the corpus.
+    val d0 = documents
+      .select(col("doc_id"), PipelineExprs.wordTrigramHashes(col("text")).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("n", size(col("gs")))
     val g = d0.select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
-    // global rarest-first total order; ties broken by the gram string so
+    // global rarest-first total order; ties broken by the gram hash so
     // every doc ranks its trigrams identically
     val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
     val pref = g.join(dfreq, "g")
@@ -1067,7 +1074,7 @@ object Pipeline {
       .join(d0.select(col("doc_id").as("da"), col("gs").as("ga"), col("n").as("na")), Seq("da"))
       .join(d0.select(col("doc_id").as("db"), col("gs").as("gb"), col("n").as("nb")), Seq("db"))
       .select(col("da"), col("db"), col("na"), col("nb"),
-        size(array_intersect(col("ga"), col("gb"))).as("inter"))
+        PipelineExprs.sortedLongIntersectCount(col("ga"), col("gb")).as("inter"))
       .filter(lit(3) * col("inter") >= col("na") + col("nb"))
       .select(col("da"), col("db"), col("inter").cast("long").as("inter"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)

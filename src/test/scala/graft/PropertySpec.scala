@@ -218,6 +218,28 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("WordTrigramHashes == sorted distinct mix64 of WordTrigrams strings") {
+    import spark.implicits._
+    import graft.expressions.{PipelineExprs, TextVecExprs}
+    def refHash(s: String): Long = {
+      var h = 1125899906842597L
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach(b => h = h * 31 + b)
+      TextVecExprs.mix64(h)
+    }
+    val gen: Gen[String] = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (6, Gen.alphaLowerChar), (3, Gen.const(' ')), (1, Gen.const('é'))))
+        .map(_.mkString))
+    val rows = samples(gen, 200).toDF("t").select(
+      PipelineExprs.wordTrigramHashes(col("t")).as("fast"),
+      PipelineExprs.wordTrigrams(col("t")).as("ref"), col("t")).collect()
+    rows.foreach { r =>
+      val fast = r.getSeq[Long](0)
+      val ref = r.getSeq[String](1).map(refHash).distinct.sorted
+      assert(fast == ref, s"mismatch on '${r.getString(2)}'")
+    }
+  }
+
   test("JsonScalarProbe == get_json_object on generated JSON objects") {
     import spark.implicits._
     import graft.expressions.PipelineExprs
