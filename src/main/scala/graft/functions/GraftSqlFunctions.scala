@@ -74,6 +74,18 @@ object GraftSqlFunctions {
       case Seq(j, k) => JsonScalarProbe(j, litStr(k, "graft_json_probe", "key"))
       case o => bad("graft_json_probe", o)
     },
+    "graft_trigram_hashes" -> {
+      case Seq(t) => WordTrigramHashes(t)
+      case o => bad("graft_trigram_hashes", o)
+    },
+    "graft_sorted_intersect_count" -> {
+      case Seq(a, b) => SortedLongIntersectCount(a, b)
+      case o => bad("graft_sorted_intersect_count", o)
+    },
+    "graft_vec_sqdist" -> {
+      case Seq(a, b) => FloatVecSqDist(a, b)
+      case o => bad("graft_vec_sqdist", o)
+    },
     "graft_srp_bucket" -> {
       case Seq(v, p) => SrpBucket(v, litInt(p, "graft_srp_bucket", "planes"))
       case o => bad("graft_srp_bucket", o)

@@ -58,11 +58,37 @@ class SqlSurfaceSpec extends SparkSpec {
       round(TextVecExprs.floatVecDot(col("embedding"), col("embedding")), 4).as("d"))
       .orderBy("vec_id")
     assert(sqlVec.collect().toSeq == dslVec.collect().toSeq)
+    // round-7 additions: JSON probe, hashed trigram sets + intersect, sqdist
+    val sqlNew = spark.sql(
+      """SELECT d.doc_id,
+        |  graft_trigram_hashes(d.text) th,
+        |  graft_sorted_intersect_count(graft_trigram_hashes(d.text),
+        |                               graft_trigram_hashes(d.text)) ic,
+        |  round(graft_vec_sqdist(e.embedding, e.embedding), 6) sq,
+        |  graft_json_probe('{"k":' || CAST(d.doc_id AS STRING) || '}', 'k') jp
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin)
+    val dslNew = Tables.documents(spark, sf0001).as("d")
+      .join(Tables.embeddings(spark, sf0001).as("e"), col("d.doc_id") === col("e.vec_id"))
+      .select(col("d.doc_id"),
+        PipelineExprs.wordTrigramHashes(col("d.text")).as("th"),
+        PipelineExprs.sortedLongIntersectCount(
+          PipelineExprs.wordTrigramHashes(col("d.text")),
+          PipelineExprs.wordTrigramHashes(col("d.text"))).as("ic"),
+        round(TextVecExprs.floatVecSqDist(col("e.embedding"), col("e.embedding")), 6).as("sq"),
+        PipelineExprs.jsonScalarProbe(
+          concat(lit("{\"k\":"), col("d.doc_id").cast("string"), lit("}")), "k").as("jp"))
+      .orderBy("doc_id")
+    assert(sqlNew.collect().toSeq == dslNew.collect().toSeq)
     // hyper-parameters must be literals
     val err = intercept[Exception] {
       spark.sql("SELECT graft_minhash_sig(text, CAST(len(text) AS INT), 16) FROM documents").collect()
     }
     assert(err.getMessage.contains("integer literal"))
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT graft_json_probe(text, text) FROM documents").collect()
+    }
+    assert(err2.getMessage.contains("string literal"))
   }
 
   test("events view carries the microsecond timestamp (nanos handled)") {
