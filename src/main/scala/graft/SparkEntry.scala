@@ -97,6 +97,7 @@ object SparkEntry {
     "q72_length_deciles"  -> ((s, d) => Pipeline.q72(s, d)),
     "q73_source_cap"      -> ((s, d) => Pipeline.q73(s, d)),
     "q74_kmeans_assign"   -> ((s, d) => Pipeline.q74(s, d)),
+    "q75_quant_error"     -> ((s, d) => Pipeline.q75(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -911,6 +912,25 @@ object SparkEntry {
         |  round(sum(CAST(round(d*1000000) AS BIGINT))/1000000.0/count(*), 4) AS avg_sqdist,
         |  min(label) AS min_label, max(label) AS max_label
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q75: every step mirrors the engine's HOF pipeline 1:1 — identical
+    // double arithmetic (away-from-zero round ties, left-to-right
+    // error-square fold), per-vector MSE fixed-pointed before the group sum
+    "q75_quant_error" ->
+      """WITH m AS (SELECT label, embedding,
+        |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS ma FROM embeddings),
+        |e AS (SELECT label,
+        |    CASE WHEN ma = 0 THEN [CAST(0.0 AS DOUBLE) FOR x IN embedding]
+        |         ELSE [CAST(x AS DOUBLE)
+        |               - round(CAST(x AS DOUBLE)*(127.0/ma))/(127.0/ma) FOR x IN embedding]
+        |    END AS errs FROM m),
+        |v AS (SELECT label,
+        |    list_aggregate([y*y FOR y IN errs], 'sum') / len(errs) AS mse,
+        |    list_max([abs(y) FOR y IN errs]) AS me FROM e)
+        |SELECT label, count(*) AS n,
+        |  round(sum(CAST(round(mse*1000000000) AS BIGINT))/1000000000.0/count(*), 6) AS avg_mse,
+        |  round(max(me), 6) AS max_err
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

@@ -1249,6 +1249,52 @@ object Pipeline {
       .drop("rn")
   }
 
+  /** q75: int8 scalar-quantization error census — the QA pass an
+    * embedding-compression rollout runs before swapping float32 vectors
+    * for int8 (4× memory/IO): per vector, symmetric per-tensor
+    * quantization q_i = round(x_i · 127/max|x|), dequantized error
+    * e_i = x_i − q_i/(127/max|x|); per label, the mean squared error
+    * (per-vector MSE fixed-pointed before the group sum, so the average
+    * is partition-order-independent) and the worst absolute error.
+    *
+    * Deliberately written in array HIGHER-ORDER functions (SURVEY §2.2
+    * row 31's operator family): transform/aggregate/array_max compose the
+    * whole per-vector computation and every step mirrors 1:1 into the
+    * oracle's list comprehensions — both engines run identical double
+    * arithmetic (away-from-zero round ties, left-to-right error-square
+    * sum), so the census hash-matches. At 100 TB the same math would move
+    * into one fused expression (the [[graft.expressions.TextVecExprs
+    * .floatVecSqDist]] escape hatch); at 10k vectors the interpreted HOF
+    * cost is noise and the declarative form is the demonstration.
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    quantErrorCensus(Tables.embeddings(spark, dir))
+
+  /** The q75 operator over any (label, embedding) frame — split out so the
+    * spec can drive the all-zero-vector branch (ma = 0, which the corpus
+    * never produces) and the zero-error case (vectors already on the int8
+    * grid).
+    */
+  def quantErrorCensus(embeddings: DataFrame): DataFrame = {
+    val zeros = transform(col("embedding"), _ => lit(0.0))
+    val scale = lit(127.0) / col("ma")
+    val errs = transform(col("embedding"),
+      x => x.cast("double") - round(x.cast("double") * scale) / scale)
+    embeddings
+      .withColumn("ma", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("errs", when(col("ma") === 0.0, zeros).otherwise(errs))
+      .withColumn("mse",
+        aggregate(col("errs"), lit(0.0), (a, y) => a + y * y) / size(col("errs")))
+      .withColumn("me", array_max(transform(col("errs"), y => abs(y))))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("mse") * 1000000000.0).cast("long")).cast("double")
+          / 1000000000.0 / count(lit(1)), 6).as("avg_mse"),
+        round(max(col("me")), 6).as("max_err"))
+      .orderBy("label")
+  }
+
   /** q74: k-means assignment census (the Lloyd E-step as a query) — every
     * embedding is assigned to its nearest centroid by SQUARED L2, ties by
     * lower centroid id; centroids are the vec_id < 8 embeddings

@@ -287,6 +287,31 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach { case (c, n, avg) => assert(avg >= 0.0 && n > 0, s"cluster $c") }
   }
 
+  test("q75 quantization error: step bound holds; zero-vector and on-grid branches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus: per-vector |err| can never exceed half a quantization step,
+    // and a step is ma/127 — so max_err < (global max |x|) / 254 is a hard
+    // bound per label (using the label's largest amplitude as the bound)
+    val census = graft.queries.Pipeline.q75(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(census.nonEmpty)
+    census.foreach { case (l, n, mse, me) =>
+      assert(n > 0 && mse >= 0.0 && me >= 0.0, s"label $l")
+      assert(mse <= me * me + 1e-9, s"label $l: mean square exceeds worst square")
+    }
+    // constructed branches: an all-zero vector (ma = 0) and a vector whose
+    // elements sit exactly on the int8 grid must both quantize with zero
+    // error. Grid exactness needs scale = 1.0 exactly, so use integer
+    // elements with max = 127: every step of the double pipeline is exact.
+    val planted = Seq(
+      (0, Array.fill(8)(0.0f)),
+      (1, Array(0.0f, 1.0f, 2.0f, 5.0f, 10.0f, 50.0f, 100.0f, 127.0f))).toDF("label", "embedding")
+    val out = graft.queries.Pipeline.quantErrorCensus(planted).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(out == Seq((0, 0.0, 0.0), (1, 0.0, 0.0)), s"planted: ${out.toList}")
+  }
+
   test("q71 transitions: matrix mass = events - users; shares sum to 1 per row") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.Events.q71(spark, sf001).collect()
