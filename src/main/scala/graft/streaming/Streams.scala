@@ -1,11 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Output row of [[Streams.userEventCounts]]. */
 case class UserCount(user_id: Long, n: Long)
+
+/** Output row of [[Streams.userTypeProfile]]. */
+case class UserTypeProfile(user_id: Long, n_types: Int, total: Long)
 
 /** Structured Streaming surface (SURVEY.md §2.2 rows 39–43): the SAME
   * operators the batch queries use (`window`, `session_window`), lifted to
@@ -127,6 +131,29 @@ object Streams {
         })
   }
 
+  /** Per-user event-type profile via transformWithState — Spark 4's
+    * arbitrary-state API v2 next to [[userEventCounts]]'s v1
+    * (flatMapGroupsWithState): typed composite state (a MapState cell per
+    * event type) instead of one monolithic value, lazily iterated from the
+    * store, with per-state TTL available (TTLConfig.NONE here — the counts
+    * are cumulative by design). Emits the updated (n_types, total) profile
+    * for each user touched by the micro-batch (Update mode).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`),
+    * which is also the provider a 100 TB deployment runs: state lives
+    * off-heap/on-disk with changelog checkpointing, so per-key state size
+    * is bounded by RocksDB, not executor heap.
+    */
+  def userTypeProfile(events: DataFrame): Dataset[UserTypeProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTypeProfileProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Land a streaming result in a parquet FILE sink — the continuous-
     * ingestion path that materializes cleaned/deduped data as a table.
     * Exactly-once at the file level: the sink's `_spark_metadata`
@@ -233,5 +260,31 @@ object Streams {
       .schema(events.schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(dir + "/in")
+  }
+}
+
+/** See [[Streams.userTypeProfile]]: one MapState cell per (user, type);
+  * the per-batch emit folds the map — state grows with the user's distinct
+  * types (bounded by the type vocabulary), never with the event count.
+  */
+class UserTypeProfileProcessor
+    extends StatefulProcessor[Long, (Long, String), UserTypeProfile] {
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[UserTypeProfile] = {
+    rows.foreach { case (_, t) =>
+      val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      counts.updateValue(t, cur + 1L)
+    }
+    var total = 0L
+    var n = 0
+    counts.iterator().foreach { kv => total += kv._2; n += 1 }
+    Iterator(UserTypeProfile(key, n, total))
   }
 }

@@ -196,6 +196,34 @@ class StreamsSpec extends SparkSpec {
       batchCounts.exceptAll(finalCounts).isEmpty)
   }
 
+  test("transformWithState type profile (RocksDB store): final state == batch profile") {
+    val dir = tmp()
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the v2 state API requires the RocksDB provider (also the 100 TB one)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = Streams.chunkedFileStream(spark, events, dir, chunks = 4)
+      val q = Streams.userTypeProfile(in).writeStream.format("memory")
+        .queryName("t_tws").outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      // Update mode emits each touched user's running profile per batch;
+      // the final (max) values must equal the batch per-user profile.
+      val finalProf = spark.table("t_tws").groupBy("user_id")
+        .agg(max("n_types").as("n_types"), max("total").as("total"))
+      val batchProf = events.groupBy("user_id").agg(
+        countDistinct(col("event_type")).cast("int").as("n_types"),
+        count(lit(1)).as("total"))
+      assert(finalProf.exceptAll(batchProf).isEmpty &&
+        batchProf.exceptAll(finalProf).isEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late data in append mode") {
     val dir = tmp()
     // Reverse chunk order: write newest chunk first so older rows arrive
