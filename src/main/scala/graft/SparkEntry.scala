@@ -98,6 +98,7 @@ object SparkEntry {
     "q73_source_cap"      -> ((s, d) => Pipeline.q73(s, d)),
     "q74_kmeans_assign"   -> ((s, d) => Pipeline.q74(s, d)),
     "q75_quant_error"     -> ((s, d) => Pipeline.q75(s, d)),
+    "q76_approx_pctile"   -> ((s, d) => Relational.q76(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -140,6 +141,8 @@ object SparkEntry {
     *  - q27/q29/q38 (our hash/quantizer families; cross-checked in the test
     *    suite against exact Jaccard / exact cosine top-k respectively —
     *    q38's full-probe mode is asserted EQUAL to exact q16)
+    *  - q76 (G-K sketch merges are partitioning-dependent; spec pins each
+    *    approx percentile inside the exact ±0.01-quantile envelope)
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->

@@ -381,6 +381,25 @@ object Relational {
         round(percentile(col("v"), lit(0.9), col("f")), 4).as("p90"))
       .orderBy("l_returnflag")
 
+  /** q76: APPROXIMATE grouped percentiles — the 100 TB member of the
+    * percentile family. q53's exact form needs every distinct (group,
+    * value) pair shuffled and sorted; approx_percentile keeps a bounded
+    * G-K sketch per group in the partial aggregate (state O(accuracy),
+    * independent of row count) and merges map-side — the only shape that
+    * survives a high-cardinality value column at cluster scale. Declared
+    * no-oracle (sketch merge order is partitioning-dependent); the spec
+    * pins it instead: with accuracy 10 000 the rank error is ≤ n/10 000,
+    * so each approx percentile must land inside the exact [p−0.01, p+0.01]
+    * quantile envelope computed by q53's machinery.
+    */
+  def q76(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap50"),
+        approx_percentile(col("l_quantity"), lit(0.9), lit(10000)).as("ap90"))
+      .orderBy("l_returnflag")
+
   /** q54 correlated scalar subquery, decorrelated: orders costing more than
     * 1.5× their own customer's average order value. The SQL formulation
     * re-evaluates a correlated `(SELECT avg ... WHERE same custkey)` per

@@ -287,6 +287,32 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach { case (c, n, avg) => assert(avg >= 0.0 && n > 0, s"cluster $c") }
   }
 
+  test("q76 approx percentiles sit inside the exact ±0.01-quantile envelope") {
+    import org.apache.spark.sql.functions._
+    // exact envelope via the same pre-reduced (value, frequency) machinery
+    // as q53: with accuracy 10 000, G-K guarantees rank error <= n/10 000,
+    // far inside the ±0.01-quantile band
+    val env = graft.Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("v"), lit(0.49), col("f")).as("lo50"),
+        percentile(col("v"), lit(0.51), col("f")).as("hi50"),
+        percentile(col("v"), lit(0.89), col("f")).as("lo90"),
+        percentile(col("v"), lit(0.91), col("f")).as("hi90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = graft.queries.Relational.q76(spark, sf001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (lo50, hi50, lo90, hi90) = env(r.getString(0))
+      val (a50, a90) = (r.getDouble(1), r.getDouble(2))
+      assert(a50 >= lo50 && a50 <= hi50, s"${r.getString(0)} p50 $a50 not in [$lo50,$hi50]")
+      assert(a90 >= lo90 && a90 <= hi90, s"${r.getString(0)} p90 $a90 not in [$lo90,$hi90]")
+    }
+  }
+
   test("q75 quantization error: step bound holds; zero-vector and on-grid branches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
