@@ -607,9 +607,26 @@ object JsonScalarProbe {
       case 'n' =>
         if (start + 4 <= n && b(start + 1) == 'u' && b(start + 2) == 'l' &&
           b(start + 3) == 'l') start + 4 else -1
-      case c if isNumByte(c) =>
-        var i = start + 1
-        while (i < n && isNumByte(b(i))) i += 1
+      case c if c == '-' || (c >= '0' && c <= '9') =>
+        // strict JSON number grammar — '-'? ('0'|[1-9][0-9]*) frac? exp? —
+        // so malformed docs ("05", "1.", "1e") return NULL exactly like
+        // the streaming parser behind get_json_object
+        var i = start
+        if (b(i) == '-') i += 1
+        if (i >= n || b(i) < '0' || b(i) > '9') return -1
+        if (b(i) == '0') i += 1
+        else while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i < n && b(i) == '.') {
+          i += 1
+          if (i >= n || b(i) < '0' || b(i) > '9') return -1
+          while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+        }
+        if (i < n && (b(i) == 'e' || b(i) == 'E')) {
+          i += 1
+          if (i < n && (b(i) == '+' || b(i) == '-')) i += 1
+          if (i >= n || b(i) < '0' || b(i) > '9') return -1
+          while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+        }
         i
       case _ => -1
     }
@@ -645,7 +662,13 @@ object JsonScalarProbe {
             if (x == '.' || x == 'e' || x == 'E') float = true
             k += 1
           }
-          if (!float) UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, end))
+          if (!float) {
+            // Jackson renders integer values numerically: "-0" -> "0" (the
+            // one integer whose raw text differs from its value)
+            if (end - start == 2 && b(start) == '-' && b(start + 1) == '0')
+              UTF8String.fromString("0")
+            else UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, end))
+          }
           else try {
             val s = new String(b, start, end - start, java.nio.charset.StandardCharsets.US_ASCII)
             UTF8String.fromString(java.lang.Double.toString(java.lang.Double.parseDouble(s)))

@@ -280,7 +280,13 @@ class PropertySpec extends AnyFunSuite {
     val docs = samples(docGen, 300) ++ Seq(
       "", "   ", "not json", "{", "{\"k\"", "{\"k\":}", "{\"k\":5",
       "{\"k\":5}", "{\"k\" : -12.5 }", "{\"k\":\"\\u0041\\ud83d\\ude00\"}",
-      "{\"other\":1}", "null", "[1,2]", "{\"k\":1e3}")
+      "{\"other\":1}", "null", "[1,2]", "{\"k\":1e3}",
+      // strict-number parity (Jackson rejects malformed, renders -0 as 0)
+      "{\"k\":05}", "{\"a\":05,\"k\":1}", "{\"k\":1.}", "{\"k\":1e}",
+      "{\"k\":-0}", "{\"k\":+5}", "{\"k\":- 5}", "{\"k\":-5e-3}",
+      "{\"k\":1e+2}", "{\"k\":1,\"k\":2}", "{\"a\":{\"k\":9},\"k\":7}",
+      "{ \"k\":5}garbage", "{\"k\":5,}",
+      "{\"k\":123456789012345678901234567890}", "{\"k\":-0.0}")
     val rows = docs.toDF("j").select(
       PipelineExprs.jsonScalarProbe(col("j"), "k").as("fast"),
       get_json_object(col("j"), "$.k").as("ref"),
