@@ -91,7 +91,7 @@ object Bench {
     * and the MINIMUM across rounds is kept per query — a round measured
     * during a degradation window can only lose to any clean round.
     */
-  private def loadPriorMedians(): Map[String, Double] = {
+  private def loadPriorMedians(sfDir: String): Map[String, Double] = {
     val acc = scala.collection.mutable.Map[String, Double]()
     scala.util.Try {
       // two sources: the driver's per-round envelopes, and the repo's
@@ -110,8 +110,14 @@ object Bench {
         // scanning or nothing ever matches
         val content = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           .replace("\\\"", "\"")
+        // scale-factor guard: medians from a different SF are not a
+        // baseline (a local lo-SF iteration overwriting bench_full_latest
+        // would otherwise flag every canonical-SF query as SUSPECT).
+        // Legacy files predating the "sf" field were all driver sf0.1 runs.
+        val sfRec = """"sf":"([^"]+)"""".r.findFirstMatchIn(content).map(_.group(1))
+        val sfOk = sfRec.map(_ == sfDir).getOrElse(sfDir.endsWith("sf0.1"))
         val at = content.lastIndexOf("\"queries\":{")
-        if (at >= 0) {
+        if (sfOk && at >= 0) {
           // bound at the object's closing brace: later same-shaped maps
           // ("oracle", "ratio") must not bleed into the medians
           val start = at + "\"queries\":{".length
@@ -389,7 +395,7 @@ object Bench {
     val hook = new Thread(() => emit(partial = true))
     Runtime.getRuntime.addShutdownHook(hook)
 
-    val prior = loadPriorMedians()
+    val prior = loadPriorMedians(sfDir)
     if (prior.nonEmpty) System.err.println(s"[bench] regression baseline: ${prior.size} prior medians (best non-flagged across rounds)")
 
     val sidecar = new OracleSidecar(runDir, scratch, cpus)
@@ -622,43 +628,48 @@ object Bench {
         val loDir = stageInput(loSrc, "input_lo")
         val sidecarLo = new OracleSidecar(loDir, scratch, cpus, tag = "_lo")
         sidecarLo.start()
-        def medianOf3(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-            dir: String): Double = {
-          val f: (SparkSession, String) => org.apache.spark.sql.DataFrame = (s, _) => fn(s, dir)
-          timeOnce(s"$name-slope-warm", f, warmCapSec) // warm: codegen/footers for this dir
-          val ts = Seq.fill(3)(timeOnce(s"$name-slope", f, warmCapSec)._1).sorted
-          ts(1)
-        }
-        val rows = scala.collection.mutable.LinkedHashMap[String, String]()
-        for (name <- bset; fn <- ordered.find(_._1 == name).map(_._2)) {
-          val sql = SparkEntry.oracleSql.get(name)
-          val oLo = sql.flatMap(s => sidecarLo.measure(name, s))
-          val oHi = sql.flatMap(s => sidecar.measure(name, s))
-          val eLo = medianOf3(name, fn, loDir)
-          val eHi = medianOf3(name, fn, runDir)
-          val eDelta = eHi - eLo
-          val oDelta = for (l <- oLo; h <- oHi) yield h - l
-          // noise gates: engine jitter observed ~5–20 ms between identical
-          // runs; oracle jitter ~0.5 ms. A delta inside jitter means the
-          // query is floor-bound even at the high SF — report null.
-          val ratio = oDelta match {
-            case Some(od) if eDelta > 0.02 && od > 0.002 =>
-              f"${eDelta / od}%.3f"
-            case _ => "null"
+        try {
+          def medianOf3(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              dir: String): Double = {
+            val f: (SparkSession, String) => org.apache.spark.sql.DataFrame = (s, _) => fn(s, dir)
+            timeOnce(s"$name-slope-warm", f, warmCapSec) // warm: codegen/footers for this dir
+            val ts = Seq.fill(3)(timeOnce(s"$name-slope", f, warmCapSec)._1).sorted
+            ts(1)
           }
-          def n(v: Double) = f"$v%.4f"
-          def o(v: Option[Double]) = v.map(n).getOrElse("null")
-          rows(name) =
-            s"""{"e_lo":${n(eLo)},"e_hi":${n(eHi)},"o_lo":${o(oLo)},"o_hi":${o(oHi)},"marginal_ratio":$ratio}"""
-          System.err.println(s"[bench] slope $name: e ${n(eLo)}->${n(eHi)} o ${o(oLo)}->${o(oHi)} ratio $ratio")
-        }
-        sidecarLo.kill()
-        val body = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
-        val json = s"""{"lo_sf":"$loSrc","hi_sf":"$sfDir","queries":{$body}}"""
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("tools/bench_slope_latest.json"), json + "\n")
-        System.err.println("[bench] slope detail -> tools/bench_slope_latest.json")
+          val rows = scala.collection.mutable.LinkedHashMap[String, String]()
+          // per-query isolation, same fail-soft discipline as the main
+          // loop: one failing query loses its row, not the whole phase
+          for (name <- bset; fn <- ordered.find(_._1 == name).map(_._2)) try {
+            val sql = SparkEntry.oracleSql.get(name)
+            val oLo = sql.flatMap(s => sidecarLo.measure(name, s))
+            val oHi = sql.flatMap(s => sidecar.measure(name, s))
+            val eLo = medianOf3(name, fn, loDir)
+            val eHi = medianOf3(name, fn, runDir)
+            val eDelta = eHi - eLo
+            val oDelta = for (l <- oLo; h <- oHi) yield h - l
+            // noise gates: engine jitter observed ~5–20 ms between identical
+            // runs; oracle jitter ~0.5 ms. A delta inside jitter means the
+            // query is floor-bound even at the high SF — report null.
+            val ratio = oDelta match {
+              case Some(od) if eDelta > 0.02 && od > 0.002 =>
+                f"${eDelta / od}%.3f"
+              case _ => "null"
+            }
+            def n(v: Double) = f"$v%.4f"
+            def o(v: Option[Double]) = v.map(n).getOrElse("null")
+            rows(name) =
+              s"""{"e_lo":${n(eLo)},"e_hi":${n(eHi)},"o_lo":${o(oLo)},"o_hi":${o(oHi)},"marginal_ratio":$ratio}"""
+            System.err.println(s"[bench] slope $name: e ${n(eLo)}->${n(eHi)} o ${o(oLo)}->${o(oHi)} ratio $ratio")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] slope $name failed: ${e.getMessage}")
+          }
+          val body = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+          val json = s"""{"lo_sf":"$loSrc","hi_sf":"$sfDir","queries":{$body}}"""
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("tools/bench_slope_latest.json"), json + "\n")
+          System.err.println("[bench] slope detail -> tools/bench_slope_latest.json")
+        } finally sidecarLo.kill()
       }.failed.foreach(e => System.err.println(s"[bench] slope phase failed: ${e.getMessage}"))
     }
 

@@ -83,9 +83,10 @@ object PipelineExprs {
     * of the text's `k`-grams. The guarantee that makes this THE containment
     * fingerprint: any shared substring of length >= k+w-1 contributes at
     * least one identical fingerprint to both documents, while storage is
-    * ~1/w of the k-gram count. Hash = fold (h*31 + charCode) mod 1e9+7 over
-    * the k chars (exactly DuckDB list_reduce over ord(), so the oracle can
-    * reproduce it); for fewer than w positions the single clipped window's
+    * ~1/w of the k-gram count. Hash = fold (h*31 + codepoint) mod 1e9+7
+    * over the k codepoints (exactly DuckDB list_reduce over ord(), so the
+    * oracle reproduces it — codepoints, not UTF-16 units, because len()/
+    * string_split count codepoints); below w positions the clipped window's
     * minimum is kept, so every doc with >= k chars fingerprints. One pass,
     * O(len) via rolling updates; per-char cost is a mul+add+mod.
     */
@@ -98,7 +99,12 @@ object PipelineExprs {
     * path probe does). Contract, property-tested against get_json_object:
     * identical for values that are strings (unescaped), booleans, or
     * numbers in canonical form, and for JSON null / missing key / invalid
-    * JSON (all SQL NULL). Declared divergence: a key whose value is an
+    * JSON (all SQL NULL) — where "invalid" matches the built-in's shared
+    * Jackson factory exactly: single-quoted strings and raw control chars
+    * are ACCEPTED (Hive compat), while any structural fault anywhere in
+    * the document (mismatched bracket types, missing commas/colons,
+    * trailing commas, unquoted keys, lax numbers) is rejected even inside
+    * values the probe skips. Declared divergence: a key whose value is an
     * object or array returns NULL (get_json_object re-serializes the
     * subtree) — use from_json / parse_json for nested access (q34/q41).
     */
@@ -117,6 +123,30 @@ object PipelineExprs {
   /** |A ∩ B| of two SORTED distinct long-array columns (two-pointer). */
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     col(SortedLongIntersectCount(expr(a), expr(b)))
+
+  /** Token boundaries for the space tokenization every word-n-gram
+    * expression shares — maximal runs of non-0x20 bytes, exactly
+    * string_split(text,' ') with empties dropped (tabs/newlines are NOT
+    * separators). Fills starts/ends (callers size them n/2+1, the max
+    * token count) and returns the token count. ONE definition so the
+    * bigram/trigram/trigram-hash family can never diverge on tokenization.
+    */
+  private[expressions] def spaceTokenBounds(
+      bytes: Array[Byte], starts: Array[Int], ends: Array[Int]): Int = {
+    val n = bytes.length
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        starts(nTok) = i
+        while (i < n && bytes(i) != ' ') i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    nTok
+  }
 }
 
 /** See [[PipelineExprs.polyFingerprint]]. */
@@ -126,10 +156,18 @@ case class PolyFingerprint(child: Expression)
   override def prettyName: String = "poly_fingerprint"
 
   protected override def nullSafeEval(input: Any): Any = {
+    // iterate Unicode CODEPOINTS, not UTF-16 units: the DuckDB oracle folds
+    // ascii(c) over string_split(text,''), which yields one value per
+    // codepoint — charAt would hash an astral char as two surrogates
     val s = input.asInstanceOf[UTF8String].toString
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -218,19 +256,9 @@ case class WordBigrams(child: Expression)
     val bytes = u.getBytes
     val n = bytes.length
     // token boundaries: starts(t) inclusive, ends(t) exclusive
-    var nTok = 0
     val starts = new Array[Int](n / 2 + 1)
     val ends = new Array[Int](n / 2 + 1)
-    var i = 0
-    while (i < n) {
-      while (i < n && bytes(i) == ' ') i += 1
-      if (i < n) {
-        starts(nTok) = i
-        while (i < n && bytes(i) != ' ') i += 1
-        ends(nTok) = i
-        nTok += 1
-      }
-    }
+    val nTok = PipelineExprs.spaceTokenBounds(bytes, starts, ends)
     val out = new Array[AnyRef](math.max(0, nTok - 1))
     var t = 0
     while (t < nTok - 1) {
@@ -345,8 +373,8 @@ case class TokenStats(child: Expression)
 }
 
 /** See [[PipelineExprs.winnowFingerprints]]. Mirrors the oracle's
-  * formulation exactly: 1-indexed k-gram positions i = 1..P (P = len-k+1),
-  * h(i) = fold over the k char codes, window minima
+  * formulation exactly: 1-indexed k-gram positions i = 1..P (P = number of
+  * codepoints - k + 1), h(i) = fold over the k codepoints, window minima
   * min(h(i)..h(min(i+w-1, P))) kept for i <= max(P-w+1, 1) — i.e. full
   * windows, plus one clipped window when the doc has fewer than w k-grams.
   * Rolling hash update: drop the leading char's 31^(k-1) term (mod-safe),
@@ -368,18 +396,22 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   }
 
   protected override def nullSafeEval(input: Any): Any = {
+    // positions and hashes are over Unicode CODEPOINTS — DuckDB's len()/
+    // string_split(text,'')/ascii() in the q67 oracle count one element
+    // per codepoint, so UTF-16 charAt would break parity on astral chars
     val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    val cp = s.codePoints().toArray
+    val n = cp.length
     val p = n - k + 1
     if (p <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     val h = new Array[Long](p)
     var acc = 0L
     var i = 0
-    while (i < k) { acc = (acc * 31 + s.charAt(i)) % Mod; i += 1 }
+    while (i < k) { acc = (acc * 31 + cp(i)) % Mod; i += 1 }
     h(0) = acc
     while (i < n) {
-      // remove s[i-k], append s[i]; +Mod keeps the subtraction non-negative
-      acc = ((acc - s.charAt(i - k) * powK1 % Mod + Mod) * 31 + s.charAt(i)) % Mod
+      // remove cp(i-k), append cp(i); +Mod keeps the subtraction non-negative
+      acc = ((acc - cp(i - k) * powK1 % Mod + Mod) * 31 + cp(i)) % Mod
       h(i - k + 1) = acc
       i += 1
     }
@@ -429,19 +461,9 @@ case class WordTrigrams(child: Expression)
   protected override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
-    var nTok = 0
     val starts = new Array[Int](n / 2 + 1)
     val ends = new Array[Int](n / 2 + 1)
-    var i = 0
-    while (i < n) {
-      while (i < n && bytes(i) == ' ') i += 1
-      if (i < n) {
-        starts(nTok) = i
-        while (i < n && bytes(i) != ' ') i += 1
-        ends(nTok) = i
-        nTok += 1
-      }
-    }
+    val nTok = PipelineExprs.spaceTokenBounds(bytes, starts, ends)
     val out = new java.util.LinkedHashSet[UTF8String]()
     var t = 0
     while (t < nTok - 2) {
@@ -530,19 +552,25 @@ object JsonScalarProbe {
 
   /** Parse the JSON string whose opening quote is at `start`; unescaped
     * content goes to `out` when non-null. Returns the index AFTER the
-    * closing quote, or -1 if malformed.
+    * closing quote, or -1 if malformed. The quote may be 0x22 or 0x27 —
+    * Spark's shared Jackson factory enables ALLOW_SINGLE_QUOTES (Hive
+    * compat), and it accepts the \' escape in either quote style; the
+    * other quote char is plain content. Raw control bytes pass through
+    * (ALLOW_UNESCAPED_CONTROL_CHARS).
     */
   private def parseString(b: Array[Byte], start: Int,
       out: java.io.ByteArrayOutputStream): Int = {
     val n = b.length
+    val quote = b(start)
     var i = start + 1
     while (i < n) {
       val c = b(i)
-      if (c == '"') return i + 1
+      if (c == quote) return i + 1
       else if (c == '\\') {
         if (i + 1 >= n) return -1
         b(i + 1) match {
           case '"'  => if (out != null) out.write('"');  i += 2
+          case '\'' => if (out != null) out.write('\''); i += 2
           case '\\' => if (out != null) out.write('\\'); i += 2
           case '/'  => if (out != null) out.write('/');  i += 2
           case 'b'  => if (out != null) out.write('\b'); i += 2
@@ -574,28 +602,51 @@ object JsonScalarProbe {
   private def isNumByte(c: Byte): Boolean =
     (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.' || c == 'e' || c == 'E'
 
-  /** Skip one JSON value starting at `start`. Returns the index after the
-    * value, or -1 if malformed.
+  private def skipValue(b: Array[Byte], start: Int): Int = skipValue(b, start, 0)
+
+  /** Skip one JSON value starting at `start`, FULLY validating its interior
+    * — bracket pairing by type, commas, colons, string/number grammar. The
+    * streaming parser behind get_json_object tokenizes every nested value,
+    * so a lax depth-counting skip would accept documents the built-in
+    * rejects (e.g. {"a":[1},"k":5} or a missing comma inside a skipped
+    * array) and return a value where it returns NULL. Depth is capped at
+    * 1000, Jackson's default StreamReadConstraints nesting limit. Returns
+    * the index after the value, or -1 if malformed.
     */
-  private def skipValue(b: Array[Byte], start: Int): Int = {
+  private def skipValue(b: Array[Byte], start: Int, depth: Int): Int = {
     val n = b.length
-    if (start >= n) return -1
+    if (start >= n || depth > 1000) return -1
     b(start) match {
-      case '"' => parseString(b, start, null)
-      case '{' | '[' =>
-        var depth = 0
-        var i = start
-        while (i < n) {
-          b(i) match {
-            case '"' =>
-              i = parseString(b, i, null)
-              if (i < 0) return -1
-            case '{' | '[' => depth += 1; i += 1
-            case '}' | ']' =>
-              depth -= 1; i += 1
-              if (depth == 0) return i
-            case _ => i += 1
-          }
+      case '"' | '\'' => parseString(b, start, null)
+      case '{' =>
+        var i = skipWs(b, start + 1)
+        if (i < n && b(i) == '}') return i + 1
+        while (true) {
+          if (i >= n || (b(i) != '"' && b(i) != '\'')) return -1
+          i = parseString(b, i, null)
+          if (i < 0) return -1
+          i = skipWs(b, i)
+          if (i >= n || b(i) != ':') return -1
+          i = skipValue(b, skipWs(b, i + 1), depth + 1)
+          if (i < 0) return -1
+          i = skipWs(b, i)
+          if (i >= n) return -1
+          if (b(i) == ',') i = skipWs(b, i + 1)
+          else if (b(i) == '}') return i + 1
+          else return -1
+        }
+        -1
+      case '[' =>
+        var i = skipWs(b, start + 1)
+        if (i < n && b(i) == ']') return i + 1
+        while (true) {
+          i = skipValue(b, i, depth + 1)
+          if (i < 0) return -1
+          i = skipWs(b, i)
+          if (i >= n) return -1
+          if (b(i) == ',') i = skipWs(b, i + 1)
+          else if (b(i) == ']') return i + 1
+          else return -1
         }
         -1
       case 't' =>
@@ -639,7 +690,7 @@ object JsonScalarProbe {
     val n = b.length
     if (start >= n) return null
     b(start) match {
-      case '"' =>
+      case '"' | '\'' =>
         val out = new java.io.ByteArrayOutputStream(32)
         if (parseString(b, start, out) < 0) null
         else UTF8String.fromBytes(out.toByteArray)
@@ -694,13 +745,14 @@ object JsonScalarProbe {
     var result: UTF8String = null
     var found = false
     while (i < n) {
-      if (b(i) != '"') return null
+      val q = b(i)
+      if (q != '"' && q != '\'') return null
       // key fast path: no escapes -> zero-copy compare against keyBytes
       var j = i + 1
-      while (j < n && b(j) != '"' && b(j) != '\\') j += 1
+      while (j < n && b(j) != q && b(j) != '\\') j += 1
       if (j >= n) return null
       var matched = false
-      if (b(j) == '"') {
+      if (b(j) == q) {
         val len = j - (i + 1)
         if (len == key.length) {
           matched = true
@@ -749,19 +801,9 @@ case class WordTrigramHashes(child: Expression)
   protected override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
-    var nTok = 0
     val starts = new Array[Int](n / 2 + 1)
     val ends = new Array[Int](n / 2 + 1)
-    var i = 0
-    while (i < n) {
-      while (i < n && bytes(i) == ' ') i += 1
-      if (i < n) {
-        starts(nTok) = i
-        while (i < n && bytes(i) != ' ') i += 1
-        ends(nTok) = i
-        nTok += 1
-      }
-    }
+    val nTok = PipelineExprs.spaceTokenBounds(bytes, starts, ends)
     val m = math.max(0, nTok - 2)
     val arr = new Array[Long](m)
     var t = 0

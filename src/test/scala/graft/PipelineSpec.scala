@@ -361,11 +361,13 @@ class PipelineSpec extends SparkSpec {
     * per-position k-gram hashes (no rolling update) and a naive window min.
     */
   private def bruteWinnow(s: String, k: Int = 8, w: Int = 4): Seq[Long] = {
-    val p = s.length - k + 1
+    // codepoints, not UTF-16 units — DuckDB's len()/ord() semantics
+    val cp = s.codePoints().toArray.toSeq
+    val p = cp.length - k + 1
     if (p <= 0) Seq.empty
     else {
       val h = (0 until p).map { i =>
-        s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+        cp.slice(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
       }
       val nw = math.max(p - w + 1, 1)
       (0 until nw).map(j => h.slice(j, math.min(j + w, p)).min).distinct.sorted
@@ -399,6 +401,24 @@ class PipelineSpec extends SparkSpec {
     assert(out("abcdefgh").size == 1)
     assert(out("abcdefghij") == bruteWinnow("abcdefghij"))
     assert(out("abcdefghij").size == 1) // single clipped window -> one min
+  }
+
+  test("winnow and poly fingerprints hash codepoints, not UTF-16 units") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    // "😀" is one codepoint (0x1F600) but two UTF-16 units — with 7 ASCII
+    // chars after it the doc has exactly k=8 codepoints: one k-gram, one
+    // fingerprint. A charAt implementation would see 9 units / 2 positions
+    // and hash the surrogates 0xD83D/0xDE00 instead of 0x1F600.
+    val astral = new String(Character.toChars(0x1F600)) + "abcdefg"
+    val row = Seq(astral).toDF("text").select(
+      PipelineExprs.winnowFingerprints(col("text"), 8, 4).as("fp"),
+      PipelineExprs.polyFingerprint(col("text")).as("poly")).collect().head
+    assert(row.getSeq[Long](0) == bruteWinnow(astral))
+    assert(row.getSeq[Long](0).size == 1)
+    val expectedPoly = astral.codePoints().toArray
+      .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(row.getLong(1) == expectedPoly)
   }
 
   test("winnow fingerprints: a shared >= k+w-1 substring guarantees a shared fingerprint") {

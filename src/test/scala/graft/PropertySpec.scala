@@ -286,7 +286,19 @@ class PropertySpec extends AnyFunSuite {
       "{\"k\":-0}", "{\"k\":+5}", "{\"k\":- 5}", "{\"k\":-5e-3}",
       "{\"k\":1e+2}", "{\"k\":1,\"k\":2}", "{\"a\":{\"k\":9},\"k\":7}",
       "{ \"k\":5}garbage", "{\"k\":5,}",
-      "{\"k\":123456789012345678901234567890}", "{\"k\":-0.0}")
+      "{\"k\":123456789012345678901234567890}", "{\"k\":-0.0}",
+      // structural faults INSIDE skipped values (streaming parser rejects;
+      // a depth-counting skip would not): mismatched bracket types,
+      // missing commas/colons, trailing/double commas, unquoted keys
+      "{\"a\":[1},\"k\":5}", "{\"a\":{\"x\":1]},\"k\":5}",
+      "{\"a\":[1 2],\"k\":5}", "{\"a\":{\"x\":1 \"y\":2},\"k\":5}",
+      "{\"a\":{\"x\" 1},\"k\":5}", "{\"a\":[1,],\"k\":5}",
+      "{\"a\":1,,\"k\":5}", "{a:1,\"k\":5}", "{\"k\":NaN}",
+      // Hive-compat leniency the shared Jackson factory enables
+      "{'k':5}", "{\"k\":'v'}", "{'k':'a\\'b'}", "{\"k\":\"a\\'b\"}",
+      "{\"k\":\"a\nb\"}", "{'k':'a\"b'}",
+      // valid skipped composites
+      "{\"a\":[],\"k\":5}", "{\"a\":{},\"k\":5}", "{\"a\":[[[[1]]]],\"k\":5}")
     val rows = docs.toDF("j").select(
       PipelineExprs.jsonScalarProbe(col("j"), "k").as("fast"),
       get_json_object(col("j"), "$.k").as("ref"),
