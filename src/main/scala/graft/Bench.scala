@@ -333,6 +333,9 @@ object Bench {
       .config("spark.local.dir", scratch)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail loudly (stderr, one message) if the driver regenerated testdata
+    // with drifted physical types — see Tables.probeSchemas and VERDICT r8.
+    Tables.probeSchemas(spark, runDir)
 
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._

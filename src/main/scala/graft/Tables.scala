@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -47,26 +48,97 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4's reader rejects
-    * outright (PARQUET_TYPE_ILLEGAL). We read it as a long (legacy conf) and
-    * truncate to microseconds — Spark's native timestamp precision. The
-    * DuckDB oracle SQL truncates identically via epoch_us() so both engines
-    * compare the same microsecond values.
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so the loader adapts to
+    * the schema it actually finds instead of hard-coding one physical type:
     *
-    * NOTE the conf is session-wide and sticks after this call: any later
-    * read of OTHER nanos-timestamped parquet in the same session will get
-    * LongType instead of an error. Engine-owned sessions (Bench/Verify/
-    * tests) set it at build time; this lazy set covers caller-provided
-    * sessions. Scoping it per-read is unsafe because the conf is consulted
-    * again at scan execution, not just at schema inference.
+    *  - NANOS: Spark 4's reader rejects it outright (PARQUET_TYPE_ILLEGAL),
+    *    so we keep `nanosAsLong` set — the column arrives as LongType and we
+    *    truncate to microseconds, Spark's native precision. The DuckDB
+    *    oracle truncates identically via epoch_us().
+    *  - MICROS (isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ; we cast
+    *    to TimestampType so every consumer sees one type. All engine-owned
+    *    sessions pin spark.sql.session.timeZone=UTC, making the cast
+    *    value-identical to the stored microseconds (and to DuckDB's naive
+    *    read of the same file).
+    *  - MICROS/MILLIS (isAdjustedToUTC=true): already TimestampType;
+    *    pass through.
+    *
+    * NOTE the nanosAsLong conf is session-wide and sticks after this call:
+    * any later read of OTHER nanos-timestamped parquet in the same session
+    * will get LongType instead of an error. Engine-owned sessions (Bench/
+    * Verify/tests) set it at build time; this lazy set covers caller-
+    * provided sessions. Scoping it per-read is unsafe because the conf is
+    * consulted again at scan execution, not just at schema inference.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Cheap startup schema probe — parquet footer reads only, no data scan.
+    *
+    * Asserts the driver-generated testdata carries the column types the
+    * engine's hot paths assume, failing with ONE readable error that names
+    * the file and the offending type instead of 17 scattered
+    * AnalysisExceptions downstream. Motivated by the round-7/8 incident: a
+    * silent testdata regeneration flipped events.ts TIMESTAMP(NANOS) →
+    * TIMESTAMP(MICROS) and took out every events-derived query; this probe
+    * makes the next such drift fail loudly in one place. Bench and Verify
+    * call it at startup.
+    */
+  def probeSchemas(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val tsLike: DataType => Boolean =
+      dt => dt == TimestampType || dt == TimestampNTZType
+    val checks: Seq[(String, DataFrame, Seq[(String, DataType => Boolean, String)])] = Seq(
+      ("lineitem", lineitem(s, dir), Seq(
+        ("l_orderkey", (_: DataType) == LongType, "BIGINT"),
+        ("l_quantity", (_: DataType) == DoubleType, "DOUBLE"),
+        ("l_shipdate", tsLike, "TIMESTAMP[_NTZ]"))),
+      ("orders", orders(s, dir), Seq(
+        ("o_custkey", (_: DataType) == LongType, "BIGINT"),
+        ("o_totalprice", (_: DataType) == DoubleType, "DOUBLE"),
+        ("o_orderdate", tsLike, "TIMESTAMP[_NTZ]"))),
+      ("events", events(s, dir), Seq(
+        ("ts", (_: DataType) == TimestampType, "TIMESTAMP (via Tables.events)"),
+        ("user_id", (_: DataType) == LongType, "BIGINT"),
+        ("event_type", (_: DataType) == StringType, "STRING"),
+        ("value", (_: DataType) == DoubleType, "DOUBLE"),
+        ("props", (_: DataType) == StringType, "STRING"))),
+      ("documents", documents(s, dir), Seq(
+        ("doc_id", (_: DataType) == LongType, "BIGINT"),
+        ("text", (_: DataType) == StringType, "STRING"))),
+      ("embeddings", embeddings(s, dir), Seq(
+        ("vec_id", (_: DataType) == LongType, "BIGINT"),
+        ("embedding", (dt: DataType) => dt match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }, "ARRAY<FLOAT>"))))
+    val errs = checks.flatMap { case (t, df, cols) =>
+      cols.flatMap { case (c, ok, want) =>
+        df.schema.fields.find(_.name == c) match {
+          case None => Some(s"$dir/$t.parquet: column '$c' missing " +
+            s"(file has: ${df.schema.fieldNames.mkString(", ")})")
+          case Some(f) if !ok(f.dataType) =>
+            Some(s"$dir/$t.parquet: column '$c' is ${f.dataType.sql}, engine needs $want")
+          case _ => None
+        }
+      }
+    }
+    if (errs.nonEmpty) throw new IllegalStateException(
+      "testdata schema probe FAILED — the generator's physical schema drifted:\n  "
+        + errs.mkString("\n  "))
+    System.err.println(s"[graft] schema probe OK: ${checks.size} tables at $dir " +
+      s"(events.ts → ${events(s, dir).schema("ts").dataType.sql})")
+  }
 
   /** Register all tables as temp views (for spark.sql surface + tests).
     * events goes through its dedicated loader so the view carries the

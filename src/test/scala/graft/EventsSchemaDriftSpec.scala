@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Regression guard for the events timestamp schema drift that broke rounds
+  * 7–8: the driver's testdata generator has shipped `events.ts` as parquet
+  * TIMESTAMP(NANOS) in some generations and TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) in others. `Tables.events` must load EVERY
+  * physical variant to the same logical shape — a TimestampType `ts` with
+  * microsecond values — so a silent regeneration can never again take out
+  * every events-derived query at once.
+  *
+  * Three variants are written from scratch here (not read from testdata, so
+  * the spec is independent of whichever generation is currently on disk):
+  *   - NANOS via the raw parquet-java writer (Spark itself cannot write it);
+  *   - MICROS/NTZ via a Spark TIMESTAMP_NTZ write (the current generator);
+  *   - MICROS/UTC-adjusted via a plain Spark TimestampType write.
+  */
+class EventsSchemaDriftSpec extends SparkSpec {
+
+  /** 2024-01-15 12:34:56.789012 UTC, as microseconds since epoch. */
+  private val microsUtc = 1705322096789012L
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-events-$tag").toString
+
+  private def assertLoadsAsMicros(dir: String, variant: String): Unit = {
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"$variant: expected TimestampType ts, got ${ev.schema("ts").dataType}")
+    val got = ev.select(unix_micros(col("ts"))).as[Long](spark.implicits.newLongEncoder).head()
+    assert(got == microsUtc, s"$variant: expected $microsUtc micros, got $got")
+  }
+
+  test("events loader: TIMESTAMP(NANOS) parquet (legacy generator) loads as micros") {
+    val dir = freshDir("nanos")
+    val schema: MessageType = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val conf = new Configuration()
+    val writer = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
+      .withType(schema).withConf(conf).build()
+    try {
+      val g = new SimpleGroupFactory(schema).newGroup()
+      g.append("event_id", 1L)
+      g.append("ts", microsUtc * 1000L) // nanoseconds
+      writer.write(g)
+    } finally writer.close()
+    assertLoadsAsMicros(dir, "NANOS")
+  }
+
+  test("events loader: TIMESTAMP(MICROS) NTZ parquet (current generator) loads as micros") {
+    val dir = freshDir("ntz")
+    spark.sql(s"SELECT 1L AS event_id, timestamp_ntz'2024-01-15 12:34:56.789012' AS ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assertLoadsAsMicros(dir, "MICROS-NTZ")
+  }
+
+  test("events loader: TIMESTAMP(MICROS) UTC-adjusted parquet passes through") {
+    val dir = freshDir("utc")
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, new Timestamp(microsUtc / 1000L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", TimestampType))))
+      // new Timestamp() carries millis only; re-add the sub-milli micros.
+      .withColumn("ts", timestamp_micros(lit(microsUtc)))
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assertLoadsAsMicros(dir, "MICROS-UTC")
+  }
+}
