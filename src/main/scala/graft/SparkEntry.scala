@@ -99,6 +99,9 @@ object SparkEntry {
     "q74_kmeans_assign"   -> ((s, d) => Pipeline.q74(s, d)),
     "q75_quant_error"     -> ((s, d) => Pipeline.q75(s, d)),
     "q76_approx_pctile"   -> ((s, d) => Relational.q76(s, d)),
+    "q77_rarity_score"    -> (Pipeline.q77 _),
+    "q78_dup_spans"       -> (Pipeline.q78 _),
+    "q79_source_overlap"  -> (Pipeline.q79 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -934,6 +937,50 @@ object SparkEntry {
         |  round(sum(CAST(round(mse*1000000000) AS BIGINT))/1000000000.0/count(*), 6) AS avg_mse,
         |  round(max(me), 6) AS max_err
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q77: integer digit-gap surprisal (no ln) — the per-doc sum is exact
+    // on both engines; the only float op is one division, rounded 4dp.
+    "q77_rarity_score" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tt AS (SELECT * FROM t WHERE tok <> ''),
+        |cf AS (SELECT tok, count(*) AS cf FROM tt GROUP BY 1),
+        |tot AS (SELECT length(CAST(sum(cf) AS VARCHAR)) AS td FROM cf),
+        |s AS (SELECT tt.doc_id, any_value(tt.source) AS source, count(*) AS n_tok,
+        |        sum(td - length(CAST(cf.cf AS VARCHAR))) AS sur
+        |      FROM tt JOIN cf USING (tok) CROSS JOIN tot GROUP BY tt.doc_id)
+        |SELECT doc_id, source, n_tok, round(CAST(sur AS DOUBLE)/n_tok, 4) AS rarity
+        |FROM s ORDER BY rarity DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q78/q79: string 40-char shingles mirror the engine's 64-bit hashed
+    // shingles (q62's construction) — counts equal modulo 2⁻⁶⁴ collisions.
+    "q78_dup_spans" ->
+      """WITH g AS (SELECT doc_id, source,
+        |    list_distinct([substr(lower(text), i, 40) FOR i IN range(1, len(text)-38)]) AS sgs
+        |  FROM documents WHERE len(text) >= 40),
+        |e AS (SELECT doc_id, source, unnest(sgs) AS sg FROM g),
+        |d AS (SELECT sg FROM e GROUP BY sg HAVING count(*) > 1),
+        |hit AS (SELECT DISTINCT doc_id FROM e JOIN d USING (sg)),
+        |spans AS (SELECT source, count(DISTINCT sg) AS n_dup_spans
+        |          FROM e JOIN d USING (sg) GROUP BY 1)
+        |SELECT dd.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dd.doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  coalesce(any_value(spans.n_dup_spans), 0) AS n_dup_spans
+        |FROM documents dd LEFT JOIN spans ON dd.source = spans.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q79_source_overlap" ->
+      """WITH g AS (SELECT doc_id, source,
+        |    list_distinct([substr(lower(text), i, 40) FOR i IN range(1, len(text)-38)]) AS sgs
+        |  FROM documents WHERE len(text) >= 40),
+        |ss AS (SELECT DISTINCT source, sg FROM (SELECT source, unnest(sgs) AS sg FROM g)),
+        |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        |cm AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |       FROM ss a JOIN ss b ON a.sg = b.sg AND a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  round(CAST(n_common AS DOUBLE)/(za.n + zb.n - n_common), 6) AS jaccard
+        |FROM cm JOIN sz za ON za.source = cm.src_a JOIN sz zb ON zb.source = cm.src_b
+        |ORDER BY 1, 2""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

@@ -1332,6 +1332,139 @@ object Pipeline {
         max("label").as("max_label"))
       .orderBy("cluster")
   }
+
+  /** q77: unigram rarity score — a deterministic perplexity proxy for
+    * quality/novelty filtering (CCNet-style LM filtering without a model).
+    * Corpus frequency cf(t) is computed for every whitespace token (q17's
+    * tokenization); each token's surprisal is the ORDER-OF-MAGNITUDE gap
+    * `digits(total_tokens) − digits(cf(t))` — an integer, so the per-doc
+    * sum is exact and engine-independent, unlike a float −ln(p) sum whose
+    * libm/order differences would break hash parity. The doc score is one
+    * division on exact integers (IEEE-correctly-rounded on both engines).
+    * Output: the 20 rarest documents (highest mean surprisal).
+    *
+    * Scale: the token↔cf equi-join is the only heavy op; cf is
+    * vocabulary-sized (not corpus-sized) and stopword-grade key skew on
+    * the join is AQE skew-split territory, while the per-doc reduce rides
+    * partial aggregation. No broadcast assumption: at 100 TB the vocab may
+    * exceed any broadcast bound, so the plan is an honest shuffle join.
+    */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    // total token instances, as its DIGIT COUNT (the surprisal ceiling) —
+    // a 1-row side carried by broadcast NLJ into the per-token projection.
+    val totDigits = cf.agg(length(sum(col("cf")).cast("string")).as("td"))
+    toks.join(cf, "tok")
+      .crossJoin(broadcast(totDigits))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("source")).as("source"),
+        count(lit(1)).as("n_tok"),
+        sum(col("td") - length(col("cf").cast("string"))).as("sur"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        round(col("sur").cast("double") / col("n_tok"), 4).as("rarity"))
+      .orderBy(col("rarity").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Deduped hashed 40-char shingles per document — the shared relation
+    * under q78/q79. 40 chars ≈ a 6–8 word span: long enough that a shared
+    * shingle means verbatim copying, not idiom. [[TextVecExprs
+    * .shingleHashes]] lowercases, dedupes per doc, and emits sorted 8-byte
+    * hashes — so downstream `count(*)` per shingle IS the distinct-doc
+    * count, and the shuffle carries longs, never 40-char strings. The
+    * DuckDB oracles mirror with substr() string shingles; equality holds
+    * modulo 2⁻⁶⁴ hash collisions (q15/q62's documented caveat).
+    */
+  private def spanShingles(spark: SparkSession, dir: String): DataFrame =
+    spanShinglesOf(spark, dir, TextVecExprs.shingleHashes(col("text"), 40))
+
+  private def spanShinglesOf(spark: SparkSession, dir: String,
+                             shingleArr: Column): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(shingleArr).as("sg"))
+
+  /** q78: exact substring duplication census — the memorization-risk signal
+    * from Lee et al.'s "Deduplicating Training Data" line of work: a 40-char
+    * span appearing verbatim in ≥2 distinct documents marks both as
+    * carrying duplicated text that near-dup (whole-doc) passes miss.
+    * Output per source: total docs, docs containing ≥1 cross-doc span, and
+    * the distinct duplicated-span kinds seen in that source.
+    *
+    * Scale: one shuffle groups shingles (partial counts absorb hot spans);
+    * duplicated keys then drive a semi-join back — both exchanges are on
+    * the 8-byte hash. The shingle relation is O(corpus chars) rows, the
+    * honest cost of EXACT span detection (MinHash only approximates
+    * whole-doc similarity); a stride would trade recall for rows.
+    */
+  def q78(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCensus(spark, dir, spanShingles(spark, dir))
+
+  /** String-shingle reference form of [[q78]] (the oracle's construction);
+    * the spec holds the hashed form to row-equality with it.
+    */
+  def q78StringShingles(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCensus(spark, dir,
+      spanShinglesOf(spark, dir, TextFunctions.shingles(col("text"), 40)))
+
+  private def dupSpanCensus(spark: SparkSession, dir: String,
+                            sg: DataFrame): DataFrame = {
+    // count(*) == distinct docs: shingles are pre-deduped per doc.
+    val dup = sg.groupBy("sg").agg(count(lit(1)).as("nd")).filter(col("nd") > 1)
+    val dupDocs = sg.join(dup.select("sg"), Seq("sg"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val docFlags = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(dupDocs.withColumn("hit", lit(1L)), Seq("doc_id"), "left_outer")
+    val spanKinds = sg.join(dup.select("sg"), Seq("sg"), "left_semi")
+      .select(col("source"), col("sg")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_dup_spans"))
+    docFlags.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dup_docs"))
+      .join(spanKinds, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .orderBy("source")
+  }
+
+  /** q79: cross-source contamination matrix — for every source pair, how
+    * many 40-char span kinds they share and the Jaccard overlap of their
+    * span sets. The between-corpora view of q78's within-corpus census:
+    * train/benchmark overlap, mirrored-crawl detection, license bleed.
+    *
+    * Scale: the distinct (source, shingle) projection collapses the
+    * relation to set-membership before any join; the self-join key is the
+    * shingle hash, and per-source set sizes ride a tiny keyed agg joined
+    * back by source. Pair count is bounded by (#sources choose 2), so the
+    * output never explodes. Jaccard = one division on exact longs.
+    */
+  def q79(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(spanShingles(spark, dir))
+
+  /** String-shingle reference form of [[q79]] — see [[q78StringShingles]]. */
+  def q79StringShingles(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(spanShinglesOf(spark, dir, TextFunctions.shingles(col("text"), 40)))
+
+  private def sourceOverlap(shingleRel: DataFrame): DataFrame = {
+    val ss = shingleRel.select("source", "sg").distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val common = ss.as("a").join(ss.as("b"),
+        col("a.sg") === col("b.sg") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

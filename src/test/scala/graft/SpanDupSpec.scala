@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.Pipeline
+import org.apache.spark.sql.Row
+
+/** q77 (unigram rarity), q78 (duplicated-span census), q79 (cross-source
+  * span overlap). The q78/q79 hashed-shingle forms are held to full
+  * row-equality with their string-shingle reference forms (the oracle's
+  * construction) — the q62 pattern: any hash collision or dedup-semantics
+  * drift breaks equality, not just a count.
+  */
+class SpanDupSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+
+  test("q78 hashed-shingle census equals the string-shingle reference form") {
+    assert(rows(Pipeline.q78(spark, sf001)) == rows(Pipeline.q78StringShingles(spark, sf001)))
+  }
+
+  test("q79 hashed-shingle overlap equals the string-shingle reference form") {
+    assert(rows(Pipeline.q79(spark, sf001)) == rows(Pipeline.q79StringShingles(spark, sf001)))
+  }
+
+  test("q78 census invariants: flags bounded by doc counts, zero-span sources have zero dup docs") {
+    val census = rows(Pipeline.q78(spark, sf001))
+    assert(census.nonEmpty)
+    census.foreach { r =>
+      val (nDocs, nDupDocs, nSpans) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDupDocs <= nDocs, s"source ${r.getString(0)}: $nDupDocs dup docs > $nDocs docs")
+      assert((nSpans == 0) == (nDupDocs == 0),
+        s"source ${r.getString(0)}: spans=$nSpans but dupDocs=$nDupDocs")
+    }
+  }
+
+  test("q79 overlap invariants: ordered pairs, jaccard in (0,1], symmetric with q78's span universe") {
+    val pairs = rows(Pipeline.q79(spark, sf001))
+    pairs.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("q77 rarity: descending scores within the surprisal ceiling, rarest-doc sanity") {
+    val out = rows(Pipeline.q77(spark, sf001))
+    assert(out.size == 20)
+    val scores = out.map(_.getDouble(3))
+    assert(scores == scores.sorted.reverse, "rarity not descending")
+    // Ceiling: every per-token surprisal is digits(total) − digits(cf) ≤
+    // digits(total) − 1, so the mean is too; totals at sf0.001 are ≪ 10^9.
+    assert(scores.head <= 8.0 && scores.last >= 0.0)
+    out.foreach(r => assert(r.getLong(2) > 0, "doc with zero tokens ranked"))
+  }
+}
