@@ -1385,7 +1385,14 @@ object Pipeline {
 
   private def spanShinglesOf(spark: SparkSession, dir: String,
                              shingleArr: Column): DataFrame =
+    // Same parallelism fix as q62's decontamCensus: the single-file scan
+    // arrives in ~3 row-group partitions, which would run the shingle
+    // expression and every map-side partial on 3 of 32 cores. At 100 TB
+    // multi-file inputs arrive already parallel and this coalesces to a
+    // cheap reshuffle relative to the O(corpus chars) work it unlocks.
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("source"), explode(shingleArr).as("sg"))
 
   /** q78: exact substring duplication census — the memorization-risk signal
