@@ -1460,9 +1460,21 @@ object Pipeline {
   private def sourceOverlap(shingleRel: DataFrame): DataFrame = {
     val ss = shingleRel.select("source", "sg").distinct()
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
-    val common = ss.as("a").join(ss.as("b"),
-        col("a.sg") === col("b.sg") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    // Per-shingle source set instead of an ss⋈ss self-join: the set is
+    // bounded by |sources| (never by docs or corpus size), so collect_set
+    // cannot blow a group even on a boilerplate span present everywhere —
+    // and the corpus-sized relation never feeds a join (the naive
+    // self-join tempted AQE into broadcasting all of ss at bench scale,
+    // which at 100 TB is exactly the wrong reflex). Ordered pairs come
+    // from one array HOF over the sorted set; from there everything is
+    // |sources|²-bounded.
+    val common = ss.groupBy("sg")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
