@@ -184,4 +184,18 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"),
       s"trigram DF join fell back to a shuffle join:\n$s")
   }
+
+  test("q79: pair census is a set aggregation — no join touches the corpus-sized span relation") {
+    val s = planString(graft.queries.Pipeline.q79(spark, sf0001))
+    // The per-shingle source-set aggregate and the pair explode must sit
+    // BELOW any join: the only joins allowed are the |sources|-row size
+    // lookups on the already-reduced pair table. A join whose input is the
+    // exploded span relation (keyed by sg) would mean the self-join shape —
+    // the formulation that broadcast/shuffled corpus-sized data — came back.
+    assert(s.contains("collect_set"), s"per-shingle source-set agg missing:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus-sized shuffle join in:\n$s")
+    val joinBuildsOnSg = s.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("[sg#"))
+    assert(!joinBuildsOnSg, s"a join is keyed on the span column:\n$s")
+  }
 }
