@@ -102,6 +102,7 @@ object SparkEntry {
     "q77_rarity_score"    -> (Pipeline.q77 _),
     "q78_dup_spans"       -> (Pipeline.q78 _),
     "q79_source_overlap"  -> (Pipeline.q79 _),
+    "q80_budget_select"   -> (Pipeline.q80 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -981,6 +982,34 @@ object SparkEntry {
         |  round(CAST(n_common AS DOUBLE)/(za.n + zb.n - n_common), 6) AS jaccard
         |FROM cm JOIN sz za ON za.source = cm.src_a JOIN sz zb ON zb.source = cm.src_b
         |ORDER BY 1, 2""".stripMargin,
+
+    // q80: q26's quality expression, one running-sum window over the
+    // (q DESC, doc_id) total order, integer-div budget — all exact.
+    "q80_budget_select" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE) AS nonalpha,
+        |    CAST(len(list_filter(string_split(lower(text),' '),
+        |          x -> list_contains(STOPWORDS, x))) AS DOUBLE) AS sw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, nt, round((
+        |      (CASE WHEN (CASE WHEN nt > 0 THEN nc/nt ELSE 0 END) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+        |      + (CASE WHEN nc > 0 THEN (nc - nonalpha)/nc ELSE 0 END)
+        |      + (CASE WHEN (CASE WHEN nt > 0 THEN sw/nt ELSE 0 END) > 0.02 THEN 1.0 ELSE 0.5 END)
+        |    ) / 3.0, 4) AS q
+        |  FROM f),
+        |b AS (SELECT sum(nt) // 2 AS bud FROM s),
+        |r AS (SELECT doc_id, source, nt,
+        |        sum(nt) OVER (ORDER BY q DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM s)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cum <= bud THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        |  CAST(sum(CASE WHEN cum <= bud THEN nt ELSE 0 END) AS BIGINT) AS tok_sel
+        |FROM r CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

@@ -1484,6 +1484,51 @@ object Pipeline {
           / (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
       .orderBy("src_a", "src_b")
   }
+
+  /** q80: budget-constrained corpus selection — the greedy pass a
+    * pretraining data curator runs when the compute budget caps total
+    * tokens: rank every document by quality (q26's score, doc_id
+    * tiebreak — a total order) and keep documents while the running token
+    * total fits the budget (here: half the corpus's tokens,
+    * data-derived so the query is parameter-free). Output: per-source
+    * census of what survived — the "what does the budget do to my
+    * mixture" question.
+    *
+    * Scale: the global prefix sum over the (quality DESC, doc_id) order is
+    * q59's two-pass pattern, with the bucket key derived from the SORT
+    * KEY itself: the 4dp-rounded score maps to an integer band
+    * (10000−q·10⁴, ascending == quality descending), so intra-band
+    * windows are parallel per band and the band-offset running sum runs
+    * over ≤10001 rows. No global sort of the data, no single-partition
+    * WindowExec over the corpus, no driver collect; the budget scalar and
+    * band offsets ride broadcasts.
+    */
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .withColumn("bkt",
+        (lit(10000L) - round(col("q") * 10000).cast("long")))
+    val budget = d.agg(expr("sum(n_tok) div 2").as("bud"))
+    val intraW = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = d.withColumn("ix", coalesce(sum("n_tok").over(intraW), lit(0L)))
+    val totals = d.groupBy("bkt").agg(sum("n_tok").as("tot"))
+    val offW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum("tot").over(offW), lit(0L)))
+      .select(col("bkt"), col("off"))
+    intra.join(broadcast(offsets), "bkt")
+      .crossJoin(broadcast(budget))
+      .withColumn("sel", col("off") + col("ix") + col("n_tok") <= col("bud"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("sel"), col("n_tok")).otherwise(0L)).as("tok_sel"))
+      .orderBy("source")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

@@ -42,6 +42,34 @@ class SpanDupSpec extends SparkSpec {
     }
   }
 
+  test("q80 budget selection: equals the naive single-window formulation, budget respected") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // Naive reference: ONE un-bucketed running-sum window over the whole
+    // corpus (the formulation that would serialize at 100 TB). The
+    // two-pass bucketed prefix sum must select the exact same documents.
+    val d = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    val bud = d.agg(expr("sum(n_tok) div 2")).head().getLong(0)
+    val w = Window.orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.withColumn("cum", sum("n_tok").over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum") <= bud, 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("cum") <= bud, col("n_tok")).otherwise(0L)).as("tok_sel"))
+      .orderBy("source")
+    assert(rows(Pipeline.q80(spark, sf001)) == rows(naive))
+    // global budget actually binds: selected tokens fit, and adding any
+    // one unselected doc's tokens would overflow is implied by the greedy
+    // prefix construction — here just pin the budget bound itself
+    val totSel = rows(Pipeline.q80(spark, sf001)).map(_.getLong(3)).sum
+    assert(totSel <= bud && totSel > 0)
+  }
+
   test("q77 rarity: descending scores within the surprisal ceiling, rarest-doc sanity") {
     val out = rows(Pipeline.q77(spark, sf001))
     assert(out.size == 20)
