@@ -178,6 +178,30 @@ object Stash {
       .foreach(d => fs.delete(d.getPath, true))
   }
 
+  /** Compact the newest committed version of a versioned stash root into
+    * `buckets` key-hashed files, committed as the NEXT version — the
+    * small-file remedy for streaming-ingested stores, where each batch's
+    * upsert writes parallelism-many files and a long-running stream
+    * accumulates thousands of kilobyte-scale parquet footers that dominate
+    * open() planning time at scale. Contents are byte-identical; only the
+    * layout changes, and the key-hashed layout is the one [[Stash.save]]'s
+    * bucketed fanout already co-locates reads against.
+    *
+    * MUST run on a QUIESCED store: versions are streaming batch ids, so a
+    * live stream's next batch would overwrite (not corrupt — its own
+    * beforeVersion bound makes it re-read the pre-compaction version and
+    * write the same merged result) the compacted dir. Returns the new
+    * version, or -1 when the root has no committed version.
+    */
+  def compactLatest(spark: SparkSession, root: String, buckets: Int): Long = {
+    val (stash, v) = openLatest(spark, root)
+    if (v < 0) -1L
+    else {
+      stash.save(s"$root/v${v + 1}", buckets)
+      v + 1
+    }
+  }
+
   /** Merge of `updates` into `base`, one shuffle on key: an update always
     * beats the base row for its key (explicit priority column). Duplicate
     * keys WITHIN one updates batch (or within an opened stash) have no

@@ -94,4 +94,29 @@ class StashSpec extends SparkSpec {
     assert(v == 1L, s"picked version $v instead of the last committed one")
     assert(st.get("a").get.scalars("x") == 2.0)
   }
+
+  test("compactLatest: same contents, bucketed file count, next version; gc keeps it openable") {
+    val root = java.nio.file.Files.createTempDirectory("stashcomp").toString
+    val ents = (1 to 20).map(i => Entity(s"k$i", scalars = Map("x" -> i.toDouble)))
+    // many-file layout: each save is a separate "batch" of the store
+    Stash.fromEntities(spark, ents.take(10)).save(s"$root/v0")
+    Stash.fromEntities(spark, ents).save(s"$root/v1", buckets = 16)
+    val newV = Stash.compactLatest(spark, root, buckets = 2)
+    assert(newV == 2L)
+    val parts = new java.io.File(s"$root/v2").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts <= 2, s"$parts parquet files after compaction to 2 buckets")
+    val (st, v) = Stash.openLatest(spark, root)
+    assert(v == 2L)
+    assert(st.count() == 20)
+    assert(st.get("k7").get.scalars("x") == 7.0)
+    // old layouts are now garbage; the compacted version must survive alone
+    Stash.gcVersions(spark, root, keepFrom = 2L)
+    assert(!new java.io.File(s"$root/v0").exists())
+    val (st2, v2) = Stash.openLatest(spark, root)
+    assert(v2 == 2L && st2.count() == 20)
+    // empty root: no committed version to compact
+    val bare = java.nio.file.Files.createTempDirectory("stashcomp-empty").toString
+    assert(Stash.compactLatest(spark, bare, buckets = 2) == -1L)
+  }
 }
