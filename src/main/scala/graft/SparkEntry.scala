@@ -104,6 +104,7 @@ object SparkEntry {
     "q79_source_overlap"  -> (Pipeline.q79 _),
     "q80_budget_select"   -> (Pipeline.q80 _),
     "q81_curation_funnel" -> (Pipeline.q81 _),
+    "q82_bigram_surprisal" -> (Pipeline.q82 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1048,6 +1049,20 @@ object SparkEntry {
         |  coalesce(any_value(sel.tok_selected), 0) AS tok_selected
         |FROM k LEFT JOIN sel ON k.source = sel.source
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q82: q28's bigram construction + q77's digit-gap surprisal, lifted
+    // to the conditional count pair (left-context, bigram).
+    "q82_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |e AS (SELECT doc_id, source, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg FROM t),
+        |p AS (SELECT doc_id, source, string_split(bg, ' ')[1] AS l, bg FROM e),
+        |c1 AS (SELECT l, count(*) AS c FROM p GROUP BY 1),
+        |c2 AS (SELECT bg, count(*) AS c FROM p GROUP BY 1),
+        |d AS (SELECT p.doc_id, any_value(p.source) AS source, count(*) AS n_bg,
+        |        sum(length(CAST(c1.c AS VARCHAR)) - length(CAST(c2.c AS VARCHAR))) AS sur
+        |      FROM p JOIN c1 USING (l) JOIN c2 USING (bg) GROUP BY 1)
+        |SELECT doc_id, source, n_bg, round(CAST(sur AS DOUBLE)/n_bg, 4) AS surp
+        |FROM d ORDER BY surp DESC, doc_id LIMIT 20""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

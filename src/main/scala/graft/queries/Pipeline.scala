@@ -1549,6 +1549,41 @@ object Pipeline {
     * sum (bucket key = integer score band, never a corpus-sized window).
     * The whole funnel is two narrow window shuffles + one keyed agg.
     */
+  /** q82: bigram conditional surprisal — q77's deterministic LM proxy
+    * lifted to second order: each bigram (a b) scores the order-of-
+    * magnitude gap `digits(count(a ·)) − digits(count(a b))`, i.e. how
+    * unpredictable b is GIVEN a, and a document's score is the mean over
+    * its bigrams. High scorers are documents whose word transitions are
+    * rare against the corpus — the novelty/garbage axis unigram frequency
+    * cannot see (a doc of individually-common words in never-seen
+    * combinations). Integer arithmetic to one final division, q77's
+    * engine-parity argument verbatim.
+    *
+    * Scale: [[PipelineExprs.wordBigrams]] emits each doc's bigrams in one
+    * pass; the two count tables are vocabulary-/bigram-vocabulary-sized
+    * keyed aggs, and the joins back are equi-joins on those keys (AQE
+    * skew-split absorbs stop-bigram heat). No broadcast assumption.
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(PipelineExprs.wordBigrams(col("text"))).as("bg"))
+      .withColumn("l", split(col("bg"), " ").getItem(0))
+    val c1 = p.groupBy("l").agg(count(lit(1)).as("c1"))
+    val c2 = p.groupBy("bg").agg(count(lit(1)).as("c2"))
+    p.join(c1, "l").join(c2, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("source")).as("source"),
+        count(lit(1)).as("n_bg"),
+        sum(length(col("c1").cast("string")) - length(col("c2").cast("string")))
+          .as("sur"))
+      .select(col("doc_id"), col("source"), col("n_bg"),
+        round(col("sur").cast("double") / col("n_bg"), 4).as("surp"))
+      .orderBy(col("surp").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def q81(spark: SparkSession, dir: String): DataFrame = {
     val ts = PipelineExprs.tokenStats(col("text"))
     val base = Tables.documents(spark, dir)

@@ -90,6 +90,17 @@ class SpanDupSpec extends SparkSpec {
     assert(tokSel > 0)
   }
 
+  test("q82 bigram surprisal: descending, non-negative, bounded by the left-count ceiling") {
+    val out = rows(Pipeline.q82(spark, sf001))
+    assert(out.size == 20)
+    val scores = out.map(_.getDouble(3))
+    assert(scores == scores.sorted.reverse, "surprisal not descending")
+    // each term is digits(c1)−digits(c2) with c2 ≤ c1, so 0 ≤ term ≤
+    // digits(max c1)−1; corpus totals at sf0.001 keep digits(c1) ≤ 4
+    assert(scores.last >= 0.0 && scores.head <= 3.0)
+    out.foreach(r => assert(r.getLong(2) > 0, "doc without bigrams ranked"))
+  }
+
   test("q77 rarity: descending scores within the surprisal ceiling, rarest-doc sanity") {
     val out = rows(Pipeline.q77(spark, sf001))
     assert(out.size == 20)
