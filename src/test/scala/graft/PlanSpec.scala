@@ -79,9 +79,24 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s"plan:\n$s")
   }
 
-  test("q5: rank<=3 filter pushes a WindowGroupLimit below the shuffle") {
+  test("q5: top-3-per-customer is a bounded-heap aggregate — no WindowExec, no data sort") {
     val s = planString(Relational.q5(spark, sf0001))
+    // the aggregate form must run as a partial+final object hash aggregate;
+    // any Window operator means the 7.5×-marginal sort-based form came back
+    assert(s.contains("ObjectHashAggregate"), s"plan:\n$s")
+    assert(!s.contains("Window"), s"WindowExec crept back into q5:\n$s")
+  }
+
+  test("q5Window (the semantic cross-check): rank<=3 pushes a WindowGroupLimit") {
+    val s = planString(Relational.q5Window(spark, sf0001))
     assert(s.contains("WindowGroupLimit"), s"plan:\n$s")
+  }
+
+  test("q5 == q5Window row-for-row (aggregate form vs window form)") {
+    val a = Relational.q5(spark, sf0001).collect().map(_.toSeq)
+    val b = Relational.q5Window(spark, sf0001).collect().map(_.toSeq)
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
   test("q16: embedding scan joins against a broadcast of the 10 query vectors") {
