@@ -335,18 +335,76 @@ case class IvfProbes(child: Expression, centroids: Array[Array[Double]], nprobe:
   * by the token's char content — exact (no hash-collision folding), and the
   * map lives only for the row, so memory is bounded by the row's distinct
   * tokens. struct<n_tok, n_distinct, top_count> output keeps the three
-  * numbers in one projection with no repeated tokenization.
+  * numbers in one projection with no repeated tokenization. `doGenCode`
+  * calls the row kernel directly on the evaluated child (same measured-
+  * glue argument as [[graft.expressions.ShingleHashes]] — PERF.md r10).
   */
 case class TokenStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tok", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
     StructField("top_count", LongType, nullable = false)))
   override def prettyName: String = "token_stats"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Row kernel, public for the generated code: one byte-level scan with an
+    * open-addressing (start, len, count) table probed by a 64-bit content
+    * hash and CONFIRMED by byte equality — exact for any input (UTF-8 is an
+    * injective encoding, so byte equality == string equality; tokenization
+    * on the 0x20 byte is exact because it never occurs inside a multi-byte
+    * sequence). Replaces the HashMap[String, Int] form — which paid one
+    * char-copy of the document plus a String allocation per token — with
+    * zero per-token allocation; PropertySpec pins equality against that
+    * reference on random text.
+    */
+  def stats(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = input.getBytes
+    val n = b.length
+    // distinct tokens ≤ (n+1)/2, so cap ≥ n+2 keeps load ≤ ~0.5
+    var cap = 64
+    while (cap < n + 2) cap <<= 1
+    val mask = cap - 1
+    val starts = new Array[Int](cap)
+    val lens = new Array[Int](cap) // 0 = empty slot (tokens are non-empty)
+    val counts = new Array[Int](cap)
+    var total = 0L
+    var distinct = 0L
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      if (i < n) {
+        val st = i
+        var h = 1125899906842597L
+        while (i < n && b(i) != ' ') { h = h * 31 + (b(i) & 0xff); i += 1 }
+        val ln = i - st
+        total += 1L
+        var idx = (graft.expressions.TextVecExprs.mix64(h) & mask).toInt
+        var done = false
+        while (!done) {
+          if (lens(idx) == 0) {
+            starts(idx) = st; lens(idx) = ln; counts(idx) = 1
+            distinct += 1L
+            if (top < 1L) top = 1L
+            done = true
+          } else if (lens(idx) == ln &&
+              java.util.Arrays.equals(b, starts(idx), starts(idx) + ln, b, st, st + ln)) {
+            counts(idx) += 1
+            if (counts(idx) > top) top = counts(idx).toLong
+            done = true
+          } else idx = (idx + 1) & mask
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, distinct, top))
+  }
+
+  /** The original HashMap[String, Int] formulation — the reference
+    * implementation PropertySpec checks [[stats]] against.
+    */
+  private[graft] def statsRef(input: UTF8String): (Long, Long, Long) = {
+    val s = input.toString
     val n = s.length
     val counts = new java.util.HashMap[String, Int]()
     var total = 0L
@@ -364,8 +422,18 @@ case class TokenStats(child: Expression)
     var top = 0L
     val it = counts.values().iterator()
     while (it.hasNext) { val c = it.next().toLong; if (c > top) top = c }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](total, counts.size.toLong, top))
+    (total, counts.size.toLong, top)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("tokenStats", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.stats($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenStats =

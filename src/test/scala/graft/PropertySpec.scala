@@ -59,6 +59,34 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("shingleHashSetUtf8 (rolling byte path) == shingleHashSet (char path) on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // mixed-case ascii exercises the inline lowercase + rolling hash; the
+    // non-ascii variant (é/Д injected) must take the char-path fallback and
+    // still agree by construction
+    val nonAscii = asciiText.map(s => s + "é Дtail")
+    for (k <- Seq(3, 8, 40); g <- Seq(asciiText, nonAscii)) {
+      samples(g, 120).foreach { s =>
+        val fast = TextVecExprs.shingleHashSetUtf8(UTF8String.fromString(s), k).toSeq
+        val ref = TextVecExprs.shingleHashSet(s, k).toSeq
+        assert(fast == ref, s"k=$k text='$s'")
+      }
+    }
+  }
+
+  test("TokenStats byte kernel == HashMap reference on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ts = graft.expressions.TokenStats(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    val withRepeats = asciiText.flatMap(a => asciiText.map(b => s"$a $b $a  $a"))
+    samples(Gen.oneOf(asciiText, withRepeats), 250).foreach { s =>
+      val r = ts.stats(UTF8String.fromString(s))
+      val (tot, dis, top) = ts.statsRef(UTF8String.fromString(s))
+      assert(r.getLong(0) == tot && r.getLong(1) == dis && r.getLong(2) == top,
+        s"text='$s' got=(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}) want=($tot,$dis,$top)")
+    }
+  }
+
   test("fsum is exact vs BigDecimal reference on random 2dp values") {
     import spark.implicits._
     val cents = Gen.chooseNum(-99999L, 999999L).map(_ / 100.0)
