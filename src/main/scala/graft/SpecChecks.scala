@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-readable verdicts for the six declared-no-oracle queries.
+  *
+  * CORRECTNESS_r*.json shows `err:"no_oracle"` for q9b/q12s/q27/q29/q38/
+  * q76 — correct by contract (sketches, stream-only operators and ANN are
+  * legitimately not hash-matchable against DuckDB), but the tolerance /
+  * recall / equivalence evidence lived only in ScalaTest, invisible to
+  * anyone reading the driver artifacts alone (r9 verdict gap #1). This
+  * object re-runs EXACTLY the spec checks (same thresholds, same
+  * machinery) inside the Verify pass and emits one JSON object per query
+  * to `<outDir>/spec_checks.json` and `tools/spec_checks_latest.json`,
+  * so the no-oracle rows carry machine-readable pass/fail at HEAD.
+  *
+  * Thresholds mirror the specs: q9b ±5% of exact (SURVEY §2.2 row 17);
+  * q12s batch == stream-operator count; q27 hamming ≤ 3 and ⊇ exact dups;
+  * q29 recall@5 ≥ 0.4 (SRP-LSH, isotropic corpus); q38 recall ≥ 0.3 AND
+  * full-probe == exact (losslessness); q76 inside the exact ±0.01-quantile
+  * envelope.
+  */
+object SpecChecks {
+
+  def run(spark: SparkSession, dir: String): String = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    def guarded(name: String)(body: => String): Unit =
+      out(name) = try body catch {
+        case e: Throwable => s"""{"pass":false,"err":"${e.getMessage.take(200).replace("\"", "'")}"}"""
+      }
+
+    guarded("q9b_approx_distinct") {
+      val exact = queries.Events.q9a(spark, dir).head().getLong(0)
+      val approx = queries.Events.q9b(spark, dir).head().getLong(0)
+      val rel = math.abs(approx - exact).toDouble / exact
+      s"""{"check":"|approx-exact|/exact <= 0.05","exact":$exact,"approx":$approx,"rel_err":${num(rel)},"pass":${rel <= 0.05}}"""
+    }
+
+    guarded("q12s_session_window") {
+      val batch = queries.Events.q12(spark, dir).head().getLong(0)
+      val stream = queries.Events.q12s(spark, dir).head().getLong(0)
+      s"""{"check":"session_window count == batch lag/cumsum count","batch":$batch,"stream_op":$stream,"pass":${batch == stream}}"""
+    }
+
+    guarded("q27_simhash_pairs") {
+      val pairs = queries.Pipeline.q27(spark, dir).collect()
+      val maxHam = if (pairs.isEmpty) 0 else pairs.map(_.getInt(2)).max
+      val exactDups = queries.TextVec.q15(spark, dir).filter(col("j") === 1.0)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val incl = exactDups.subsetOf(found)
+      s"""{"check":"all hamming <= 3 AND pairs include q15 exact dups","n_pairs":${pairs.length},"max_hamming":$maxHam,"n_exact_dups":${exactDups.size},"exact_dups_included":$incl,"pass":${maxHam <= 3 && incl}}"""
+    }
+
+    // exact top-5 neighbor set, shared by both ANN recall checks
+    lazy val exactTop5 = queries.TextVec.q16(spark, dir).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    guarded("q29_ann_lsh") {
+      val ann = queries.Pipeline.q29(spark, dir).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactTop5 & ann).size.toDouble / exactTop5.size
+      s"""{"check":"recall@5 vs exact q16 >= 0.4","recall":${num(recall)},"pass":${recall >= 0.4}}"""
+    }
+
+    guarded("q38_ann_ivf") {
+      val ann = queries.Pipeline.q38(spark, dir).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactTop5 & ann).size.toDouble / exactTop5.size
+      val exactRows = queries.TextVec.q16(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val fullProbe = queries.Pipeline.ivfAnn(spark, dir, nprobe = 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val lossless = fullProbe == exactRows
+      s"""{"check":"recall@5 >= 0.3 AND nprobe=16 full probe == exact q16","recall":${num(recall)},"full_probe_equals_exact":$lossless,"pass":${recall >= 0.3 && lossless}}"""
+    }
+
+    guarded("q76_approx_pctile") {
+      val env = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("v"), lit(0.49), col("f")).as("lo50"),
+          percentile(col("v"), lit(0.51), col("f")).as("hi50"),
+          percentile(col("v"), lit(0.89), col("f")).as("lo90"),
+          percentile(col("v"), lit(0.91), col("f")).as("hi90"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val approx = queries.Relational.q76(spark, dir).collect()
+      // violation = how far outside the ±0.01-quantile value envelope an
+      // approx percentile lands; 0 means inside (the G-K guarantee with
+      // accuracy 10 000 puts rank error <= n/10 000, far inside the band)
+      val viol = approx.flatMap { r =>
+        val (lo50, hi50, lo90, hi90) = env(r.getString(0))
+        Seq(
+          math.max(0.0, math.max(lo50 - r.getDouble(1), r.getDouble(1) - hi50)),
+          math.max(0.0, math.max(lo90 - r.getDouble(2), r.getDouble(2) - hi90)))
+      }
+      val worst = if (viol.isEmpty) 0.0 else viol.max
+      s"""{"check":"approx p50/p90 inside exact [p-0.01, p+0.01] value envelope","groups":${approx.length},"max_envelope_violation":${num(worst)},"pass":${approx.nonEmpty && worst == 0.0}}"""
+    }
+
+    val allPass = out.values.forall(_.contains("\"pass\":true"))
+    val body = out.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s"""{"sf_dir":"$dir","all_pass":$allPass,"checks":{$body}}"""
+  }
+
+  /** Run and persist to both the Verify outDir and the repo artifact. */
+  def writeArtifacts(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val json = run(spark, dir)
+    for (p <- Seq(s"$outDir/spec_checks.json", "tools/spec_checks_latest.json"))
+      scala.util.Try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, json + "\n")
+      }
+    System.err.println(s"[verify] spec checks -> $outDir/spec_checks.json " +
+      s"and tools/spec_checks_latest.json")
+  }
+}

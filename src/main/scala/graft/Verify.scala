@@ -48,6 +48,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable verdicts for the six declared-no-oracle queries
+    // (tolerance/recall/equivalence — see SpecChecks). Full runs only: a
+    // dev subset run shouldn't pay the extra ~30 s.
+    if (subset.isEmpty)
+      try SpecChecks.writeArtifacts(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] spec checks failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }
