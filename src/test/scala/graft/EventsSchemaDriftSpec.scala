@@ -69,6 +69,18 @@ class EventsSchemaDriftSpec extends SparkSpec {
     assertLoadsAsMicros(dir, "MICROS-NTZ")
   }
 
+  test("events loader: an unexpected ts physical type FAILS LOUDLY (no silent cast)") {
+    // r9 ADVICE: a catch-all cast(TimestampType) would silently mis-scale a
+    // future drift (INT ts read as epoch SECONDS, STRING ts parsing to
+    // nulls) AND defeat probeSchemas, which inspects the post-transform
+    // frame. The loader must throw instead.
+    val dir = freshDir("drift")
+    spark.sql("SELECT 1L AS event_id, '2024-01-15 12:34:56' AS ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("drifted"), e.getMessage)
+  }
+
   test("events loader: TIMESTAMP(MICROS) UTC-adjusted parquet passes through") {
     val dir = freshDir("utc")
     val df = spark.createDataFrame(

@@ -74,6 +74,17 @@ class PlanSpec extends SparkSpec {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q4 fused left-outer form == separate semi/anti form; single join in plan") {
+    val a = Relational.q4(spark, sf0001).collect()
+    val b = Relational.q4SemiAnti(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, s"${a.toSeq} vs ${b.toSeq}")
+    val s = finalPlanString(Relational.q4(spark, sf0001))
+    // one membership probe total — the two-dependent-broadcast-builds
+    // shape (2 dispatch floors) must not come back
+    val joins = s.split("\n").count(l => l.contains("Join"))
+    assert(joins == 1, s"q4 has $joins joins:\n$s")
+  }
+
   test("q6: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val s = planString(Relational.q6(spark, sf0001))
     assert(s.contains("TakeOrderedAndProject"), s"plan:\n$s")
