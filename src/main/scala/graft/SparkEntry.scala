@@ -105,6 +105,7 @@ object SparkEntry {
     "q80_budget_select"   -> (Pipeline.q80 _),
     "q81_curation_funnel" -> (Pipeline.q81 _),
     "q82_bigram_surprisal" -> (Pipeline.q82 _),
+    "q83_codec_roundtrip" -> (Pipeline.q83 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1063,6 +1064,19 @@ object SparkEntry {
         |      FROM p JOIN c1 USING (l) JOIN c2 USING (bg) GROUP BY 1)
         |SELECT doc_id, source, n_bg, round(CAST(sur AS DOUBLE)/n_bg, 4) AS surp
         |FROM d ORDER BY surp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q83: the engine PNG-encodes a deterministic per-doc grayscale image
+    // from the text bytes and DECODES it back through real javax.imageio;
+    // the oracle reproduces the decoded width/height/pixel-sum from first
+    // principles (PNG gray is lossless), making the real-codec path
+    // hash-checkable without DuckDB ever touching an image.
+    "q83_codec_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |  CAST(4 + doc_id % 11 AS INTEGER) AS height,
+        |  CAST(list_sum([ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128
+        |                 FOR i IN range(0, (4 + doc_id % 13) * (4 + doc_id % 11))]) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

@@ -1631,6 +1631,60 @@ object Pipeline {
         coalesce(col("tok_selected"), lit(0L)).as("tok_selected"))
       .orderBy("source")
   }
+
+  /** q83: REAL-codec roundtrip, ORACLE-CHECKED — the driver-visible proof
+    * of the javax.imageio decode path that r9 left spec-only (the testdata
+    * blobs are not decodable media and DuckDB has no codecs, so a decode of
+    * driver bytes can never be oracle-checked directly). Instead the
+    * roundtrip is made first-principles-checkable: per document, a
+    * deterministic grayscale image is BUILT from the text bytes
+    * (w = 4 + doc_id%13, h = 4 + doc_id%11, pixel i = byte[i mod len] &
+    * 0x7f), PNG-ENCODED with ImageIO.write, then DECODED back with
+    * ImageIO.read — the identical codec call [[mmDecodeImages]] makes —
+    * and the query emits the DECODED width/height/pixel-sum. PNG grayscale
+    * is lossless, so DuckDB reproduces all three numbers from doc_id and
+    * the text alone; any codec deviation (dropped row, wrong dims, pixel
+    * corruption, gamma surprise) breaks the hash match.
+    *
+    * Runs through the same batched mapPartitions seam as the other decode
+    * stages (SURVEY §2 row 38's mandated shape — per-row imperative codec
+    * work is the documented mapPartitions exception). Scale: pure per-row
+    * map, no shuffle before the final tiny sort.
+    */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.map { case (id, txt) =>
+            val w = (4 + id % 13).toInt
+            val h = (4 + id % 11).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              r.setSample(i % w, i / w, 0, txt(i % txt.length) & 0x7f)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val r2 = dec.getRaster
+            var s = 0L
+            var j = 0
+            val (dw, dh) = (dec.getWidth, dec.getHeight)
+            while (j < dw * dh) { s += r2.getSample(j % dw, j / dw, 0); j += 1 }
+            (id, dw, dh, s)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "px_sum")
+      .orderBy("doc_id")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */
