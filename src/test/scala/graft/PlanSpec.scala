@@ -110,6 +110,23 @@ class PlanSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("q5 stays correct under ObjectHashAggregate's SORT-BASED fallback") {
+    // a session that never raised the fallback threshold runs the typed
+    // aggregate through the sort-based path (buffers serialized between
+    // updates) — the mutable primitive-array buffer must survive that
+    // round-trip identically
+    val conf = spark.conf
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val saved = conf.get(key)
+    try {
+      conf.set(key, "2")
+      val a = Relational.q5(spark, sf0001).collect().map(_.toSeq)
+      conf.set(key, saved)
+      val b = Relational.q5(spark, sf0001).collect().map(_.toSeq)
+      assert(a.nonEmpty && a.toSeq == b.toSeq)
+    } finally conf.set(key, saved)
+  }
+
   test("q16: embedding scan joins against a broadcast of the 10 query vectors") {
     val s = planString(TextVec.q16(spark, sf0001))
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
