@@ -106,6 +106,8 @@ object SparkEntry {
     "q81_curation_funnel" -> (Pipeline.q81 _),
     "q82_bigram_surprisal" -> (Pipeline.q82 _),
     "q83_codec_roundtrip" -> (Pipeline.q83 _),
+    "q84_repetition"      -> (Pipeline.q84 _),
+    "q85_source_drift"    -> (Pipeline.q85 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1077,6 +1079,39 @@ object SparkEntry {
         |  CAST(list_sum([ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128
         |                 FOR i IN range(0, (4 + doc_id % 13) * (4 + doc_id % 11))]) AS BIGINT) AS px_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q84: row-local repeated-trigram fraction in integer basis points;
+    // the oracle builds the same trigrams with a list comprehension.
+    "q84_repetition" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |t AS (SELECT doc_id, source,
+        |        CASE WHEN len(tk) >= 3
+        |          THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk)-1)]
+        |          ELSE [] END AS tgs
+        |      FROM w),
+        |d AS (SELECT doc_id, source, len(tgs) AS n_tg, len(list_distinct(tgs)) AS n_uq FROM t),
+        |s AS (SELECT doc_id, source,
+        |        CASE WHEN n_tg > 0 THEN (n_tg - n_uq) * 10000 // n_tg ELSE 0 END AS rep_bp
+        |      FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rep_bp >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  round(CAST(sum(rep_bp) AS DOUBLE)/count(*), 4) AS rep_avg
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q85: per-source total-variation drift vs the corpus distribution,
+    // exact integer basis-point shares (DIV == // on non-negative counts).
+    "q85_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w FROM documents),
+        |sc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1,2),
+        |st AS (SELECT source, sum(c) AS t FROM sc GROUP BY 1),
+        |cc AS (SELECT w, sum(c) AS cw FROM sc GROUP BY 1),
+        |ct AS (SELECT sum(cw) AS tc FROM cc),
+        |grid AS (SELECT st.source, st.t, cc.w, cc.cw FROM st CROSS JOIN cc),
+        |j AS (SELECT g.source, g.t, g.cw, coalesce(sc.c, 0) AS c
+        |      FROM grid g LEFT JOIN sc ON sc.source = g.source AND sc.w = g.w)
+        |SELECT j.source, CAST(any_value(j.t) AS BIGINT) AS n_tok,
+        |  CAST(sum(abs(c*10000 // t - cw*10000 // ct.tc)) AS BIGINT) AS tv_bp
+        |FROM j CROSS JOIN ct GROUP BY 1 ORDER BY 1""".stripMargin,
 
   ).map { case (k, v) => k -> v.replace("STOPWORDS",
     "['the','a','an','and','of','to','in','is','on','for']") }

@@ -1685,6 +1685,99 @@ object Pipeline {
       .toDF("doc_id", "width", "height", "px_sum")
       .orderBy("doc_id")
   }
+
+  /** q84: intra-document repetition — the Gopher-style "fraction of
+    * repeated word n-grams WITHIN a document" quality filter (Rae et al.
+    * 2021 §A1.1 use duplicate n-gram fractions at n=2..4; n=3 here). A
+    * high score marks boilerplate, keyword stuffing and template spam that
+    * cross-document dedup (q14/q15) cannot see because each such document
+    * is globally unique. Per doc: `rep_bp = (n_trigrams −
+    * n_distinct_trigrams) · 10⁴ DIV n_trigrams` — basis points on exact
+    * integer division, so the score is engine-independent (q77's hash-
+    * parity argument). Output per source: docs, docs over the 20%
+    * repetition flag line, and the mean score.
+    *
+    * Scale: the whole score is ROW-LOCAL — trigrams are built and deduped
+    * inside one projection over the row's own token array (no explode, no
+    * shuffle of n-gram rows; memory bounded by document length, the same
+    * bound `text` itself already imposes). The only exchange in the plan
+    * is the final per-source partial+final agg on ~|sources| keys. At
+    * 100 TB this is a map-only pass — contrast q78, which must explode
+    * spans because its duplication question is CROSS-document.
+    */
+  def q84(spark: SparkSession, dir: String): DataFrame =
+    repetitionCensus(Tables.documents(spark, dir))
+
+  /** Operator form of [[q84]] over any (source, text) frame. */
+  def repetitionCensus(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val n = size(words)
+    // trigram i (0-based) = words[i..i+2]; empty below 3 words. sequence()
+    // would count DOWN for n<3, hence the explicit guard, not a slice.
+    val tgs = when(n >= 3,
+      transform(sequence(lit(0), n - lit(3)), i =>
+        concat_ws(" ",
+          element_at(words, i + 1),
+          element_at(words, i + 2),
+          element_at(words, i + 3))))
+      .otherwise(array())
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tgs).cast("long").as("n_tg"),
+        size(array_distinct(tgs)).cast("long").as("n_uq"))
+      .select(col("doc_id"), col("source"),
+        when(col("n_tg") > 0,
+          expr("(n_tg - n_uq) * 10000 DIV n_tg")).otherwise(0L).as("rep_bp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rep_bp") >= 2000, 1L).otherwise(0L)).as("n_flagged"),
+        round(sum(col("rep_bp")).cast("double") / count(lit(1)), 4).as("rep_avg"))
+      .orderBy("source")
+  }
+
+  /** q85: per-source distribution drift — the total-variation distance (in
+    * basis points) between each source's unigram distribution and the
+    * whole-corpus distribution: `tv_bp(s) = Σ_w |share_s(w) − share(w)|`
+    * with `share = count·10⁴ DIV total`. This is the "is this source
+    * feeding the mixture something different" monitor a training pipeline
+    * runs per ingest snapshot: a source whose language drifts (spam burst,
+    * scraper breakage, template change) moves its TV distance before any
+    * downstream metric notices. Exact integer shares keep the score
+    * hash-stable across engines and partitionings (q77's argument; the
+    * one rounding is the documented DIV floor on non-negative counts).
+    *
+    * Scale: token counts per (source, word) and per word are keyed
+    * partial+final aggs — vocabulary-sized, not corpus-sized. The |W|×|S|
+    * grid (every source must also pay for vocabulary it LACKS) is built by
+    * fanning the corpus-vocab relation over the broadcast source-total
+    * table — |S| is dashboard-sized by definition, so the grid is |W|·|S|
+    * rows of longs, distributed, never driver-side; the per-source reduce
+    * rides partial aggregation back down to |S| rows. No corpus-sized
+    * relation ever joins anything.
+    */
+  def q85(spark: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.documents(spark, dir))
+
+  /** Operator form of [[q85]] over any (source, text) frame. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val sc = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val st = sc.groupBy("source").agg(sum("c").as("t"))
+    val cc = sc.groupBy("w").agg(sum("c").as("cw"))
+    val ct = cc.agg(sum("cw").as("tc"))
+    val grid = cc.crossJoin(broadcast(st)) // |W|·|S| rows: (w, cw, source, t)
+    grid.join(sc, Seq("source", "w"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(ct))
+      .groupBy("source")
+      .agg(
+        first(col("t")).as("n_tok"),
+        sum(abs(expr("c * 10000 DIV t") - expr("cw * 10000 DIV tc"))).as("tv_bp"))
+      .orderBy("source")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

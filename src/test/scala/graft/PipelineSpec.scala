@@ -494,4 +494,64 @@ class PipelineSpec extends SparkSpec {
     assert(out("s3") == ((1L, 1L, 0L, 1L, 0L, 0L)))
     assert(out("s4") == ((1L, 0L, 0L, 0L, 0L, 1L)))
   }
+
+  test("q84 operator: hand-computed repetition scores on constructed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "x y z x y z x y z x"), // 8 trigrams, 3 distinct -> 6250 bp
+      (2L, "s1", "a b c d"),             // 2 trigrams, distinct   -> 0
+      (3L, "s2", "a b"),                 // < 3 words               -> 0
+      (4L, "s2", "t t t t t")            // 3 trigrams, 1 distinct -> 6666 bp
+    ).toDF("doc_id", "source", "text")
+    val out = Pipeline.repetitionCensus(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("s1") == ((2L, 1L, 3125.0)))   // (6250+0)/2
+    assert(out("s2") == ((2L, 1L, 3333.0)))   // (0+6666)/2
+  }
+
+  test("q84 == driver-side sliding(3) reference on the corpus") {
+    val rows = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val perDoc = rows.map { case (src, text) =>
+      val tgs = text.split(" ").filter(_.nonEmpty).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq
+      val bp = if (tgs.isEmpty) 0L else (tgs.size - tgs.distinct.size).toLong * 10000L / tgs.size
+      (src, bp)
+    }
+    val expect = perDoc.groupBy(_._1).map { case (src, xs) =>
+      val flagged = xs.count(_._2 >= 2000).toLong
+      val avg = BigDecimal(xs.map(_._2).sum.toDouble / xs.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      src -> ((xs.size.toLong, flagged, avg))
+    }
+    val got = Pipeline.q84(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q85 operator: hand-computed TV drift incl. the absent-vocabulary term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a a b"),
+      (2L, "s2", "a b b b"),
+      (3L, "s3", "c c")  // c is absent from s1/s2: they must pay |0 - share(c)|
+    ).toDF("doc_id", "source", "text")
+    // corpus: a:3 b:4 c:2, tc=9 -> bp a=3333 b=4444 c=2222
+    // s1 (t=3): a=6666 b=3333 c=0 -> 3333+1111+2222 = 6666
+    // s2 (t=4): a=2500 b=7500 c=0 -> 833+3056+2222  = 6111
+    // s3 (t=2): c=10000          -> 3333+4444+7778  = 15555
+    val out = Pipeline.sourceDrift(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("s1" -> ((3L, 6666L)), "s2" -> ((4L, 6111L)), "s3" -> ((2L, 15555L))))
+  }
+
+  test("q85 is partitioning-independent (exact integer shares)") {
+    val base = Tables.documents(spark, sf001)
+    val a = Pipeline.sourceDrift(base).collect().map(_.toSeq).toSeq
+    val b = Pipeline.sourceDrift(base.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
