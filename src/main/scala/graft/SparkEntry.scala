@@ -108,6 +108,7 @@ object SparkEntry {
     "q83_codec_roundtrip" -> (Pipeline.q83 _),
     "q84_repetition"      -> (Pipeline.q84 _),
     "q85_source_drift"    -> (Pipeline.q85 _),
+    "q86_ann_pq"          -> (Pipeline.q86 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -147,9 +148,10 @@ object SparkEntry {
     *  - q9b (HLL sketches legitimately differ across engines — rows-only)
     *  - q12s (session_window gap-boundary semantics are engine-specific;
     *    cross-checked against q12 in the test suite instead)
-    *  - q27/q29/q38 (our hash/quantizer families; cross-checked in the test
-    *    suite against exact Jaccard / exact cosine top-k respectively —
-    *    q38's full-probe mode is asserted EQUAL to exact q16)
+    *  - q27/q29/q38/q86 (our hash/quantizer families; cross-checked in the
+    *    test suite against exact Jaccard / exact cosine top-k respectively —
+    *    q38's full-probe mode and q86's full-rerank mode are each asserted
+    *    EQUAL to exact q16)
     *  - q76 (G-K sketch merges are partitioning-dependent; spec pins each
     *    approx percentile inside the exact ±0.01-quantile envelope)
     */

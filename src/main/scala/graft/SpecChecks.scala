@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Driver-readable verdicts for the six declared-no-oracle queries.
+/** Driver-readable verdicts for the declared-no-oracle queries.
   *
   * CORRECTNESS_r*.json shows `err:"no_oracle"` for q9b/q12s/q27/q29/q38/
-  * q76 — correct by contract (sketches, stream-only operators and ANN are
+  * q76/q86 — correct by contract (sketches, stream-only operators and ANN are
   * legitimately not hash-matchable against DuckDB), but the tolerance /
   * recall / equivalence evidence lived only in ScalaTest, invisible to
   * anyone reading the driver artifacts alone (r9 verdict gap #1). This
@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   * Thresholds mirror the specs: q9b ±5% of exact (SURVEY §2.2 row 17);
   * q12s batch == stream-operator count; q27 hamming ≤ 3 and ⊇ exact dups;
   * q29 recall@5 ≥ 0.4 (SRP-LSH, isotropic corpus); q38 recall ≥ 0.3 AND
-  * full-probe == exact (losslessness); q76 inside the exact ±0.01-quantile
-  * envelope.
+  * full-probe == exact (losslessness); q86 recall ≥ 0.3 AND full-rerank ==
+  * exact (the PQ analogue); q76 inside the exact ±0.01-quantile envelope.
   */
 object SpecChecks {
 
@@ -75,6 +75,18 @@ object SpecChecks {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val lossless = fullProbe == exactRows
       s"""{"check":"recall@5 >= 0.3 AND nprobe=16 full probe == exact q16","recall":${num(recall)},"full_probe_equals_exact":$lossless,"pass":${recall >= 0.3 && lossless}}"""
+    }
+
+    guarded("q86_ann_pq") {
+      val ann = queries.Pipeline.q86(spark, dir).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactTop5 & ann).size.toDouble / exactTop5.size
+      val exactRows = queries.TextVec.q16(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val fullRerank = queries.Pipeline.pqAnn(spark, dir, rerank = 100000).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val lossless = fullRerank == exactRows
+      s"""{"check":"recall@5 >= 0.3 AND full rerank == exact q16","recall":${num(recall)},"full_rerank_equals_exact":$lossless,"pass":${recall >= 0.3 && lossless}}"""
     }
 
     guarded("q76_approx_pctile") {

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,6 +57,29 @@ object PipelineExprs {
     */
   def ivfProbes(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     col(IvfProbes(expr(vec), centroids, nprobe))
+
+  /** Product-quantization encoder: split the d-dim float vector into
+    * `codebook.length` contiguous subspaces and emit, per subspace, the
+    * index of the L2-nearest sub-centroid — the m-byte compressed code that
+    * replaces the d·4-byte embedding in an ADC scan (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"). Ties go to the
+    * lower index; codebooks ride inside the expression (m×ksub×dsub
+    * doubles — literal-sized), so encoding is one JVM pass with no join.
+    */
+  def pqEncode(vec: Column, codebook: Array[Array[Array[Double]]]): Column =
+    col(PqEncode(expr(vec), codebook))
+
+  /** Asymmetric-distance score for a PQ code against a RAW query vector:
+    * dot(q, x̂)/‖x̂‖ where x̂ is the code's reconstruction (concatenated
+    * sub-centroids) — i.e. cosine(q, x̂)·‖q‖; divide by the query norm
+    * outside to get approximate cosine. The query side stays exact (that
+    * is the "asymmetric" in ADC — only the database side is quantized), so
+    * the only error is the candidate's quantization error. Per row: m·dsub
+    * = d multiplies against the code's sub-centroids, on 8-byte codes that
+    * fit cache — the memory-bandwidth shape that makes PQ scans fast.
+    */
+  def pqAdcScore(codes: Column, qv: Column, codebook: Array[Array[Array[Double]]]): Column =
+    col(PqAdcScore(expr(codes), expr(qv), codebook))
 
   /** Per-document token frequency stats in ONE pass: total token count,
     * distinct token count, and the highest single-token frequency — the
@@ -929,5 +952,95 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** See [[PipelineExprs.pqEncode]]. */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "codebook must have >= 1 subspace with >= 1 centroid each")
+  private val m = codebook.length
+  private val dsub = codebook(0)(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  // ||c||^2 per (subspace, centroid), so the per-row argmin compares
+  // ||x_s - c||^2 = ||x_s||^2 - 2<x_s,c> + ||c||^2 via -2<x_s,c> + ||c||^2
+  // (the ||x_s||^2 term is constant within the argmin and dropped).
+  @transient private lazy val cNormSq: Array[Array[Double]] =
+    codebook.map(_.map { c => var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = codebook(s)
+      val norms = cNormSq(s)
+      val off = s * dsub
+      val lim = math.min(dsub, math.max(0, xs.numElements() - off))
+      var best = 0
+      var bestScore = Double.PositiveInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cen = cents(c)
+        var dot = 0.0
+        var i = 0
+        while (i < lim) { dot += xs.getFloat(off + i).toDouble * cen(i); i += 1 }
+        val score = norms(c) - 2.0 * dot
+        // strict < keeps the LOWEST index on ties (and on all-NaN rows)
+        if (score < bestScore) { best = c; bestScore = score }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** See [[PipelineExprs.pqAdcScore]]. left = codes (array<int>), right = the
+  * raw query vector (array<float>).
+  */
+case class PqAdcScore(left: Expression, right: Expression,
+    codebook: Array[Array[Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+  private val m = codebook.length
+  private val dsub = codebook(0)(0).length
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  @transient private lazy val cNormSq: Array[Array[Double]] =
+    codebook.map(_.map { c => var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+
+  protected override def nullSafeEval(codes: Any, qv: Any): Any = {
+    val cs = codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val q = qv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var dot = 0.0
+    var nrm2 = 0.0
+    val ns = math.min(m, cs.numElements())
+    var s = 0
+    while (s < ns) {
+      val code = cs.getInt(s)
+      val cen = codebook(s)(code)
+      nrm2 += cNormSq(s)(code)
+      val off = s * dsub
+      val lim = math.min(dsub, math.max(0, q.numElements() - off))
+      var i = 0
+      while (i < lim) { dot += q.getFloat(off + i).toDouble * cen(i); i += 1 }
+      s += 1
+    }
+    if (nrm2 == 0.0) 0.0 else dot / math.sqrt(nrm2)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
     copy(left = l, right = r)
 }

@@ -262,6 +262,109 @@ object Pipeline {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** Product-quantization codebook training (Jégou et al. 2011): the d-dim
+    * space splits into `m` contiguous subspaces and each gets its own
+    * `ksub`-centroid L2 k-means codebook, trained jointly in one
+    * distributed pass per Lloyd round — assign with [[PipelineExprs
+    * .pqEncode]] (codebooks ride as literals), then re-estimate every
+    * sub-centroid from ONE (subspace, code, dim) keyed aggregation over
+    * posexploded vector components. Init is the same deterministic
+    * rank-stride sample as [[ivfTrain]], sliced per subspace. The only
+    * driver-side data is the m×ksub×dsub codebook and the per-round stats
+    * collect of exactly m·ksub·dsub ≤ a few thousand rows — bounded by the
+    * codebook size, never by the corpus. Empty cells keep their previous
+    * centroid.
+    */
+  def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      trainStride: Long = 1L): Array[Array[Array[Double]]] = {
+    val train = if (trainStride <= 1L) emb
+      else emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)
+    val n = train.count()
+    require(n >= ksub, s"pqTrain needs at least ksub=$ksub training vectors, got $n")
+    val stride = math.max(1L, n / ksub)
+    val byRank = Window.partitionBy(lit(0)).orderBy(col("vec_id"))
+    val seeds = train
+      .withColumn("rk", row_number().over(byRank) - 1)
+      .filter(pmod(col("rk"), lit(stride)) === 0)
+      .orderBy("rk").limit(ksub)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = seeds(0).length
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    var cb = Array.tabulate(m)(s =>
+      Array.tabulate(ksub)(c => seeds(c).slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      val sCol = (col("p") / dsub).cast("int")
+      val stats = train
+        .withColumn("codes", PipelineExprs.pqEncode(col("embedding"), cb))
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(sCol.as("s"), pmod(col("p"), lit(dsub)).as("dim"),
+          element_at(col("codes"), sCol + 1).as("cd"),
+          col("x").cast("double").as("x"))
+        .groupBy("s", "cd", "dim")
+        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = Array.tabulate(m)(s => Array.tabulate(ksub)(c => cb(s)(c).clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3) / r.getLong(4)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** q86: PQ-ADC approximate nearest neighbors — the third standard ANN
+    * family next to q29 (SRP-LSH) and q38 (IVF), and the one that changes
+    * the SCAN's shape rather than its extent: every candidate is an m-byte
+    * PQ code (m=8 here vs the 256-byte float embedding — 32×), scored
+    * against the RAW query by asymmetric distance, and only the top
+    * `rerank` shortlist ever touches real embeddings for exact cosine
+    * re-ranking. Because the re-rank is exact, shortlist recall IS output
+    * recall — and `rerank` ≥ corpus reproduces exact q16 verbatim
+    * (spec-checked), the same losslessness pin as IVF's full probe.
+    *
+    * Scale: the ADC scan is a broadcast-NLJ of 10 query rows against the
+    * code relation — O(N·m) byte-bound work with NO shuffle of embeddings;
+    * the shortlist (|queries|·rerank rows) is the only thing that joins
+    * back to the full-width vectors. At 100 TB the codes relation is the
+    * thing you can actually afford to keep hot (32× smaller), which is the
+    * entire reason this operator exists; compose with q38's IVF cells
+    * (IVFADC) to cut the scan's extent too.
+    */
+  def q86(spark: SparkSession, dir: String): DataFrame =
+    pqAnn(spark, dir, rerank = 50)
+
+  private[graft] def pqAnn(spark: SparkSession, dir: String, rerank: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    val cb = pqTrain(emb)
+    val codes = emb.select(col("vec_id"),
+      PipelineExprs.pqEncode(col("embedding"), cb).as("codes"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val approx = codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (PipelineExprs.pqAdcScore(col("codes"), col("qv"), cb) / col("qn")).as("ascore"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))
+    val shortlist = approx.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= rerank)
+      .select("qid", "vec_id")
+    val scored = shortlist
+      .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(probes.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(TextVecExprs.floatVecDot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm")), 6).as("sim"))
+    val we = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
   /** q35: transitive dup GROUPS — q15's near-dup pairs closed into
     * clusters by distributed min-label propagation (operators.Graph).
     * Output: (doc_id, group_id=min doc_id of the cluster). No SQL oracle

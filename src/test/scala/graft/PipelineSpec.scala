@@ -28,6 +28,43 @@ class PipelineSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("q86 PQ full-rerank (rerank >= corpus) == exact brute-force q16") {
+    // the exact re-rank stage makes shortlist recall the ONLY error source,
+    // so a shortlist of everything must reproduce exact q16 verbatim —
+    // sims, ordering and tiebreaks included (IVF full-probe's analogue)
+    val exact = TextVec.q16(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = Pipeline.pqAnn(spark, sf001, rerank = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(full == exact)
+  }
+
+  test("q86 PQ-ADC recall at rerank=50 vs exact top-5 >= 0.3 (isotropic corpus)") {
+    val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Pipeline.q86(spark, sf001).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"PQ recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
+    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+  }
+
+  test("pq codes: shape m=8, every code in [0,16); encoding is partitioning-independent") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf001)
+    val cb = Pipeline.pqTrain(emb)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), graft.expressions.PipelineExprs.pqEncode(col("embedding"), cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val a = codesOf(emb)
+    val b = codesOf(emb.repartition(7))
+    assert(a == b)
+    assert(a.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // codebook must actually discriminate: not every vector on one code word
+    assert(a.values.toSet.size > 1)
+  }
+
   test("q38 IVF recall at nprobe=4/16 vs exact top-5 >= 0.3 (isotropic corpus)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
