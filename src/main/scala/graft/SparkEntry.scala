@@ -109,6 +109,7 @@ object SparkEntry {
     "q84_repetition"      -> (Pipeline.q84 _),
     "q85_source_drift"    -> (Pipeline.q85 _),
     "q86_ann_pq"          -> (Pipeline.q86 _),
+    "q87_semdedup"        -> (Pipeline.q87 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -152,6 +153,9 @@ object SparkEntry {
     *    test suite against exact Jaccard / exact cosine top-k respectively —
     *    q38's full-probe mode and q86's full-rerank mode are each asserted
     *    EQUAL to exact q16)
+    *  - q87 (cluster ids come from the trained quantizer, so no SQL oracle;
+    *    the drop set is asserted EXACTLY equal to the one derived from
+    *    q36's brute-force pairs restricted to same-cell, keep-lowest-id)
     *  - q76 (G-K sketch merges are partitioning-dependent; spec pins each
     *    approx percentile inside the exact ±0.01-quantile envelope)
     */

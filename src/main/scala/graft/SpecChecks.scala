@@ -89,6 +89,29 @@ object SpecChecks {
       s"""{"check":"recall@5 >= 0.3 AND full rerank == exact q16","recall":${num(recall)},"full_rerank_equals_exact":$lossless,"pass":${recall >= 0.3 && lossless}}"""
     }
 
+    guarded("q87_semdedup") {
+      import org.apache.spark.sql.functions.element_at
+      val emb = Tables.embeddings(spark, dir)
+      val cents = queries.Pipeline.ivfTrain(
+        emb.withColumn("nrm", graft.expressions.TextVecExprs.floatVecNorm(col("embedding"))))
+      val cellOf = emb.withColumn("cell",
+          element_at(graft.expressions.PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1))
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val pairs = queries.Pipeline.q36(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val droppedRef = pairs.collect {
+        case (a, b) if cellOf(a) == cellOf(b) => math.max(a, b)
+      }.toSet
+      val expect = cellOf.groupBy(_._2).map { case (cell, xs) =>
+        cell -> ((xs.size.toLong, xs.keys.count(droppedRef).toLong))
+      }
+      val got = queries.Pipeline.q87(spark, dir).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val eq = got == expect
+      s"""{"check":"census == brute-pairs-restricted-to-cells reference","cells":${got.size},"n_dropped":${got.values.map(_._2).sum},"pass":$eq}"""
+    }
+
     guarded("q76_approx_pctile") {
       val env = Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"), col("l_quantity").as("v"))

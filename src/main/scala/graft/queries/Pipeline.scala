@@ -365,6 +365,51 @@ object Pipeline {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** q87: SemDeDup — semantic deduplication in embedding space (Abbas et
+    * al. 2023): k-means-cluster the embeddings (the [[ivfTrain]] coarse
+    * quantizer), compare pairs only WITHIN a cluster, and drop every
+    * vector that has a ≥ τ cosine duplicate with a lower vec_id in its
+    * cluster. This is the embedding-space analogue of MinHash dedup:
+    * near-duplicate MEANING (paraphrases, translations, re-renders) that
+    * no lexical pass can see. Output: per-cluster census (members,
+    * dropped). Deterministic end-to-end — the quantizer's rank-stride
+    * init, 6dp-rounded sims and the lowest-id keep rule are all
+    * partitioning-independent.
+    *
+    * Scale: the all-pairs work is confined to cells (~N/k rows each), as
+    * an equi-join on the cell key — the exact trade SemDeDup defines; k
+    * scales with corpus so cells stay bounded, and a skewed mega-cell can
+    * further compose q36's block-pair split WITHIN the cell. Recall vs the
+    * full O(N²) pair set (q36) is the measured spec dial: only same-cell
+    * pairs are seen, which is the algorithm's published approximation, not
+    * an implementation shortcut.
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame =
+    semDedup(spark, dir, tau = 0.35)
+
+  private[graft] def semDedup(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    val cents = ivfTrain(emb)
+    val tagged = emb.withColumn("cell",
+      element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1))
+    val a = tagged.select(col("cell"), col("vec_id").as("ida"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = tagged.select(col("cell"), col("vec_id").as("idb"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("ida") < col("idb"))
+      .filter(round(TextVecExprs.floatVecDot(col("va"), col("vb"))
+        / (col("na") * col("nb")), 6) >= tau)
+      .select(col("idb").as("vec_id"))
+      .distinct()
+    tagged.select("cell", "vec_id")
+      .join(dropped.withColumn("drp", lit(1L)), Seq("vec_id"), "left_outer")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
+      .orderBy("cell")
+  }
+
   /** q35: transitive dup GROUPS — q15's near-dup pairs closed into
     * clusters by distributed min-label propagation (operators.Graph).
     * Output: (doc_id, group_id=min doc_id of the cluster). No SQL oracle

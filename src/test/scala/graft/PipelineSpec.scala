@@ -65,6 +65,32 @@ class PipelineSpec extends SparkSpec {
     assert(a.values.toSet.size > 1)
   }
 
+  test("q87 SemDeDup census == reference derived from brute pairs + cell map") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val emb = Tables.embeddings(spark, sf001)
+      .withColumn("nrm", graft.expressions.TextVecExprs.floatVecNorm(col("embedding")))
+    val cents = Pipeline.ivfTrain(emb)
+    val cellOf = emb.withColumn("cell",
+        element_at(graft.expressions.PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // q36 = the EXACT cosine>=0.35 pair set (blocked, spec-proven == brute)
+    val pairs = Pipeline.q36(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val droppedRef = pairs.collect {
+      case (a2, b2) if cellOf(a2) == cellOf(b2) => math.max(a2, b2)
+    }.toSet
+    val expect = cellOf.groupBy(_._2).map { case (cell, xs) =>
+      cell -> ((xs.size.toLong, xs.keys.count(droppedRef).toLong))
+    }
+    val got = Pipeline.q87(spark, sf001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    info(s"same-cell coverage of the full pair set: " +
+      s"${pairs.count { case (a2, b2) => cellOf(a2) == cellOf(b2) }}/${pairs.length}")
+    assert(got.nonEmpty)
+  }
+
   test("q38 IVF recall at nprobe=4/16 vs exact top-5 >= 0.3 (isotropic corpus)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
