@@ -110,6 +110,7 @@ object SparkEntry {
     "q85_source_drift"    -> (Pipeline.q85 _),
     "q86_ann_pq"          -> (Pipeline.q86 _),
     "q87_semdedup"        -> (Pipeline.q87 _),
+    "q88_ann_ivfadc"      -> (Pipeline.q88 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -149,10 +150,11 @@ object SparkEntry {
     *  - q9b (HLL sketches legitimately differ across engines — rows-only)
     *  - q12s (session_window gap-boundary semantics are engine-specific;
     *    cross-checked against q12 in the test suite instead)
-    *  - q27/q29/q38/q86 (our hash/quantizer families; cross-checked in the
-    *    test suite against exact Jaccard / exact cosine top-k respectively —
-    *    q38's full-probe mode and q86's full-rerank mode are each asserted
-    *    EQUAL to exact q16)
+    *  - q27/q29/q38/q86/q88 (our hash/quantizer families; cross-checked in
+    *    the test suite against exact Jaccard / exact cosine top-k
+    *    respectively — q38's full-probe mode, q86's full-rerank mode and
+    *    q88's full-probe+full-rerank mode are each asserted EQUAL to exact
+    *    q16)
     *  - q87 (cluster ids come from the trained quantizer, so no SQL oracle;
     *    the drop set is asserted EXACTLY equal to the one derived from
     *    q36's brute-force pairs restricted to same-cell, keep-lowest-id)

@@ -89,6 +89,18 @@ object SpecChecks {
       s"""{"check":"recall@5 >= 0.3 AND full rerank == exact q16","recall":${num(recall)},"full_rerank_equals_exact":$lossless,"pass":${recall >= 0.3 && lossless}}"""
     }
 
+    guarded("q88_ann_ivfadc") {
+      val ann = queries.Pipeline.q88(spark, dir).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactTop5 & ann).size.toDouble / exactTop5.size
+      val exactRows = queries.TextVec.q16(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val full = queries.Pipeline.ivfadcAnn(spark, dir, nprobe = 16, rerank = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val lossless = full == exactRows
+      s"""{"check":"recall@5 >= 0.2 AND full probe+rerank == exact q16","recall":${num(recall)},"full_equals_exact":$lossless,"pass":${recall >= 0.2 && lossless}}"""
+    }
+
     guarded("q87_semdedup") {
       import org.apache.spark.sql.functions.element_at
       val emb = Tables.embeddings(spark, dir)

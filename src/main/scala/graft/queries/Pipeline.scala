@@ -365,6 +365,54 @@ object Pipeline {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** q88: IVFADC — the composed ANN index (Jégou et al. 2011 §IV): q38's
+    * IVF cells cut the scan's EXTENT (only `nprobe` of k cells are
+    * visited) while q86's PQ codes cut its BANDWIDTH (each visited
+    * candidate is an m-byte code, ADC-scored against the raw query); the
+    * exact re-rank of the top `rerank` keeps shortlist recall == output
+    * recall. This is the layout a 100 TB vector corpus actually ships:
+    * cell-bucketed files of PQ codes, with full embeddings fetched only
+    * for the shortlist. Probing all cells AND re-ranking everything
+    * reproduces exact q16 verbatim (spec) — both approximations are
+    * independently lossless-at-the-limit dials.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame =
+    ivfadcAnn(spark, dir, nprobe = 4, rerank = 50)
+
+  private[graft] def ivfadcAnn(spark: SparkSession, dir: String,
+      nprobe: Int, rerank: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    val cents = ivfTrain(emb)
+    val cb = pqTrain(emb)
+    val indexed = emb.select(col("vec_id"),
+      element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1).as("bkt"),
+      PipelineExprs.pqEncode(col("embedding"), cb).as("codes"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .withColumn("probe", explode(PipelineExprs.ivfProbes(col("qv"), cents, nprobe)))
+    val approx = indexed
+      .join(broadcast(probes), col("bkt") === col("probe") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (PipelineExprs.pqAdcScore(col("codes"), col("qv"), cb) / col("qn")).as("ascore"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))
+    val shortlist = approx.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= rerank)
+      .select("qid", "vec_id")
+    val scored = shortlist
+      .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(TextVecExprs.floatVecDot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm")), 6).as("sim"))
+    val we = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
   /** q87: SemDeDup — semantic deduplication in embedding space (Abbas et
     * al. 2023): k-means-cluster the embeddings (the [[ivfTrain]] coarse
     * quantizer), compare pairs only WITHIN a cluster, and drop every

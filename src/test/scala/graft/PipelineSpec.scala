@@ -65,6 +65,26 @@ class PipelineSpec extends SparkSpec {
     assert(a.values.toSet.size > 1)
   }
 
+  test("q88 IVFADC full-probe + full-rerank == exact brute-force q16") {
+    val exact = TextVec.q16(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = Pipeline.ivfadcAnn(spark, sf001, nprobe = 16, rerank = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(full == exact)
+  }
+
+  test("q88 IVFADC recall at nprobe=4, rerank=50 vs exact top-5 (isotropic corpus)") {
+    val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Pipeline.q88(spark, sf001).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"IVFADC recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
+    // both approximations stack: bounded below by neither alone on this
+    // isotropic corpus, so the gate is the permissive compose floor
+    assert(recall >= 0.2, f"recall $recall%.2f below 0.2")
+  }
+
   test("q87 SemDeDup census == reference derived from brute pairs + cell map") {
     import org.apache.spark.sql.functions.{col, element_at}
     val emb = Tables.embeddings(spark, sf001)
