@@ -111,6 +111,7 @@ object SparkEntry {
     "q86_ann_pq"          -> (Pipeline.q86 _),
     "q87_semdedup"        -> (Pipeline.q87 _),
     "q88_ann_ivfadc"      -> (Pipeline.q88 _),
+    "q89_temp_mixture"    -> (Pipeline.q89 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -807,6 +808,23 @@ object SparkEntry {
         |c AS (SELECT source, count(*) AS n_docs FROM f GROUP BY 1),
         |t AS (SELECT source, n_docs,
         |      CAST((10000 * (SELECT min(n_docs) FROM c)) // n_docs AS BIGINT) AS threshold FROM c)
+        |SELECT source, t.n_docs, t.threshold,
+        |  CAST(sum(CASE WHEN f.b < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM f JOIN t USING (source) GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // q89: q66's fingerprint keep-rule with the alpha=0.5 temperature
+    // threshold 10^4*floor(sqrt(min_n*n)) // n (see the Spark scaladoc for
+    // the exact-integer argument).
+    "q89_temp_mixture" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text,'')]),
+        |      (a,b) -> (a*31+b) % 1000000007) % 10000 AS b
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs FROM f GROUP BY 1),
+        |t AS (SELECT source, n_docs,
+        |      CAST((10000 * CAST(floor(sqrt(CAST((SELECT min(n_docs) FROM c) * n_docs AS DOUBLE))) AS BIGINT)) // n_docs AS BIGINT) AS threshold FROM c)
         |SELECT source, t.n_docs, t.threshold,
         |  CAST(sum(CASE WHEN f.b < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM f JOIN t USING (source) GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,

@@ -1974,6 +1974,43 @@ object Pipeline {
         sum(abs(expr("c * 10000 DIV t") - expr("cw * 10000 DIV tc"))).as("tv_bp"))
       .orderBy("source")
   }
+
+  /** q89: temperature-based mixture resampling — the α-sampling rule
+    * multilingual LM pipelines use to UP-weight small sources without
+    * flattening the mixture entirely (Conneau & Lample 2019 §3.1; α=0.5
+    * here): source s keeps documents at rate √(n_min/n_s), so kept counts
+    * scale as √(n_min·n_s) — between q66's hard flatten-to-min (α→0 on
+    * rates) and no resampling (α=1). The keep decision reuses q66's
+    * content-fingerprint convention (`b < threshold` on the doc's
+    * fingerprint mod 10⁴), so it is seed-free, partitioning-free and
+    * engine-independent; the threshold is `10⁴·⌊√(n_min·n_s)⌋ div n_s` —
+    * exact integers after one floor(sqrt) whose double argument is a
+    * product of counts (correctly-rounded sqrt cannot cross an integer
+    * boundary until n_min·n_s ≈ 2⁵², far beyond any per-source doc count).
+    *
+    * Scale: q66's exact shape — one per-source count agg, a \|sources\|-row
+    * single-partition window for the min, and a broadcast threshold join
+    * feeding a per-row integer compare. Map-side work dominates at any
+    * corpus size.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame =
+    tempMixture(Tables.documents(spark, dir))
+
+  /** Operator form of [[q89]] over any (source, text) frame. */
+  def tempMixture(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("source"),
+        pmod(PipelineExprs.polyFingerprint(col("text")), lit(10000)).as("b"))
+    val thresholds = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("min_n", min(col("n_docs")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"),
+        expr("(10000 * CAST(floor(sqrt(CAST(min_n * n_docs AS DOUBLE))) AS BIGINT)) div n_docs")
+          .as("threshold"))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .groupBy("source", "n_docs", "threshold")
+      .agg(sum(when(col("b") < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

@@ -578,6 +578,38 @@ class PipelineSpec extends SparkSpec {
     assert(out("s4") == ((1L, 0L, 0L, 0L, 0L, 1L)))
   }
 
+  test("q89 operator on a skewed corpus: alpha=0.5 thresholds match a brute recount and sit between flatten and keep-all") {
+    import graft.expressions.PipelineExprs
+    // same real-data skew construction as the q66 spec (range cut halves
+    // the sources outside src0..src9)
+    val skewed = Tables.documents(spark, sf001)
+      .filter(col("source").isin((0 until 10).map("src" + _): _*) ||
+        col("doc_id") < 250)
+    val got = Pipeline.tempMixture(skewed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val buckets = skewed
+      .select(col("source"),
+        pmod(PipelineExprs.polyFingerprint(col("text")), lit(10000)).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = buckets.groupBy(_._1)
+    val minN = bySrc.values.map(_.length).min.toLong
+    val expected = bySrc.toSeq.map { case (src, bs) =>
+      val n = bs.length.toLong
+      val threshold = 10000L * math.floor(math.sqrt((minN * n).toDouble)).toLong / n
+      (src, n, threshold, bs.count(_._2 < threshold).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // alpha=0.5 sits strictly between q66's flatten-to-min and keep-all on
+    // every skewed source: 10000*min/n < threshold < 10000
+    got.foreach { case (_, n, threshold, _) =>
+      if (n > minN) {
+        assert(threshold > 10000L * minN / n, "must up-weight vs flatten")
+        assert(threshold < 10000L, "must down-sample vs keep-all")
+      } else assert(threshold == 10000L, "smallest source keeps everything")
+    }
+    assert(got.exists(_._2 > minN), "skew must exist for the test to bite")
+  }
+
   test("q84 operator: hand-computed repetition scores on constructed docs") {
     import spark.implicits._
     val docs = Seq(
