@@ -241,4 +241,22 @@ class PlanSpec extends SparkSpec {
       l.contains("Join") && l.contains("[sg#"))
     assert(!joinBuildsOnSg, s"a join is keyed on the span column:\n$s")
   }
+
+  test("q84: map-only pass — no explode of n-gram rows, one exchange (the final agg)") {
+    val s = planString(graft.queries.Pipeline.q84(spark, sf0001))
+    assert(!s.contains("Generate"), s"q84 must not explode trigram rows:\n$s")
+    assert(!s.contains("Join"), s"q84 must not join:\n$s")
+    // exactly one shuffle: the |sources|-key partial/final aggregate (its
+    // exchange shows up once per plan rendering; planString prints two
+    // renderings, so count within the first)
+    val firstPlan = s.split("\n\n")(0)
+    val exchanges = firstPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"q84 grew extra shuffles ($exchanges):\n$firstPlan")
+  }
+
+  test("q89: thresholds reach the docs via broadcast; scoring adds no doc-side shuffle") {
+    val s = planString(graft.queries.Pipeline.q89(spark, sf0001))
+    assert(s.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"docs side must not shuffle for the join:\n$s")
+  }
 }
