@@ -122,6 +122,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncode/PqAdcScore == scalar reference on random vectors and codebooks") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    val rnd = new scala.util.Random(11)
+    val m = 4; val ksub = 8; val dsub = 4; val d = m * dsub
+    val cb = Array.fill(m, ksub, dsub)(rnd.nextGaussian())
+    val vecs = Seq.fill(60)(Array.fill(d)(rnd.nextGaussian().toFloat))
+    val qv = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val rows = vecs.toDF("v")
+      .select(PipelineExprs.pqEncode(col("v"), cb).as("c"), col("v"))
+      .select(col("c"),
+        PipelineExprs.pqAdcScore(col("c"), typedLit(qv.toSeq), cb).as("s"))
+      .collect().map(r => (r.getSeq[Int](0), r.getDouble(1)))
+    rows.zip(vecs).foreach { case ((codes, score), v) =>
+      // reference encode: per-subspace L2 argmin, ties to the lower index
+      val refCodes = (0 until m).map { s =>
+        val sub = v.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)
+        (0 until ksub).minBy(c =>
+          (sub.zip(cb(s)(c)).map { case (a, b) => (a - b) * (a - b) }.sum, c))
+      }
+      assert(codes == refCodes, s"codes $codes != $refCodes")
+      // reference score: dot(q, reconstruction) / ||reconstruction||
+      val recon = refCodes.zipWithIndex.flatMap { case (c, s) => cb(s)(c) }.toArray
+      val dot = qv.map(_.toDouble).zip(recon).map { case (a, b) => a * b }.sum
+      val nrm = math.sqrt(recon.map(x => x * x).sum)
+      val ref = dot / nrm
+      assert(math.abs(score - ref) < 1e-9, s"score $score != $ref")
+    }
+  }
+
   test("bandKeysFromSig rejects signatures not divisible by bands") {
     import spark.implicits._
     val err = intercept[Exception] {
