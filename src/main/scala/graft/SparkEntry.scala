@@ -112,6 +112,7 @@ object SparkEntry {
     "q87_semdedup"        -> (Pipeline.q87 _),
     "q88_ann_ivfadc"      -> (Pipeline.q88 _),
     "q89_temp_mixture"    -> (Pipeline.q89 _),
+    "q90_lr_quality"      -> (Pipeline.q90 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -159,6 +160,9 @@ object SparkEntry {
     *  - q87 (cluster ids come from the trained quantizer, so no SQL oracle;
     *    the drop set is asserted EXACTLY equal to the one derived from
     *    q36's brute-force pairs restricted to same-cell, keep-lowest-id)
+    *  - q90 (iteratively trained LR classifier — not SQL-expressible; the
+    *    spec proves separable-corpus accuracy 1.0, monotone loss decrease
+    *    and layout-determinism, and spec_checks records both on the corpus)
     *  - q76 (G-K sketch merges are partitioning-dependent; spec pins each
     *    approx percentile inside the exact ±0.01-quantile envelope)
     */

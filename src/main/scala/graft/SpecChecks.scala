@@ -124,6 +124,21 @@ object SpecChecks {
       s"""{"check":"census == brute-pairs-restricted-to-cells reference","cells":${got.size},"n_dropped":${got.values.map(_._2).sum},"pass":$eq}"""
     }
 
+    guarded("q90_lr_quality") {
+      val docs = Tables.documents(spark, dir)
+      val label = length(col("text")) >= 250
+      val (_, _, losses) = queries.Pipeline.lrTrain(docs, label, iters = 5)
+      val monotone = losses.sliding(2).forall { case Array(a, b) => b < a }
+      val out = queries.Pipeline.q90(spark, dir).collect()
+        .map(r => (r.getLong(1), r.getLong(3)))
+      val nTot = out.map(_._1).sum
+      val nCorrect = out.map(_._2).sum
+      val nPos = docs.filter(label).count()
+      val majority = math.max(nPos, nTot - nPos).toDouble / nTot
+      val acc = nCorrect.toDouble / nTot
+      s"""{"check":"loss strictly decreases AND accuracy beats the majority class","monotone_loss":$monotone,"accuracy":${num(acc)},"majority":${num(majority)},"pass":${monotone && acc > majority}}"""
+    }
+
     guarded("q76_approx_pctile") {
       val env = Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"), col("l_quantity").as("v"))

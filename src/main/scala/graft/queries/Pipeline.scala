@@ -1978,6 +1978,125 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Hashed bag-of-words feature indices for [[lrTrain]]/[[lrScore]]:
+    * distinct murmur3(token) mod dim over the non-empty space-split
+    * tokens. Binary presence features — the GPT-3/CCNet quality-classifier
+    * convention — so a document is a small int array regardless of length.
+    */
+  private def lrFeatures(dim: Int): Column =
+    array_distinct(transform(
+      filter(split(col("text"), " "), t => t =!= ""),
+      t => pmod(hash(t), lit(dim))))
+
+  /** Distributed logistic-regression training — the linear quality
+    * classifier LLM pipelines run over crawl data (GPT-3 appendix A:
+    * LR over hashed features, curated-vs-crawl labels; CCNet's fasttext
+    * filter is the same shape). Batch gradient descent where EACH
+    * iteration is one keyed aggregation: per-doc sigmoid margins are
+    * computed against the broadcast weight literal, per-feature gradient
+    * contributions explode to a `dim`-bounded groupBy, and the updated
+    * weights return to the driver — the legitimate "fixpoint counter"
+    * collect class ([[ivfTrain]]'s argument): driver state is the
+    * dim-sized model, never corpus-sized.
+    *
+    * Deterministic on ANY partitioning: per-doc gradient/loss
+    * contributions are fixed-pointed to 1e-9 (floor(x·10⁹+0.5) longs)
+    * before the distributed sum, so float addition order cannot perturb
+    * the model (the fsum argument, PERF.md r10). Feature vectors are
+    * row-normalized (each active feature carries 1/√k for k active
+    * features), which with the implicit bias feature bounds the logistic
+    * loss's smoothness constant at ‖x‖²/4 = 1/2 — the default step 3.0
+    * sits under the 2/L = 4 divergence bound and batch GD descends
+    * MONOTONICALLY (spec-gated; lr=6 observed oscillating, exactly as the
+    * bound predicts). Unnormalized binary features put L at max-tokens/4
+    * and a usable fixed step either crawls or oscillates (both observed,
+    * PERF.md r10). Features hash once and localCheckpoint; ONE bounded
+    * job per iteration (a sentinel feature carries bias gradient + loss
+    * through the same dim-keyed aggregation).
+    *
+    * @return (weights, bias, per-iteration mean log-loss)
+    */
+  def lrTrain(docs: DataFrame, label: Column, dim: Int = 1024,
+      iters: Int = 40, lr: Double = 3.0): (Array[Double], Double, Array[Double]) = {
+    val base = docs
+      .select(label.cast("double").as("y"), lrFeatures(dim).as("fs"))
+      .localCheckpoint()
+    val n = base.count().toDouble
+    require(n > 0, "lrTrain needs at least one labeled document")
+    def fix(c: Column): Column = floor(c * 1e9 + 0.5).cast("long")
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val losses = new Array[Double](iters)
+    for (it <- 0 until iters) {
+      val wLit = typedLit(w.toSeq)
+      val inv = lit(1.0) / sqrt(greatest(size(col("fs")), lit(1)).cast("double"))
+      val margin = aggregate(col("fs"), lit(0.0),
+        (acc, f) => acc + element_at(wLit, f + 1)) * inv + lit(b)
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val ll = -(col("y") * log(greatest(p, lit(1e-12))) +
+        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))
+      // ONE job per iteration: a sentinel feature -1 rides along per doc,
+      // carrying the bias gradient and the loss; real features carry the
+      // normalized gradient. groupBy(f) is bounded by dim+1 rows.
+      val scored = base.select(col("fs"),
+        fix((p - col("y")) * inv).as("c"),
+        fix(p - col("y")).as("cb"), fix(ll).as("l"))
+      scored
+        .select(explode(concat(col("fs"), array(lit(-1)))).as("f"),
+          col("c"), col("cb"), col("l"))
+        .groupBy("f")
+        .agg(sum(col("c")).as("g"), sum(col("cb")).as("gb"), sum(col("l")).as("ls"))
+        .collect().foreach { r =>
+          if (r.getInt(0) >= 0) w(r.getInt(0)) -= lr * (r.getLong(1) / 1e9) / n
+          else {
+            b -= lr * (r.getLong(2) / 1e9) / n
+            losses(it) = (r.getLong(3) / 1e9) / n
+          }
+        }
+    }
+    (w, b, losses)
+  }
+
+  /** Scores from a trained model: P(label=1 | hashed bag of words), the
+    * same row-normalized margin [[lrTrain]] optimizes.
+    */
+  def lrScore(docs: DataFrame, w: Array[Double], b: Double): Column = {
+    val wLit = typedLit(w.toSeq)
+    val fs = lrFeatures(w.length)
+    val margin = aggregate(fs, lit(0.0),
+      (acc, f) => acc + element_at(wLit, f + 1)) /
+      sqrt(greatest(size(fs), lit(1)).cast("double")) + lit(b)
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  /** q90: the trained quality-classifier census. This synthetic corpus has
+    * no curated-vs-crawl axis (every lang/source draws the same 31-word
+    * vocabulary), so the registered query trains on the one label the
+    * corpus supports — doc length ≥ 250 chars — and reports, per source,
+    * how the classifier scores and classifies its documents. The label
+    * provider is a [[lrTrain]] parameter; a real deployment passes its
+    * curated-source indicator instead. No SQL oracle (iterative training);
+    * the learning guarantee (separable corpus → accuracy 1.0,
+    * monotonically decreasing loss) and layout-determinism are spec'd, and
+    * the spec_checks artifact records both on the real corpus.
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val label = length(col("text")) >= 250
+    val (w, b, _) = lrTrain(docs, label)
+    docs
+      .select(col("source"), label.cast("long").as("y"),
+        lrScore(docs, w, b).as("p"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when((col("p") >= 0.5) === (col("y") === 1L), 1L).otherwise(0L)).as("n_correct"),
+        round(sum(floor(col("p") * 1e6 + 0.5).cast("long")).cast("double") / 1e6
+          / count(lit(1)), 4).as("mean_score"))
+      .orderBy("source")
+  }
+
   /** q89: temperature-based mixture resampling — the α-sampling rule
     * multilingual LM pipelines use to UP-weight small sources without
     * flattening the mixture entirely (Conneau & Lample 2019 §3.1; α=0.5

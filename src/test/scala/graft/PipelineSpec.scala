@@ -610,6 +610,47 @@ class PipelineSpec extends SparkSpec {
     assert(got.exists(_._2 > minN), "skew must exist for the test to bite")
   }
 
+  test("lrTrain separates a separable corpus: accuracy 1.0, loss strictly decreasing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val fillers = Array("lorem", "ipsum", "dolor", "sit", "amet", "sed", "eiusmod")
+    def doc(marker: String) =
+      (Seq(marker) ++ Seq.fill(8)(fillers(rnd.nextInt(fillers.length)))).mkString(" ")
+    val docs = ((1 to 40).map(i => (i.toLong, doc("alpha"), 1)) ++
+      (41 to 80).map(i => (i.toLong, doc("beta"), 0)))
+      .toDF("doc_id", "text", "y")
+    val (w, b, losses) = Pipeline.lrTrain(docs, col("y") === 1)
+    losses.sliding(2).foreach { case Array(a, b2) =>
+      assert(b2 < a, s"loss must strictly decrease: ${losses.toSeq}")
+    }
+    val scored = docs.select(col("y"), Pipeline.lrScore(docs, w, b).as("p")).collect()
+    val acc = scored.count(r => (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
+    assert(acc == 1.0, s"separable corpus must classify perfectly, got $acc")
+  }
+
+  test("lrTrain is layout-deterministic (fixed-point gradient sums)") {
+    val docs = Tables.documents(spark, sf001)
+    val label = length(col("text")) >= 250
+    val (w1, b1, l1) = Pipeline.lrTrain(docs, label, iters = 5)
+    val (w2, b2, l2) = Pipeline.lrTrain(docs.repartition(13), label, iters = 5)
+    assert(w1.toSeq == w2.toSeq && b1 == b2 && l1.toSeq == l2.toSeq)
+  }
+
+  test("q90: census is consistent and the classifier beats the majority class on its label") {
+    val out = Pipeline.q90(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, pos, correct) =>
+      assert(pos <= n && correct <= n)
+    }
+    val (nTot, nCorrect) = (out.map(_._2).sum, out.map(_._4).sum)
+    val docs = Tables.documents(spark, sf001)
+    val nPos = docs.filter(length(col("text")) >= 250).count()
+    val majority = math.max(nPos, nTot - nPos).toDouble / nTot
+    assert(nCorrect.toDouble / nTot > majority,
+      s"accuracy ${nCorrect.toDouble / nTot} must beat majority $majority")
+  }
+
   test("q84 operator: hand-computed repetition scores on constructed docs") {
     import spark.implicits._
     val docs = Seq(
