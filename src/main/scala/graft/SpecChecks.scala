@@ -6,20 +6,24 @@ import org.apache.spark.sql.functions._
 /** Driver-readable verdicts for the declared-no-oracle queries.
   *
   * CORRECTNESS_r*.json shows `err:"no_oracle"` for q9b/q12s/q27/q29/q38/
-  * q76/q86 — correct by contract (sketches, stream-only operators and ANN are
-  * legitimately not hash-matchable against DuckDB), but the tolerance /
-  * recall / equivalence evidence lived only in ScalaTest, invisible to
-  * anyone reading the driver artifacts alone (r9 verdict gap #1). This
-  * object re-runs EXACTLY the spec checks (same thresholds, same
-  * machinery) inside the Verify pass and emits one JSON object per query
-  * to `<outDir>/spec_checks.json` and `tools/spec_checks_latest.json`,
-  * so the no-oracle rows carry machine-readable pass/fail at HEAD.
+  * q76/q86/q87/q88/q90 — correct by contract (sketches, stream-only
+  * operators, ANN and iterative training are legitimately not
+  * hash-matchable against DuckDB), but the tolerance / recall /
+  * equivalence evidence lived only in ScalaTest, invisible to anyone
+  * reading the driver artifacts alone (r9 verdict gap #1). This object
+  * re-runs EXACTLY the spec checks (same thresholds, same machinery)
+  * inside the Verify pass and emits one JSON object per query to
+  * `<outDir>/spec_checks.json` and `tools/spec_checks_latest.json`, so
+  * the no-oracle rows carry machine-readable pass/fail at HEAD.
   *
   * Thresholds mirror the specs: q9b ±5% of exact (SURVEY §2.2 row 17);
   * q12s batch == stream-operator count; q27 hamming ≤ 3 and ⊇ exact dups;
   * q29 recall@5 ≥ 0.4 (SRP-LSH, isotropic corpus); q38 recall ≥ 0.3 AND
   * full-probe == exact (losslessness); q86 recall ≥ 0.3 AND full-rerank ==
-  * exact (the PQ analogue); q76 inside the exact ±0.01-quantile envelope.
+  * exact (the PQ analogue); q88 recall ≥ 0.2 AND full-probe+full-rerank ==
+  * exact; q87 census == the brute-pairs-restricted-to-cells reference;
+  * q90 strictly-decreasing loss AND accuracy above the majority class;
+  * q76 inside the exact ±0.01-quantile envelope.
   */
 object SpecChecks {
 
@@ -54,9 +58,10 @@ object SpecChecks {
       s"""{"check":"all hamming <= 3 AND pairs include q15 exact dups","n_pairs":${pairs.length},"max_hamming":$maxHam,"n_exact_dups":${exactDups.size},"exact_dups_included":$incl,"pass":${maxHam <= 3 && incl}}"""
     }
 
-    // exact top-5 neighbor set, shared by both ANN recall checks
-    lazy val exactTop5 = queries.TextVec.q16(spark, dir).select("qid", "vec_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact top-5 rows/neighbor set, shared by every ANN check (computed once)
+    lazy val exactRows = queries.TextVec.q16(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    lazy val exactTop5 = exactRows.map(t => (t._1, t._2)).toSet
 
     guarded("q29_ann_lsh") {
       val ann = queries.Pipeline.q29(spark, dir).select("qid", "vec_id")
@@ -69,8 +74,6 @@ object SpecChecks {
       val ann = queries.Pipeline.q38(spark, dir).select("qid", "vec_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exactTop5 & ann).size.toDouble / exactTop5.size
-      val exactRows = queries.TextVec.q16(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val fullProbe = queries.Pipeline.ivfAnn(spark, dir, nprobe = 16).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val lossless = fullProbe == exactRows
@@ -81,8 +84,6 @@ object SpecChecks {
       val ann = queries.Pipeline.q86(spark, dir).select("qid", "vec_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exactTop5 & ann).size.toDouble / exactTop5.size
-      val exactRows = queries.TextVec.q16(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val fullRerank = queries.Pipeline.pqAnn(spark, dir, rerank = 100000).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val lossless = fullRerank == exactRows
@@ -93,8 +94,6 @@ object SpecChecks {
       val ann = queries.Pipeline.q88(spark, dir).select("qid", "vec_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exactTop5 & ann).size.toDouble / exactTop5.size
-      val exactRows = queries.TextVec.q16(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val full = queries.Pipeline.ivfadcAnn(spark, dir, nprobe = 16, rerank = 100000)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val lossless = full == exactRows
@@ -125,15 +124,20 @@ object SpecChecks {
     }
 
     guarded("q90_lr_quality") {
+      // ONE training at q90's exact defaults serves both verdict bits:
+      // monotone loss comes from its per-iteration history, accuracy from
+      // scoring with the same model (training is layout-deterministic, so
+      // this IS the model q90 reports on).
       val docs = Tables.documents(spark, dir)
       val label = length(col("text")) >= 250
-      val (_, _, losses) = queries.Pipeline.lrTrain(docs, label, iters = 5)
-      val monotone = losses.sliding(2).forall { case Array(a, b) => b < a }
-      val out = queries.Pipeline.q90(spark, dir).collect()
-        .map(r => (r.getLong(1), r.getLong(3)))
-      val nTot = out.map(_._1).sum
-      val nCorrect = out.map(_._2).sum
-      val nPos = docs.filter(label).count()
+      val (w, b, losses) = queries.Pipeline.lrTrain(docs, label)
+      val monotone = losses.sliding(2).forall { case Array(a, b2) => b2 < a }
+      val scored = docs
+        .select(label.cast("int").as("y"), queries.Pipeline.lrScore(w, b).as("p"))
+        .collect()
+      val nTot = scored.length
+      val nCorrect = scored.count(r => (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1))
+      val nPos = scored.count(_.getInt(0) == 1)
       val majority = math.max(nPos, nTot - nPos).toDouble / nTot
       val acc = nCorrect.toDouble / nTot
       s"""{"check":"loss strictly decreases AND accuracy beats the majority class","monotone_loss":$monotone,"accuracy":${num(acc)},"majority":${num(majority)},"pass":${monotone && acc > majority}}"""

@@ -213,16 +213,23 @@ object Pipeline {
       .select("embedding").collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
     for (_ <- 1 to iters) {
+      // per-component contributions are fixed-pointed to 1e-6 BEFORE the
+      // distributed sum: long addition is commutative, so the trained
+      // centroids are bit-identical on any partitioning / shuffle-fetch
+      // order (a raw double sum() is not — the fsum argument, PERF.md).
+      // 1e-6 on unit-scale components keeps ~7 significant digits per
+      // contribution and overflows only past ~9e12 rows per (cell, dim).
       val stats = train
         .withColumn("b", element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1))
         .select(col("b"), posexplode(col("embedding")).as(Seq("p", "x")))
-        .groupBy("b", "p").agg(sum(col("x").cast("double")).as("s"))
+        .groupBy("b", "p")
+        .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("s"))
         .collect()
       val dims = cents(0).length
       val sums = Array.fill(cents.length)(new Array[Double](dims))
       val seen = new Array[Boolean](cents.length)
       stats.foreach { r =>
-        val b = r.getInt(0); sums(b)(r.getInt(1)) = r.getDouble(2); seen(b) = true
+        val b = r.getInt(0); sums(b)(r.getInt(1)) = r.getLong(2) / 1e6; seen(b) = true
       }
       cents = Array.tabulate(cents.length)(i => if (seen(i)) normalize(sums(i)) else cents(i))
     }
@@ -296,6 +303,8 @@ object Pipeline {
       Array.tabulate(ksub)(c => seeds(c).slice(s * dsub, (s + 1) * dsub)))
     for (_ <- 1 to iters) {
       val sCol = (col("p") / dsub).cast("int")
+      // fixed-point component sums: same layout-determinism argument as
+      // ivfTrain (long addition is commutative; raw double sum() is not)
       val stats = train
         .withColumn("codes", PipelineExprs.pqEncode(col("embedding"), cb))
         .select(col("codes"), posexplode(col("embedding")).as(Seq("p", "x")))
@@ -303,12 +312,13 @@ object Pipeline {
           element_at(col("codes"), sCol + 1).as("cd"),
           col("x").cast("double").as("x"))
         .groupBy("s", "cd", "dim")
-        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("sx"),
+          count(lit(1)).as("cnt"))
         .collect()
       val next = Array.tabulate(m)(s => Array.tabulate(ksub)(c => cb(s)(c).clone()))
       stats.foreach { r =>
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getDouble(3) / r.getLong(4)
+          r.getLong(3) / 1e6 / r.getLong(4)
       }
       cb = next
     }
@@ -336,14 +346,21 @@ object Pipeline {
   def q86(spark: SparkSession, dir: String): DataFrame =
     pqAnn(spark, dir, rerank = 50)
 
+  /** The ANN family's query set — the SAME 10 vectors exact q16 ranks for,
+    * as (qid, qv, qn). One definition so pqAnn/ivfadcAnn's probe and
+    * re-rank stages can never drift onto different query sets.
+    */
+  private def annQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+
   private[graft] def pqAnn(spark: SparkSession, dir: String, rerank: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
     val cb = pqTrain(emb)
     val codes = emb.select(col("vec_id"),
       PipelineExprs.pqEncode(col("embedding"), cb).as("codes"))
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val probes = annQueries(emb)
     val approx = codes.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -388,8 +405,8 @@ object Pipeline {
     val indexed = emb.select(col("vec_id"),
       element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1).as("bkt"),
       PipelineExprs.pqEncode(col("embedding"), cb).as("codes"))
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val queries = annQueries(emb)
+    val probes = queries
       .withColumn("probe", explode(PipelineExprs.ivfProbes(col("qv"), cents, nprobe)))
     val approx = indexed
       .join(broadcast(probes), col("bkt") === col("probe") && col("vec_id") =!= col("qid"))
@@ -401,8 +418,7 @@ object Pipeline {
       .select("qid", "vec_id")
     val scored = shortlist
       .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
-      .join(broadcast(emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))), "qid")
+      .join(broadcast(queries), "qid")
       .select(col("qid"), col("vec_id"),
         round(TextVecExprs.floatVecDot(col("qv"), col("embedding"))
           / (col("qn") * col("nrm")), 6).as("sim"))
@@ -1162,17 +1178,26 @@ object Pipeline {
     * partial-keep branch — the spec drives THIS on a skewed subset of the
     * real testdata instead.
     */
-  def sourceMixture(documents: DataFrame): DataFrame = {
+  def sourceMixture(documents: DataFrame): DataFrame =
+    fingerprintKeepCensus(documents, "(10000 * min_n) div n_docs")
+
+  /** Shared scaffolding of q66 / q89: fingerprint-bucket every doc, compute
+    * per-source counts + the global min (a \|sources\|-row single-partition
+    * window), build a per-source keep threshold in basis points from
+    * `thresholdExpr` (sees `n_docs` and `min_n`), and census the keeps.
+    * `div`, not `/`, in threshold expressions: Spark's Divide is double
+    * division, and a correctly-rounded double can land on the wrong side
+    * of the floor boundary; integer `div` matches DuckDB's `//` exactly at
+    * any magnitude.
+    */
+  private def fingerprintKeepCensus(documents: DataFrame,
+      thresholdExpr: String): DataFrame = {
     val docs = documents
       .select(col("source"),
         pmod(PipelineExprs.polyFingerprint(col("text")), lit(10000)).as("b"))
     val thresholds = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("min_n", min(col("n_docs")).over(Window.partitionBy()))
-      // `div`, not `/`: Spark's Divide is double division, and a correctly-
-      // rounded double can land on the wrong side of the floor boundary;
-      // integer `div` matches DuckDB's `//` exactly at any magnitude
-      .select(col("source"), col("n_docs"),
-        expr("(10000 * min_n) div n_docs").as("threshold"))
+      .select(col("source"), col("n_docs"), expr(thresholdExpr).as("threshold"))
     docs.join(broadcast(thresholds), Seq("source"))
       .groupBy("source", "n_docs", "threshold")
       .agg(sum(when(col("b") < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
@@ -1911,8 +1936,8 @@ object Pipeline {
     * distinct trigrams via [[PipelineExprs.wordTrigrams]] (identical
     * tokenization: non-empty runs between 0x20 bytes). The "obvious" HOF
     * form — `transform(sequence(...), i -> concat_ws(element_at(words,
-    * i+1), ...))` then `array_distinct` — benched at **9.3 s vs 0.4 s**
-    * for this operator at sf0.1: HOFs are CodegenFallback so there is no
+    * i+1), ...))` then `array_distinct` — benched at **9.31 s vs 0.149 s**
+    * for this operator at sf0.1 (PERF.md r10): HOFs are CodegenFallback so there is no
     * common-subexpression elimination, and every `element_at` lambda call
     * re-evaluates `filter(split(text))` from scratch — O(words²) splits
     * per document. The spec pins this form against a driver-side
@@ -2000,9 +2025,11 @@ object Pipeline {
     * dim-sized model, never corpus-sized.
     *
     * Deterministic on ANY partitioning: per-doc gradient/loss
-    * contributions are fixed-pointed to 1e-9 (floor(x·10⁹+0.5) longs)
+    * contributions are fixed-pointed to 1e-6 (floor(x·10⁶+0.5) longs)
     * before the distributed sum, so float addition order cannot perturb
-    * the model (the fsum argument, PERF.md r10). Feature vectors are
+    * the model (the fsum argument, PERF.md r10) — and the worst-case
+    * per-doc magnitude (the −ln(10⁻¹²) ≈ 27.6 loss clamp) keeps the long
+    * sum inside 2⁶³ past 10¹⁷ documents. Feature vectors are
     * row-normalized (each active feature carries 1/√k for k active
     * features), which with the implicit bias feature bounds the logistic
     * loss's smoothness constant at ‖x‖²/4 = 1/2 — the default step 3.0
@@ -2023,7 +2050,7 @@ object Pipeline {
       .localCheckpoint()
     val n = base.count().toDouble
     require(n > 0, "lrTrain needs at least one labeled document")
-    def fix(c: Column): Column = floor(c * 1e9 + 0.5).cast("long")
+    def fix(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
     val w = new Array[Double](dim)
     var b = 0.0
     val losses = new Array[Double](iters)
@@ -2047,20 +2074,23 @@ object Pipeline {
         .groupBy("f")
         .agg(sum(col("c")).as("g"), sum(col("cb")).as("gb"), sum(col("l")).as("ls"))
         .collect().foreach { r =>
-          if (r.getInt(0) >= 0) w(r.getInt(0)) -= lr * (r.getLong(1) / 1e9) / n
+          if (r.getInt(0) >= 0) w(r.getInt(0)) -= lr * (r.getLong(1) / 1e6) / n
           else {
-            b -= lr * (r.getLong(2) / 1e9) / n
-            losses(it) = (r.getLong(3) / 1e9) / n
+            b -= lr * (r.getLong(2) / 1e6) / n
+            losses(it) = (r.getLong(3) / 1e6) / n
           }
         }
     }
     (w, b, losses)
   }
 
-  /** Scores from a trained model: P(label=1 | hashed bag of words), the
-    * same row-normalized margin [[lrTrain]] optimizes.
+  /** Scoring COLUMN for a trained model: P(label=1 | hashed bag of words),
+    * the same row-normalized margin [[lrTrain]] optimizes. Resolves
+    * against whatever frame it is selected from (it reads that frame's
+    * `text`), hence no DataFrame parameter — passing one would suggest,
+    * falsely, that the scores belong to it.
     */
-  def lrScore(docs: DataFrame, w: Array[Double], b: Double): Column = {
+  def lrScore(w: Array[Double], b: Double): Column = {
     val wLit = typedLit(w.toSeq)
     val fs = lrFeatures(w.length)
     val margin = aggregate(fs, lit(0.0),
@@ -2086,7 +2116,7 @@ object Pipeline {
     val (w, b, _) = lrTrain(docs, label)
     docs
       .select(col("source"), label.cast("long").as("y"),
-        lrScore(docs, w, b).as("p"))
+        lrScore(w, b).as("p"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -2118,21 +2148,12 @@ object Pipeline {
   def q89(spark: SparkSession, dir: String): DataFrame =
     tempMixture(Tables.documents(spark, dir))
 
-  /** Operator form of [[q89]] over any (source, text) frame. */
-  def tempMixture(documents: DataFrame): DataFrame = {
-    val docs = documents
-      .select(col("source"),
-        pmod(PipelineExprs.polyFingerprint(col("text")), lit(10000)).as("b"))
-    val thresholds = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("min_n", min(col("n_docs")).over(Window.partitionBy()))
-      .select(col("source"), col("n_docs"),
-        expr("(10000 * CAST(floor(sqrt(CAST(min_n * n_docs AS DOUBLE))) AS BIGINT)) div n_docs")
-          .as("threshold"))
-    docs.join(broadcast(thresholds), Seq("source"))
-      .groupBy("source", "n_docs", "threshold")
-      .agg(sum(when(col("b") < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("source")
-  }
+  /** Operator form of [[q89]] over any (source, text) frame —
+    * [[fingerprintKeepCensus]] with the α=0.5 threshold.
+    */
+  def tempMixture(documents: DataFrame): DataFrame =
+    fingerprintKeepCensus(documents,
+      "(10000 * CAST(floor(sqrt(CAST(min_n * n_docs AS DOUBLE))) AS BIGINT)) div n_docs")
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

@@ -49,6 +49,22 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
   }
 
+  test("ivfTrain and pqTrain are layout-deterministic (fixed-point component sums)") {
+    // raw double sum() merges shuffle partials in fetch order; the 1e-6
+    // fixed-point longs make training bit-identical on any partitioning —
+    // without this, q87's exact census reference and the ANN recall
+    // numbers would wobble across cluster runs
+    val emb = Tables.embeddings(spark, sf001)
+      .withColumn("nrm", graft.expressions.TextVecExprs.floatVecNorm(col("embedding")))
+    val shuffled = emb.repartition(7)
+    val c1 = Pipeline.ivfTrain(emb).map(_.toSeq).toSeq
+    val c2 = Pipeline.ivfTrain(shuffled).map(_.toSeq).toSeq
+    assert(c1 == c2)
+    val b1 = Pipeline.pqTrain(emb).map(_.map(_.toSeq).toSeq).toSeq
+    val b2 = Pipeline.pqTrain(shuffled).map(_.map(_.toSeq).toSeq).toSeq
+    assert(b1 == b2)
+  }
+
   test("pq codes: shape m=8, every code in [0,16); encoding is partitioning-independent") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf001)
@@ -623,7 +639,7 @@ class PipelineSpec extends SparkSpec {
     losses.sliding(2).foreach { case Array(a, b2) =>
       assert(b2 < a, s"loss must strictly decrease: ${losses.toSeq}")
     }
-    val scored = docs.select(col("y"), Pipeline.lrScore(docs, w, b).as("p")).collect()
+    val scored = docs.select(col("y"), Pipeline.lrScore(w, b).as("p")).collect()
     val acc = scored.count(r => (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
     assert(acc == 1.0, s"separable corpus must classify perfectly, got $acc")
   }
