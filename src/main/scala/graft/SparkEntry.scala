@@ -113,6 +113,7 @@ object SparkEntry {
     "q88_ann_ivfadc"      -> (Pipeline.q88 _),
     "q89_temp_mixture"    -> (Pipeline.q89 _),
     "q90_lr_quality"      -> (Pipeline.q90 _),
+    "q91_snapshot_diff"   -> (Pipeline.q91 _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -832,6 +833,25 @@ object SparkEntry {
         |SELECT source, t.n_docs, t.threshold,
         |  CAST(sum(CASE WHEN f.b < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM f JOIN t USING (source) GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // q91: snapshot B derived from the corpus exactly as the engine does
+    // (drop %7, rewrite %11, add %13 under +1e6 ids); md5 hex matches.
+    "q91_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |b0 AS (SELECT doc_id, source,
+        |         CASE WHEN doc_id % 11 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS h
+        |       FROM documents WHERE doc_id % 7 <> 0),
+        |badd AS (SELECT doc_id + 1000000 AS doc_id, source, md5(text || ' new') AS h
+        |         FROM documents WHERE doc_id % 13 = 0),
+        |b AS (SELECT * FROM b0 UNION ALL SELECT * FROM badd),
+        |j AS (SELECT coalesce(a.source, b.source) AS source, a.h AS ha, b.h AS hb
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q67: same rolling k-gram hash as the engine's WinnowFingerprints
     // (fold (a*31+b) mod 1e9+7 over char codes, init 0 — identical to the

@@ -2127,6 +2127,49 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** q91: corpus snapshot diff — the ingest-monitoring census a pipeline
+    * runs between two corpus revisions: per source, how many documents
+    * were REMOVED, ADDED, CHANGED (same id, different content) and
+    * UNCHANGED. Content equality is by md5 so the full-outer join ships
+    * 16-byte digests, never text (q14's exchange argument). The driver
+    * provides one corpus revision, so the registered query derives a
+    * deterministic second snapshot from it (drop id%7==0, rewrite
+    * id%11==0, add id%13==0 under new ids — every branch of the diff
+    * fires) and the oracle reproduces the identical construction;
+    * [[snapshotDiff]] itself takes any two (doc_id, source, text) frames.
+    *
+    * Scale: one equi-join on doc_id (bucket/co-partitionable — at
+    * deployment both snapshots live bucketed by id and the join is
+    * exchange-free) plus a \|sources\|-key agg. Hashes are map-side.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir)
+    val b = a.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .unionByName(a.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" new")).as("text"),
+          col("lang"), col("n_chars")))
+    snapshotDiff(a, b)
+  }
+
+  /** Per-source diff census between two (doc_id, source, text) snapshots. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val ha = a.select(col("doc_id"), col("source").as("sa"), md5(col("text")).as("ha"))
+    val hb = b.select(col("doc_id"), col("source").as("sb"), md5(col("text")).as("hb"))
+    ha.join(hb, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("sa"), col("sb")).as("source"), col("ha"), col("hb"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("hb").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("ha").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull
+          && col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy("source")
+  }
+
   /** q89: temperature-based mixture resampling — the α-sampling rule
     * multilingual LM pipelines use to UP-weight small sources without
     * flattening the mixture entirely (Conneau & Lample 2019 §3.1; α=0.5

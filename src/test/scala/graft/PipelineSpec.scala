@@ -667,6 +667,37 @@ class PipelineSpec extends SparkSpec {
       s"accuracy ${nCorrect.toDouble / nTot} must beat majority $majority")
   }
 
+  test("snapshotDiff operator: every branch hand-computed on constructed snapshots") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "s1", "same"), (2L, "s1", "will change"), (3L, "s2", "gets removed")
+    ).toDF("doc_id", "source", "text")
+    val b = Seq(
+      (1L, "s1", "same"), (2L, "s1", "changed!"), (4L, "s2", "brand new")
+    ).toDF("doc_id", "source", "text")
+    val out = Pipeline.snapshotDiff(a, b).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // (removed, added, changed, unchanged)
+    assert(out == Map("s1" -> ((0L, 0L, 1L, 1L)), "s2" -> ((1L, 1L, 0L, 0L))))
+  }
+
+  test("q91: all four diff branches fire on the derived corpus snapshot") {
+    val out = Pipeline.q91(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).sum > 0, "removals must fire")   // id%7
+    assert(out.map(_._2).sum > 0, "additions must fire")  // id%13
+    assert(out.map(_._3).sum > 0, "changes must fire")    // id%11
+    assert(out.map(_._4).sum > 0, "unchanged must exist")
+    // totals reconcile with the construction
+    val n = Tables.documents(spark, sf0001).count()
+    val docs = Tables.documents(spark, sf0001).select("doc_id").collect().map(_.getLong(0))
+    assert(out.map(_._1).sum == docs.count(_ % 7 == 0))
+    assert(out.map(_._2).sum == docs.count(_ % 13 == 0))
+    assert(out.map(_._3).sum == docs.count(id => id % 7 != 0 && id % 11 == 0))
+    assert(out.map(_._1).sum + out.map(_._3).sum + out.map(_._4).sum == n)
+  }
+
   test("q84 operator: hand-computed repetition scores on constructed docs") {
     import spark.implicits._
     val docs = Seq(
