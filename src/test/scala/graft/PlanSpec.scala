@@ -259,4 +259,14 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$s")
     assert(!s.contains("SortMergeJoin"), s"docs side must not shuffle for the join:\n$s")
   }
+
+  test("q91: md5 digests are computed below the join — no text column on the exchange") {
+    val s = planString(graft.queries.Pipeline.q91(spark, sf0001))
+    // the join must consume (doc_id, source, md5) projections: any join or
+    // exchange line mentioning the text column means full documents shipped
+    val shippedText = s.linesIterator.exists(l =>
+      (l.contains("Join") || l.contains("Exchange")) && l.contains("text#"))
+    assert(!shippedText, s"text column crosses the join/exchange:\n$s")
+    assert(s.contains("md5"), s"digest projection missing:\n$s")
+  }
 }
