@@ -46,4 +46,34 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("q91 snapshot diff over id-bucketed snapshots plans with no shuffle exchange") {
+    // the deployment layout the q91 scaladoc claims: both corpus revisions
+    // bucketed by doc_id -> the full-outer diff join is exchange-free
+    spark.sql("DROP TABLE IF EXISTS b_snap_a")
+    spark.sql("DROP TABLE IF EXISTS b_snap_b")
+    val a = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
+    a.write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("b_snap_a")
+    a.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("b_snap_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = graft.queries.Pipeline.snapshotDiff(
+        spark.table("b_snap_a"), spark.table("b_snap_b"))
+      val rows = diff.collect()
+      assert(rows.nonEmpty && rows.map(_.getLong(1)).sum > 0) // removals fire
+      val plan = diff.queryExecution.executedPlan.toString
+      // the only allowed exchange is the final |sources|-key aggregate's
+      val joinSide = plan.split("SortMergeJoin|ShuffledHashJoin").last
+      assert(plan.contains("Join"), s"expected a join:\n$plan")
+      assert(!joinSide.contains("Exchange hashpartitioning"),
+        s"bucketed snapshot diff must not shuffle the join inputs:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS b_snap_a")
+      spark.sql("DROP TABLE IF EXISTS b_snap_b")
+    }
+  }
 }
