@@ -2155,9 +2155,18 @@ object Pipeline {
   }
 
   /** Per-source diff census between two (doc_id, source, text) snapshots. */
-  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
-    val ha = a.select(col("doc_id"), col("source").as("sa"), md5(col("text")).as("ha"))
-    val hb = b.select(col("doc_id"), col("source").as("sb"), md5(col("text")).as("hb"))
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame =
+    snapshotDiffDigests(
+      a.select(col("doc_id"), col("source"), md5(col("text")).as("h")),
+      b.select(col("doc_id"), col("source"), md5(col("text")).as("h")))
+
+  /** Digest-level core of [[snapshotDiff]] over (doc_id, source, h) frames —
+    * also the per-revision probe of `streaming/SnapshotMonitor`, which
+    * persists digests rather than text.
+    */
+  def snapshotDiffDigests(a: DataFrame, b: DataFrame): DataFrame = {
+    val ha = a.select(col("doc_id"), col("source").as("sa"), col("h").as("ha"))
+    val hb = b.select(col("doc_id"), col("source").as("sb"), col("h").as("hb"))
     ha.join(hb, Seq("doc_id"), "full_outer")
       .select(coalesce(col("sa"), col("sb")).as("source"), col("ha"), col("hb"))
       .groupBy("source")

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous corpus-revision monitoring — the streaming form of q91's
+  * snapshot diff. Each arriving micro-batch is a full corpus REVISION
+  * (doc_id, source, text); the monitor diffs it against the latest
+  * committed revision and appends the per-source
+  * removed/added/changed/unchanged census to a history table, so a
+  * pipeline sees "what did this re-crawl/re-ingest change" the moment the
+  * revision lands — scraper breakage (mass removals), template churn
+  * (mass changes) and source drop-out all surface as census spikes before
+  * any downstream metric moves.
+  *
+  * Why this shape at 100 TB: only md5 DIGESTS are persisted per revision
+  * (16 bytes + key per document — q14/q91's exchange argument), so the
+  * diff join ships digests, never text, and the store grows by
+  * O(docs · 16 B) per revision, not O(corpus chars). The diff is one
+  * full-outer equi-join on doc_id against ONE prior revision (revisions
+  * supersede — never a union of history); on a real deployment the digest
+  * store is bucketed by doc_id and the join is exchange-free
+  * (BucketedJoinSpec's q91 case proves that plan).
+  *
+  * Exactly-once: [[IncrementalNearDup]]'s discipline verbatim — every
+  * write overwrites the batch's OWN `batch=<id>` subdir, the previous
+  * revision is the HIGHEST `_SUCCESS`-committed id strictly below the
+  * current batch, so a retried batch recomputes against the same
+  * predecessor and reproduces its output byte-for-byte.
+  */
+object SnapshotMonitor {
+
+  /** Start the monitor: each micro-batch of `snapshots` must be one full
+    * (doc_id, source, text) corpus revision.
+    */
+  def start(snapshots: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery =
+    snapshots.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingest(batch.sparkSession, batch.toDF(), stateRoot, batchId)
+      }
+      .start()
+
+  private def committedBatches(spark: SparkSession, path: String,
+      ltBatch: Long): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap { d =>
+        val name = d.getPath.getName
+        if (name.matches("batch=\\d+")) Some((name.drop(6).toLong, d.getPath))
+        else None
+      }
+      .filter { case (id, dir) =>
+        id < ltBatch && fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+      }
+      .sortBy(_._1)
+      .map { case (id, dir) => (id, dir.toString) }
+  }
+
+  /** One revision: diff against the latest committed predecessor (first
+    * revision diffs against empty — everything lands as added), append the
+    * census under `diffs/batch=<id>`, commit this revision's digests under
+    * `digests/batch=<id>`. Also the backfill entry point.
+    */
+  def ingest(spark: SparkSession, snapshot: DataFrame,
+      stateRoot: String, batchId: Long): Unit = {
+    val cur = snapshot
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .localCheckpoint()
+    val prev = committedBatches(spark, s"$stateRoot/digests", ltBatch = batchId)
+      .lastOption match {
+        case Some((_, dir)) => spark.read.parquet(dir)
+          .select(col("doc_id"), col("source"), col("h"))
+        case None => cur.limit(0)
+      }
+    graft.queries.Pipeline.snapshotDiffDigests(prev, cur)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateRoot/diffs/batch=$batchId")
+    cur.write.mode("overwrite").parquet(s"$stateRoot/digests/batch=$batchId")
+  }
+
+  /** The accumulated census history: one row per (revision, source),
+    * ordered by (batch_id, source). Empty before the first commit.
+    */
+  def history(spark: SparkSession, stateRoot: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("n_removed", LongType),
+      StructField("n_added", LongType), StructField("n_changed", LongType),
+      StructField("n_unchanged", LongType), StructField("batch_id", LongType)))
+    val dirs = committedBatches(spark, s"$stateRoot/diffs", Long.MaxValue).map(_._2)
+    if (dirs.nonEmpty)
+      spark.read.schema(schema).parquet(dirs: _*).orderBy("batch_id", "source")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.queries.Pipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The incremental monitor's history must equal batch [[Pipeline
+  * .snapshotDiff]] run on each consecutive revision pair, the first
+  * revision must land entirely as additions, and a retried batch must
+  * reproduce its census byte-for-byte.
+  */
+class SnapshotMonitorSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("snapmon").toString
+
+  private def rev(n: Int) = {
+    val base = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+    n match {
+      case 0 => base
+      case 1 => base.filter(pmod(col("doc_id"), lit(3)) =!= 0) // removals
+      case _ => base.filter(pmod(col("doc_id"), lit(3)) =!= 0) // + changes
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    }
+  }
+
+  private def censusRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("source", "n_removed", "n_added", "n_changed", "n_unchanged")
+      .collect().map(_.toSeq).toSeq
+
+  test("3-revision history == batch snapshotDiff per consecutive pair; first revision all-added") {
+    val root = tmp()
+    (0 to 2).foreach(b => SnapshotMonitor.ingest(spark, rev(b), root, b.toLong))
+    val hist = SnapshotMonitor.history(spark, root).collect()
+      .groupBy(_.getLong(5))
+      .map { case (b, rows) => b -> rows.map(_.toSeq.take(5)).toSeq }
+    // batch 0: everything added, nothing else
+    hist(0L).foreach { r =>
+      assert(r(1) == 0L && r(3) == 0L && r(4) == 0L && r(2).asInstanceOf[Long] > 0L)
+    }
+    // batches 1 and 2 equal the batch-mode diff of their revision pairs
+    assert(hist(1L) == censusRows(Pipeline.snapshotDiff(rev(0), rev(1))))
+    assert(hist(2L) == censusRows(Pipeline.snapshotDiff(rev(1), rev(2))))
+    // the constructed revisions exercise removed AND changed branches
+    assert(hist(1L).map(_(1).asInstanceOf[Long]).sum > 0, "removals must fire")
+    assert(hist(2L).map(_(3).asInstanceOf[Long]).sum > 0, "changes must fire")
+
+    // retry of batch 2 (crash-after-commit replay): diffs against the same
+    // predecessor (highest committed id < 2) — history must not change
+    val before = SnapshotMonitor.history(spark, root).collect().map(_.toSeq).toSeq
+    SnapshotMonitor.ingest(spark, rev(2), root, 2L)
+    val after = SnapshotMonitor.history(spark, root).collect().map(_.toSeq).toSeq
+    assert(before == after)
+  }
+}
