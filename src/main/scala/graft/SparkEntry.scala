@@ -835,13 +835,14 @@ object SparkEntry {
         |FROM f JOIN t USING (source) GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     // q91: snapshot B derived from the corpus exactly as the engine does
-    // (drop %7, rewrite %11, add %13 under +1e6 ids); md5 hex matches.
+    // (drop %7, rewrite %11, add %13 under -(id+1) ids — sign-disjoint
+    // from real ids at any scale); md5 hex matches.
     "q91_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
         |b0 AS (SELECT doc_id, source,
         |         CASE WHEN doc_id % 11 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS h
         |       FROM documents WHERE doc_id % 7 <> 0),
-        |badd AS (SELECT doc_id + 1000000 AS doc_id, source, md5(text || ' new') AS h
+        |badd AS (SELECT -(doc_id + 1) AS doc_id, source, md5(text || ' new') AS h
         |         FROM documents WHERE doc_id % 13 = 0),
         |b AS (SELECT * FROM b0 UNION ALL SELECT * FROM badd),
         |j AS (SELECT coalesce(a.source, b.source) AS source, a.h AS ha, b.h AS hb

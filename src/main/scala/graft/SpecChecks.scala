@@ -124,23 +124,26 @@ object SpecChecks {
     }
 
     guarded("q90_lr_quality") {
-      // ONE training at q90's exact defaults serves both verdict bits:
-      // monotone loss comes from its per-iteration history, accuracy from
-      // scoring with the same model (training is layout-deterministic, so
-      // this IS the model q90 reports on).
+      // Accuracy comes from the REGISTERED q90's own census output (so a
+      // q90 aggregation bug fails this artifact, and only |sources| rows
+      // reach the driver); the loss history comes from one lrTrain at
+      // q90's exact defaults — training is layout-deterministic, so it is
+      // the same model q90 reports on. Monotonicity is checked to the
+      // 1e-6 fixed-point quantization bound (a sub-quantum late-iteration
+      // decrease must not flip the gate) plus a required net decrease.
       val docs = Tables.documents(spark, dir)
       val label = length(col("text")) >= 250
-      val (w, b, losses) = queries.Pipeline.lrTrain(docs, label)
-      val monotone = losses.sliding(2).forall { case Array(a, b2) => b2 < a }
-      val scored = docs
-        .select(label.cast("int").as("y"), queries.Pipeline.lrScore(w, b).as("p"))
-        .collect()
-      val nTot = scored.length
-      val nCorrect = scored.count(r => (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1))
-      val nPos = scored.count(_.getInt(0) == 1)
+      val (_, _, losses) = queries.Pipeline.lrTrain(docs, label)
+      val monotone = losses.sliding(2).forall { case Array(a, b2) => b2 < a + 1e-6 } &&
+        losses.last < losses.head
+      val out = queries.Pipeline.q90(spark, dir).collect()
+        .map(r => (r.getLong(1), r.getLong(3)))
+      val nTot = out.map(_._1).sum
+      val nCorrect = out.map(_._2).sum
+      val nPos = docs.filter(label).count()
       val majority = math.max(nPos, nTot - nPos).toDouble / nTot
       val acc = nCorrect.toDouble / nTot
-      s"""{"check":"loss strictly decreases AND accuracy beats the majority class","monotone_loss":$monotone,"accuracy":${num(acc)},"majority":${num(majority)},"pass":${monotone && acc > majority}}"""
+      s"""{"check":"loss decreases (1e-6 tolerance, net) AND q90's census accuracy beats the majority class","monotone_loss":$monotone,"accuracy":${num(acc)},"majority":${num(majority)},"pass":${monotone && acc > majority}}"""
     }
 
     guarded("q76_approx_pctile") {

@@ -2027,9 +2027,12 @@ object Pipeline {
     * Deterministic on ANY partitioning: per-doc gradient/loss
     * contributions are fixed-pointed to 1e-6 (floor(x·10⁶+0.5) longs)
     * before the distributed sum, so float addition order cannot perturb
-    * the model (the fsum argument, PERF.md r10) — and the worst-case
-    * per-doc magnitude (the −ln(10⁻¹²) ≈ 27.6 loss clamp) keeps the long
-    * sum inside 2⁶³ past 10¹⁷ documents. Feature vectors are
+    * the model (the fsum argument, PERF.md r10). Overflow headroom: the
+    * worst-case per-doc loss contribution is the −ln(10⁻¹²) ≈ 27.6 clamp
+    * × 10⁶ ≈ 2.8e7, so the long sum stays inside 2⁶³ up to ~3×10¹¹
+    * documents; training beyond that needs a tighter probability clamp or
+    * a coarser loss scale (gradient contributions are ≤1 per doc and are
+    * safe to ~9×10¹² docs). Feature vectors are
     * row-normalized (each active feature carries 1/√k for k active
     * features), which with the implicit bias feature bounds the logistic
     * loss's smoothness constant at ‖x‖²/4 = 1/2 — the default step 3.0
@@ -2135,7 +2138,9 @@ object Pipeline {
     * provides one corpus revision, so the registered query derives a
     * deterministic second snapshot from it (drop id%7==0, rewrite
     * id%11==0, add id%13==0 under new ids — every branch of the diff
-    * fires) and the oracle reproduces the identical construction;
+    * fires; added ids are −(id+1), disjoint from the non-negative real id
+    * space at ANY corpus size, so the demo construction cannot
+    * self-collide) and the oracle reproduces the identical construction;
     * [[snapshotDiff]] itself takes any two (doc_id, source, text) frames.
     *
     * Scale: one equi-join on doc_id (bucket/co-partitionable — at
@@ -2148,7 +2153,7 @@ object Pipeline {
       .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 0,
         concat(col("text"), lit(" rev2"))).otherwise(col("text")))
       .unionByName(a.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        .select((-(col("doc_id") + 1L)).as("doc_id"), col("source"),
           concat(col("text"), lit(" new")).as("text"),
           col("lang"), col("n_chars")))
     snapshotDiff(a, b)

@@ -45,22 +45,8 @@ object IncrementalSpanDup {
       .start()
 
   private def committedBatchDirs(spark: SparkSession, path: String,
-      ltBatch: Long): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .flatMap { d =>
-        val name = d.getPath.getName
-        if (name.matches("batch=\\d+")) Some((name.drop(6).toLong, d.getPath))
-        else None
-      }
-      .filter { case (id, dir) =>
-        id < ltBatch && fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
-      }
-      .sortBy(_._1)
-      .map(_._2.toString)
-  }
+      ltBatch: Long): Seq[String] =
+    BatchStore.committedBatchDirs(spark, path, ltBatch)
 
   /** Every (doc_id, source) flagged so far, deduped across batches: a doc
     * hit in several batches (or flagged once as the stored end and again

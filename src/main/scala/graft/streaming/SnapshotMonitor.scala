@@ -43,22 +43,8 @@ object SnapshotMonitor {
       .start()
 
   private def committedBatches(spark: SparkSession, path: String,
-      ltBatch: Long): Seq[(Long, String)] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .flatMap { d =>
-        val name = d.getPath.getName
-        if (name.matches("batch=\\d+")) Some((name.drop(6).toLong, d.getPath))
-        else None
-      }
-      .filter { case (id, dir) =>
-        id < ltBatch && fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
-      }
-      .sortBy(_._1)
-      .map { case (id, dir) => (id, dir.toString) }
-  }
+      ltBatch: Long): Seq[(Long, String)] =
+    BatchStore.committedBatches(spark, path, ltBatch)
 
   /** One revision: diff against the latest committed predecessor (first
     * revision diffs against empty — everything lands as added), append the

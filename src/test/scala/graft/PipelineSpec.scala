@@ -636,9 +636,11 @@ class PipelineSpec extends SparkSpec {
       (41 to 80).map(i => (i.toLong, doc("beta"), 0)))
       .toDF("doc_id", "text", "y")
     val (w, b, losses) = Pipeline.lrTrain(docs, col("y") === 1)
+    // decrease up to the 1e-6 fixed-point quantum, and a real net decrease
     losses.sliding(2).foreach { case Array(a, b2) =>
-      assert(b2 < a, s"loss must strictly decrease: ${losses.toSeq}")
+      assert(b2 < a + 1e-6, s"loss must decrease (1e-6 tol): ${losses.toSeq}")
     }
+    assert(losses.last < losses.head, s"no net decrease: ${losses.toSeq}")
     val scored = docs.select(col("y"), Pipeline.lrScore(w, b).as("p")).collect()
     val acc = scored.count(r => (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
     assert(acc == 1.0, s"separable corpus must classify perfectly, got $acc")

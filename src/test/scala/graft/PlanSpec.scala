@@ -261,12 +261,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q91: md5 digests are computed below the join — no text column on the exchange") {
-    val s = planString(graft.queries.Pipeline.q91(spark, sf0001))
-    // the join must consume (doc_id, source, md5) projections: any join or
-    // exchange line mentioning the text column means full documents shipped
-    val shippedText = s.linesIterator.exists(l =>
-      (l.contains("Join") || l.contains("Exchange")) && l.contains("text#"))
-    assert(!shippedText, s"text column crosses the join/exchange:\n$s")
-    assert(s.contains("md5"), s"digest projection missing:\n$s")
+    // programmatic, not string-matched: Spark's simple plan string omits
+    // operator OUTPUT columns on Join/Exchange lines, so a regex over it
+    // can never see text being shipped. Walk the pre-AQE physical tree and
+    // assert no exchange or join node OUTPUTS the text column.
+    val plan = graft.queries.Pipeline.q91(spark, sf0001).queryExecution.sparkPlan
+    val shipping = plan.collect {
+      case p if p.nodeName.contains("Exchange") || p.nodeName.contains("Join") => p
+    }
+    assert(shipping.nonEmpty, s"gate is vacuous — no exchange/join found:\n$plan")
+    shipping.foreach { p =>
+      assert(!p.output.exists(_.name == "text"),
+        s"${p.nodeName} ships the text column: ${p.output.map(_.name)}\n$plan")
+    }
+    assert(plan.toString.contains("md5"), s"digest projection missing:\n$plan")
   }
 }

@@ -54,4 +54,21 @@ class SnapshotMonitorSpec extends SparkSpec {
     val after = SnapshotMonitor.history(spark, root).collect().map(_.toSeq).toSeq
     assert(before == after)
   }
+
+  test("streaming start(): foreachBatch wiring diffs successive file-borne revisions") {
+    val root = tmp(); val in = tmp() + "/in"; val ckpt = tmp() + "/ckpt"
+    // two revision files arriving one per trigger: full corpus, then a cut
+    rev(0).coalesce(1).write.mode("overwrite").parquet(in)
+    rev(1).coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(rev(0).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = SnapshotMonitor.start(stream, root, ckpt)
+    q.processAllAvailable(); q.stop()
+    val hist = SnapshotMonitor.history(spark, root).collect()
+      .groupBy(_.getLong(5))
+      .map { case (b, rows) => b -> rows.map(_.toSeq.take(5)).toSeq }
+    assert(hist.keySet == Set(0L, 1L))
+    hist(0L).foreach(r => assert(r(1) == 0L && r(2).asInstanceOf[Long] > 0L))
+    assert(hist(1L) == censusRows(Pipeline.snapshotDiff(rev(0), rev(1))))
+  }
 }
