@@ -1123,11 +1123,15 @@ object SparkEntry {
     // the oracle reproduces the decoded width/height/pixel-sum from first
     // principles (PNG gray is lossless), making the real-codec path
     // hash-checkable without DuckDB ever touching an image.
+    // PRECONDITION: ASCII corpus (engine indexes bytes, this SQL indexes
+    // chars — equal only when bytes == chars; see Pipeline.q83 scaladoc).
+    // Empty text yields all-zero pixels on both sides.
     "q83_codec_roundtrip" ->
       """SELECT doc_id,
         |  CAST(4 + doc_id % 13 AS INTEGER) AS width,
         |  CAST(4 + doc_id % 11 AS INTEGER) AS height,
-        |  CAST(list_sum([ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128
+        |  CAST(list_sum([CASE WHEN len(text) = 0 THEN 0
+        |                 ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 END
         |                 FOR i IN range(0, (4 + doc_id % 13) * (4 + doc_id % 11))]) AS BIGINT) AS px_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -383,9 +383,14 @@ case class TokenStats(child: Expression)
   def stats(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val b = input.getBytes
     val n = b.length
-    // distinct tokens ≤ (n+1)/2, so cap ≥ n+2 keeps load ≤ ~0.5
+    // distinct tokens ≤ (n+1)/2, so cap ≥ n+2 keeps load ≤ ~0.5. Clamp at
+    // 2^30 (the largest power-of-two table): distinct < 2^30 for ANY byte
+    // array, so a clamped table still has an empty slot and every probe
+    // terminates — without the clamp, `cap <<= 1` overflows past 2^30 and
+    // a ≥1 GiB document spins this loop forever (ADVICE r10). Long compare
+    // so n + 2 itself can't wrap.
     var cap = 64
-    while (cap < n + 2) cap <<= 1
+    while (cap < (1 << 30) && cap.toLong < n.toLong + 2L) cap <<= 1
     val mask = cap - 1
     val starts = new Array[Int](cap)
     val lens = new Array[Int](cap) // 0 = empty slot (tokens are non-empty)

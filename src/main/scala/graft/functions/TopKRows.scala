@@ -41,6 +41,8 @@ case class TopKBuf(k: Int, prices: Array[Double], keys: Array[Long], var size: I
   */
 class TopKByPrice(k: Int) extends Aggregator[RankedRow, TopKBuf, Seq[RankedRow]] {
 
+  require(k > 0, s"TopKByPrice requires k > 0, got $k") // insert() reads slot k-1 when full
+
   override def zero: TopKBuf =
     TopKBuf(k, new Array[Double](k), new Array[Long](k), 0)
 

@@ -1871,6 +1871,13 @@ object Pipeline {
     * stages (SURVEY §2 row 38's mandated shape — per-row imperative codec
     * work is the documented mapPartitions exception). Scale: pure per-row
     * map, no shuffle before the final tiny sort.
+    *
+    * PRECONDITION (shared with the oracle): the corpus text is ASCII. The
+    * engine indexes UTF-8 BYTES (`txt(i % len) & 0x7f`) while the DuckDB
+    * oracle indexes CHARACTERS (`ord(substr(...)) % 128` over `len(text)`
+    * chars) — identical only when bytes == chars, i.e. ASCII, which the
+    * driver's synthetic corpus satisfies. Empty text is guarded on both
+    * sides (all pixels 0) rather than crashing on mod-by-zero.
     */
   def q83(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1887,7 +1894,8 @@ object Pipeline {
             val r = img.getRaster
             var i = 0
             while (i < w * h) {
-              r.setSample(i % w, i / w, 0, txt(i % txt.length) & 0x7f)
+              val px = if (txt.length == 0) 0 else txt(i % txt.length) & 0x7f
+              r.setSample(i % w, i / w, 0, px)
               i += 1
             }
             val bos = new java.io.ByteArrayOutputStream()

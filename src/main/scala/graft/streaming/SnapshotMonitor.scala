@@ -46,10 +46,18 @@ object SnapshotMonitor {
       ltBatch: Long): Seq[(Long, String)] =
     BatchStore.committedBatches(spark, path, ltBatch)
 
-  /** One revision: diff against the latest committed predecessor (first
-    * revision diffs against empty — everything lands as added), append the
-    * census under `diffs/batch=<id>`, commit this revision's digests under
-    * `digests/batch=<id>`. Also the backfill entry point.
+  /** One revision: commit this revision's digests under `digests/batch=<id>`
+    * FIRST, then diff against the latest committed predecessor (first
+    * revision diffs against empty — everything lands as added) and append
+    * the census under `diffs/batch=<id>`. Also the backfill entry point.
+    *
+    * Commit order matters: digests before diffs means a committed diff for
+    * batch B implies B's digest revision is also committed, so a crash
+    * between the two writes can only lose B's CENSUS row — B+1 still diffs
+    * against B's digests, never silently against B-1 (ADVICE r10). The
+    * predecessor lookup uses `ltBatch = batchId`, which excludes B's own
+    * just-committed digests, so a retry of B recomputes against the same
+    * predecessor and stays idempotent.
     */
   def ingest(spark: SparkSession, snapshot: DataFrame,
       stateRoot: String, batchId: Long): Unit = {
@@ -62,10 +70,10 @@ object SnapshotMonitor {
           .select(col("doc_id"), col("source"), col("h"))
         case None => cur.limit(0)
       }
+    cur.write.mode("overwrite").parquet(s"$stateRoot/digests/batch=$batchId")
     graft.queries.Pipeline.snapshotDiffDigests(prev, cur)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").parquet(s"$stateRoot/diffs/batch=$batchId")
-    cur.write.mode("overwrite").parquet(s"$stateRoot/digests/batch=$batchId")
   }
 
   /** The accumulated census history: one row per (revision, source),
