@@ -618,23 +618,41 @@ object Bench {
       }
     }
     // SLOPE phase (opt-in, local analysis only — the driver never sets the
-    // env): re-measure each B-set query at TWO scale factors back-to-back
-    // (engine and oracle, all four medians inside one tight window) and
-    // report marginal_ratio = (e_hi − e_lo) / (o_hi − o_lo). The subtraction
-    // cancels every size-independent cost on both sides — Catalyst
+    // env): re-measure each B-set query at the main SF plus every
+    // comma-separated dir in SPARK_GRAFT_BENCH_SLOPE_DIR, all points
+    // back-to-back inside one tight window (a host drag window then hits
+    // every point roughly equally), and report the DATA-PROPORTIONAL cost
+    // ratio engine/oracle. Size-independent costs — Catalyst
     // analysis/optimization (~100 ms/query, measured: a fresh trivial plan
     // costs ~125 ms vs 21 ms to re-execute), job dispatch, DuckDB's ~1 ms
-    // planner — so the ratio estimates the DATA-PROPORTIONAL cost ratio,
-    // i.e. the number that actually predicts 100 TB behavior, which the
-    // headline ratio on sub-second queries cannot (it is floor-dominated).
-    // Deltas below noise (either side < 3× its measurement jitter) are
-    // reported with ratio null rather than a garbage division.
-    sys.env.get("SPARK_GRAFT_BENCH_SLOPE_DIR").foreach { loSrc =>
+    // planner — cancel in the slope, so this is the number that predicts
+    // 100 TB behavior, which the headline ratio on sub-second queries
+    // cannot (it is floor-dominated).
+    //
+    // With ONE lo dir this is the r10 two-point marginal
+    // (e_hi−e_lo)/(o_hi−o_lo). With TWO OR MORE lo dirs (the r10 verdict's
+    // ask: sf0.001,sf0.01 against main sf0.1) each side gets a least-squares
+    // line t = a + m·sf over all points and marginal_ratio = m_e/m_o; the
+    // third point separates a real marginal from a window wobble, which two
+    // points cannot (q10 read 4.18 ↔ null ↔ 1.4 across r9/r10 windows).
+    // Fit quality is published per side as resid_rel_{e,o} = max residual
+    // over the fitted line's span — small residual ⇒ the marginal is real;
+    // residual comparable to the span ⇒ floor-bound or noise, and the ratio
+    // is reported null rather than a garbage division.
+    sys.env.get("SPARK_GRAFT_BENCH_SLOPE_DIR").foreach { loSpec =>
       scala.util.Try {
-        val loDir = stageInput(loSrc, "input_lo")
-        val sidecarLo = new OracleSidecar(loDir, scratch, cpus, tag = "_lo")
-        sidecarLo.start()
+        def sfOf(dir: String): Double =
+          "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(Double.NaN)
+        val loSrcs = loSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val loStaged = loSrcs.zipWithIndex.map { case (src, i) =>
+          val dir = stageInput(src, s"input_lo$i")
+          val sc = new OracleSidecar(dir, scratch, cpus, tag = s"_lo$i")
+          sc.start()
+          (sfOf(src), dir, sc)
+        }
         try {
+          // points sorted by sf ascending; the main dir reuses the main sidecar
+          val points = (loStaged :+ ((sfOf(sfDir), runDir, sidecar))).sortBy(_._1)
           def medianOf3(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
               dir: String): Double = {
             val f: (SparkSession, String) => org.apache.spark.sql.DataFrame = (s, _) => fn(s, dir)
@@ -642,40 +660,78 @@ object Bench {
             val ts = Seq.fill(3)(timeOnce(s"$name-slope", f, warmCapSec)._1).sorted
             ts(1)
           }
+          /** Least-squares (slope, maxAbsResidual) of y over x. */
+          def fit(xs: Seq[Double], ys: Seq[Double]): (Double, Double) = {
+            val n = xs.size
+            val xm = xs.sum / n; val ym = ys.sum / n
+            val sxx = xs.map(x => (x - xm) * (x - xm)).sum
+            val m = if (sxx > 0) xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum / sxx else 0.0
+            val a = ym - m * xm
+            val resid = xs.zip(ys).map { case (x, y) => math.abs(y - (a + m * x)) }.max
+            (m, resid)
+          }
           val rows = scala.collection.mutable.LinkedHashMap[String, String]()
           // per-query isolation, same fail-soft discipline as the main
           // loop: one failing query loses its row, not the whole phase
           for (name <- bset; fn <- ordered.find(_._1 == name).map(_._2)) try {
             val sql = SparkEntry.oracleSql.get(name)
-            val oLo = sql.flatMap(s => sidecarLo.measure(name, s))
-            val oHi = sql.flatMap(s => sidecar.measure(name, s))
-            val eLo = medianOf3(name, fn, loDir)
-            val eHi = medianOf3(name, fn, runDir)
-            val eDelta = eHi - eLo
-            val oDelta = for (l <- oLo; h <- oHi) yield h - l
-            // noise gates: engine jitter observed ~5–20 ms between identical
-            // runs; oracle jitter ~0.5 ms. A delta inside jitter means the
-            // query is floor-bound even at the high SF — report null.
-            val ratio = oDelta match {
-              case Some(od) if eDelta > 0.02 && od > 0.002 =>
-                f"${eDelta / od}%.3f"
-              case _ => "null"
+            // all points back-to-back, ascending sf, engine+oracle paired
+            val meas = points.map { case (sf, dir, sc) =>
+              val o = sql.flatMap(s => sc.measure(name, s))
+              val e = medianOf3(name, fn, dir)
+              (sf, e, o)
             }
             def n(v: Double) = f"$v%.4f"
             def o(v: Option[Double]) = v.map(n).getOrElse("null")
-            rows(name) =
-              s"""{"e_lo":${n(eLo)},"e_hi":${n(eHi)},"o_lo":${o(oLo)},"o_hi":${o(oHi)},"marginal_ratio":$ratio}"""
-            System.err.println(s"[bench] slope $name: e ${n(eLo)}->${n(eHi)} o ${o(oLo)}->${o(oHi)} ratio $ratio")
+            val ptsJson = meas.map { case (sf, e, ov) =>
+              s"""{"sf":$sf,"e":${n(e)},"o":${o(ov)}}""" }.mkString("[", ",", "]")
+            val row: String =
+              if (points.size >= 3 && meas.forall(_._3.isDefined)) {
+                val xs = meas.map(_._1)
+                val (mE, rE) = fit(xs, meas.map(_._2))
+                val (mO, rO) = fit(xs, meas.map(_._3.get))
+                // engine span the line explains; residual relative to it.
+                val spanE = mE * (xs.max - xs.min)
+                val spanO = mO * (xs.max - xs.min)
+                val relE = if (spanE > 0) rE / spanE else Double.NaN
+                val relO = if (spanO > 0) rO / spanO else Double.NaN
+                // trust gates: both slopes positive, engine span above
+                // jitter (~20 ms), oracle span above its jitter (~2 ms),
+                // and the engine fit explains the points (resid < half the
+                // span — else the "slope" is mostly window noise).
+                val ratio =
+                  if (mE > 0 && mO > 0 && spanE > 0.02 && spanO > 0.002 && relE < 0.5)
+                    f"${mE / mO}%.3f"
+                  else "null"
+                val fr = (v: Double) => if (v.isNaN) "null" else f"$v%.3f"
+                System.err.println(s"[bench] slope3 $name: " +
+                  meas.map { case (sf, e, ov) => s"$sf:(${n(e)},${o(ov)})" }.mkString(" ") +
+                  s" ratio $ratio residE ${fr(relE)}")
+                s"""{"points":$ptsJson,"m_e":${n(mE)},"m_o":${n(mO)},"resid_rel_e":${fr(relE)},"resid_rel_o":${fr(relO)},"marginal_ratio":$ratio}"""
+              } else {
+                // two-point (or missing-oracle) fallback: the r10 form
+                val (_, eLo, oLo) = meas.head
+                val (_, eHi, oHi) = meas.last
+                val eDelta = eHi - eLo
+                val oDelta = for (l <- oLo; h <- oHi) yield h - l
+                val ratio = oDelta match {
+                  case Some(od) if eDelta > 0.02 && od > 0.002 => f"${eDelta / od}%.3f"
+                  case _ => "null"
+                }
+                System.err.println(s"[bench] slope $name: e ${n(eLo)}->${n(eHi)} o ${o(oLo)}->${o(oHi)} ratio $ratio")
+                s"""{"points":$ptsJson,"e_lo":${n(eLo)},"e_hi":${n(eHi)},"o_lo":${o(oLo)},"o_hi":${o(oHi)},"marginal_ratio":$ratio}"""
+              }
+            rows(name) = row
           } catch { case e: Throwable =>
             System.err.println(s"[bench] slope $name failed: ${e.getMessage}")
           }
           val body = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
-          val json = s"""{"lo_sf":"$loSrc","hi_sf":"$sfDir","queries":{$body}}"""
+          val json = s"""{"lo_sf":"$loSpec","hi_sf":"$sfDir","n_points":${points.size},"queries":{$body}}"""
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get("tools/bench_slope_latest.json"), json + "\n")
           System.err.println("[bench] slope detail -> tools/bench_slope_latest.json")
-        } finally sidecarLo.kill()
+        } finally loStaged.foreach(_._3.kill())
       }.failed.foreach(e => System.err.println(s"[bench] slope phase failed: ${e.getMessage}"))
     }
 

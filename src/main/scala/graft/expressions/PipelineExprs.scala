@@ -134,6 +134,12 @@ object PipelineExprs {
   def jsonScalarProbe(json: Column, key: String): Column =
     col(JsonScalarProbe(expr(json), key))
 
+  /** `cast(jsonScalarProbe(json, key) AS INT)` fused into one codegen'd
+    * byte scan — see [[JsonIntProbe]]; the q10 hot path.
+    */
+  def jsonIntProbe(json: Column, key: String): Column =
+    col(JsonIntProbe(expr(json), key))
+
   /** SORTED distinct 64-bit hashes of the text's adjacent word trigrams —
     * [[wordTrigrams]] with 8-byte set elements instead of strings: the
     * join keys shrink, the shuffle carries longs, and intersection runs as
@@ -825,28 +831,29 @@ object JsonScalarProbe {
     }
   }
 
-  /** Probe `json` for top-level `key`; null when missing, non-scalar, or
-    * the document is not a well-formed JSON object. The scan continues
-    * past the match to the object's closing brace — get_json_object
-    * (streaming over the whole object) returns NULL on a document whose
-    * remainder is malformed, so an early return here would diverge (e.g.
-    * the truncated `{"k":5`).
+  /** Locate the FIRST occurrence of top-level `key` in the JSON object and
+    * return its value's start index, with the WHOLE document validated
+    * (the scan continues past the match to the object's closing brace —
+    * get_json_object, streaming over the whole object, returns NULL on a
+    * document whose remainder is malformed, e.g. the truncated `{"k":5`).
+    * Returns -1 when the key is absent or the document is not a
+    * well-formed JSON object. Shared by the string probe and the fused
+    * int probe so their acceptance grammar can never diverge.
     */
-  def probe(b: Array[Byte], key: Array[Byte]): UTF8String = {
+  private def probeValueStart(b: Array[Byte], key: Array[Byte]): Int = {
     val n = b.length
     var i = skipWs(b, 0)
-    if (i >= n || b(i) != '{') return null
+    if (i >= n || b(i) != '{') return -1
     i = skipWs(b, i + 1)
-    if (i < n && b(i) == '}') return null // empty object: key absent
-    var result: UTF8String = null
-    var found = false
+    if (i < n && b(i) == '}') return -1 // empty object: key absent
+    var result = -1
     while (i < n) {
       val q = b(i)
-      if (q != '"' && q != '\'') return null
+      if (q != '"' && q != '\'') return -1
       // key fast path: no escapes -> zero-copy compare against keyBytes
       var j = i + 1
       while (j < n && b(j) != q && b(j) != '\\') j += 1
-      if (j >= n) return null
+      if (j >= n) return -1
       var matched = false
       if (b(j) == q) {
         val len = j - (i + 1)
@@ -862,25 +869,128 @@ object JsonScalarProbe {
       } else {
         val out = new java.io.ByteArrayOutputStream(16)
         val end = parseString(b, i, out)
-        if (end < 0) return null
+        if (end < 0) return -1
         matched = java.util.Arrays.equals(out.toByteArray, key)
         i = end
       }
       i = skipWs(b, i)
-      if (i >= n || b(i) != ':') return null
+      if (i >= n || b(i) != ':') return -1
       i = skipWs(b, i + 1)
-      if (i >= n) return null
-      if (matched && !found) { result = extractScalar(b, i); found = true }
+      if (i >= n) return -1
+      if (matched && result < 0) result = i
       i = skipValue(b, i)
-      if (i < 0) return null
+      if (i < 0) return -1
       i = skipWs(b, i)
-      if (i >= n) return null
+      if (i >= n) return -1
       if (b(i) == ',') i = skipWs(b, i + 1)
       else if (b(i) == '}') return result // well-formed object end
-      else return null
+      else return -1
     }
-    null
+    -1
   }
+
+  /** Probe `json` for top-level `key`; null when missing, non-scalar, or
+    * the document is not a well-formed JSON object.
+    */
+  def probe(b: Array[Byte], key: Array[Byte]): UTF8String = {
+    val s = probeValueStart(b, key)
+    if (s < 0) null else extractScalar(b, s)
+  }
+
+  /** Sentinel for "SQL NULL" from [[probeInt]] — safe because every
+    * non-null result is int-ranged.
+    */
+  final val IntNull: Long = Long.MinValue
+
+  /** Fused `cast(probe(json, key) AS INT)` — the q10 hot path. Identical by
+    * construction to casting [[probe]]'s result under NON-ANSI cast
+    * semantics (never throws; out-of-int-range and non-numeric values →
+    * NULL; floats truncate toward zero — under Spark 4's default ANSI
+    * mode the unfused cast would instead raise on those, so this probe is
+    * the `try_cast`-flavored spelling a data pipeline wants on dirty
+    * JSON): canonical integer values (optional '-', digits; the only case
+    * where [[extractScalar]]'s rendering is the raw bytes) parse directly
+    * with an int-range overflow check — zero allocation; every other
+    * value form (floats, strings, booleans, nested, null, missing)
+    * delegates to [[extractScalar]] + `UTF8String.toInt`, the exact API
+    * Spark's non-ANSI string→int cast calls. Returns [[IntNull]] for SQL
+    * NULL. PropertySpec pins equality against the unfused non-ANSI cast
+    * on random docs.
+    */
+  def probeInt(b: Array[Byte], key: Array[Byte]): Long = {
+    val start = probeValueStart(b, key)
+    if (start < 0) return IntNull
+    val c = b(start)
+    if (c == '-' || (c >= '0' && c <= '9')) {
+      val end = skipValue(b, start)
+      if (end < 0) return IntNull // unreachable: probeValueStart validated
+      var float = false
+      var k = start
+      while (k < end) {
+        val x = b(k)
+        if (x == '.' || x == 'e' || x == 'E') float = true
+        k += 1
+      }
+      if (!float) {
+        var i = start
+        var neg = false
+        if (b(i) == '-') { neg = true; i += 1 }
+        var v = 0L
+        while (i < end) {
+          if (v <= Int.MaxValue.toLong + 1) v = v * 10 + (b(i) - '0')
+          i += 1
+        }
+        val sv = if (neg) -v else v
+        if (sv >= Int.MinValue.toLong && sv <= Int.MaxValue.toLong) sv else IntNull
+      } else toIntOrNull(extractScalar(b, start))
+    } else toIntOrNull(extractScalar(b, start))
+  }
+
+  private def toIntOrNull(s: UTF8String): Long = {
+    if (s == null) return IntNull
+    val w = new UTF8String.IntWrapper
+    if (s.toInt(w)) w.value.toLong else IntNull
+  }
+}
+
+/** Fused JSON int probe: `json_int_probe(doc, key)` ==
+  * `cast(json_scalar_probe(doc, key) AS INT)` with the string
+  * materialization and per-row cast removed — on the `{"k": <int>}` shape
+  * the whole extraction is one validated byte scan plus a direct digit
+  * parse, no ByteArrayOutputStream, no UTF8String, no Cast node. Full
+  * codegen (the same measured-glue argument as [[TokenStats]]): the
+  * generated code calls [[JsonScalarProbe.probeInt]] straight on the
+  * child's bytes, so the whole q10 aggregation stays inside one
+  * WholeStageCodegen span.
+  */
+case class JsonIntProbe(child: Expression, key: String)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // missing key/NULL value on non-null input
+  override def prettyName: String = "json_int_probe"
+
+  @transient private lazy val keyBytes: Array[Byte] =
+    UTF8String.fromString(key).getBytes
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val r = JsonScalarProbe.probeInt(input.asInstanceOf[UTF8String].getBytes, keyBytes)
+    if (r == JsonScalarProbe.IntNull) null else r.toInt
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val keyRef = ctx.addReferenceObj("jsonIntProbeKey", keyBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      long graft_jip_r = graft.expressions.JsonScalarProbe.probeInt($a.getBytes(), $keyRef);
+      if (graft_jip_r == ${JsonScalarProbe.IntNull}L) { ${ev.isNull} = true; }
+      else { ${ev.value} = (int) graft_jip_r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonIntProbe =
+    copy(child = newChild)
 }
 
 /** See [[PipelineExprs.wordTrigramHashes]]. Same tokenization as

@@ -29,20 +29,21 @@ object Events {
     Tables.events(spark, dir).agg(approx_count_distinct(col("user_id")).as("adu"))
 
   /** Q10 JSON path extraction + aggregate. The path probe is
-    * [[graft.expressions.PipelineExprs.jsonScalarProbe]] — a single
-    * byte-scan with zero parser allocation, property-tested equal to
-    * get_json_object on scalar values (the built-in pays a full Jackson
-    * streaming parse per row, which was this query's entire data-
-    * proportional cost: 16.8× the oracle's marginal cost vs ~3× after the
-    * switch, tools/bench_slope_latest.json). At 100 TB prefer from_json
-    * into a struct column once if MANY keys are extracted (q34) or
-    * parse_json/VARIANT under schema drift (q41).
+    * [[graft.expressions.PipelineExprs.jsonIntProbe]] — a single byte-scan
+    * with zero parser allocation that extracts the int directly
+    * (property-tested equal to `cast(get_json_object(..) AS INT)`). Two
+    * generations of fix, both slope-measured: get_json_object paid a full
+    * Jackson streaming parse per row (16.8× the oracle's marginal); the
+    * r10 string probe cut that to ~2-5× but still materialized a
+    * per-row UTF8String + Cast (CodegenFallback glue); the fused int
+    * probe removes the allocation and runs inside WholeStageCodegen.
+    * At 100 TB prefer from_json into a struct column once if MANY keys
+    * are extracted (q34) or parse_json/VARIANT under schema drift (q41).
     */
   def q10(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(sum(graft.expressions.PipelineExprs.jsonScalarProbe(col("props"), "k")
-        .cast("int")).as("sk"))
+      .agg(sum(graft.expressions.PipelineExprs.jsonIntProbe(col("props"), "k")).as("sk"))
       .orderBy("event_type")
 
   /** q34 from_json -> struct access (SURVEY §2.2 row 32): parse props once

@@ -372,6 +372,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JsonIntProbe == cast(JsonScalarProbe AS INT) incl. boundary/float/string values") {
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    // the fused probe must equal the unfused probe + non-ANSI cast on EVERY
+    // document: canonical ints (fast path) across the int boundary, floats
+    // (Double re-render then truncating toInt), numeric strings (cast
+    // parses), non-numeric strings/booleans (cast -> NULL), JSON null,
+    // missing keys, nested and malformed docs (probe -> NULL)
+    val intGen: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(Int.MinValue.toLong - 10, Int.MinValue.toLong + 10),
+      Gen.chooseNum(Int.MaxValue.toLong - 10, Int.MaxValue.toLong + 10),
+      Gen.chooseNum(-1000000L, 1000000L),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.toString)
+    val valGen: Gen[String] = Gen.frequency(
+      (4, intGen),
+      (2, Gen.chooseNum(-1e9, 1e9).map(d => (math.rint(d * 100) / 100).toString)),
+      (1, Gen.oneOf("true", "false", "null", "1e3", "-5e-3", "0.0", "-0")),
+      (1, intGen.map(v => "\"" + v + "\"")),
+      (1, Gen.oneOf("\"x\"", "\" 7 \"", "\"4.5\"", "\"\"", "[1,2]", "{\"n\":1}")))
+    val docGen: Gen[String] = Gen.frequency(
+      (8, valGen.map(v => s"""{"k":$v}""")),
+      (1, valGen.map(v => s"""{"a":$v}""")),
+      (1, Gen.oneOf("{", "not json", "", "{\"k\":05}", "{\"k\":1.}")))
+    val docs = samples(docGen, 400) ++ Seq(
+      "{\"k\":2147483647}", "{\"k\":-2147483648}", "{\"k\":2147483648}",
+      "{\"k\":-2147483649}", "{\"k\":123456789012345678901234567890}",
+      "{\"k\":-123456789012345678901234567890}", "{\"k\":9223372036854775807}",
+      "{\"k\":-9223372036854775808}", "{\"k\":18446744073709551617}",
+      "{\"k\":-0}", "{\"k\":0}", "{'k':42}")
+    // the fused probe's declared cast semantics are NON-ANSI (never throws,
+    // NULL on overflow, floats truncate) — compare under that mode; under
+    // ANSI (Spark 4 default) the unfused cast would THROW on '-1.0'
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val rows = try docs.toDF("j").select(
+      PipelineExprs.jsonIntProbe(col("j"), "k").as("fused"),
+      PipelineExprs.jsonScalarProbe(col("j"), "k").cast("int").as("ref"),
+      col("j")).collect()
+    finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+    rows.foreach { r =>
+      val fused = if (r.isNullAt(0)) None else Some(r.getInt(0))
+      val ref = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      assert(fused == ref, s"fused=$fused ref=$ref on ${r.getString(2)}")
+    }
+  }
+
   test("minhash signature positions estimate Jaccard within statistical bounds") {
     import spark.implicits._
     // near-identical strings must have high signature agreement; disjoint low
