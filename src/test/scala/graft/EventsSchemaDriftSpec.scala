@@ -62,6 +62,42 @@ class EventsSchemaDriftSpec extends SparkSpec {
     assertLoadsAsMicros(dir, "NANOS")
   }
 
+  test("events loader: NANOS read does NOT leak nanosAsLong into the caller's session") {
+    // r10 verdict item 5: the old loader set the conf session-wide, so a
+    // caller's LATER read of other nanos parquet silently got LongType
+    // instead of the default type error. Now the conf lives only on an
+    // internal cloned session captured by the relation.
+    val dir = freshDir("nanos-scope")
+    val schema: MessageType = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val writer = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
+      .withType(schema).withConf(new Configuration()).build()
+    try {
+      val g = new SimpleGroupFactory(schema).newGroup()
+      g.append("event_id", 1L)
+      g.append("ts", microsUtc * 1000L)
+      writer.write(g)
+    } finally writer.close()
+    // caller session with the conf at its DEFAULT (false) — a clone so
+    // other suites' engine-owned sessions can't interfere
+    val caller = spark.newSession()
+    caller.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val ev = Tables.events(caller, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val got = ev.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(got == microsUtc, s"expected $microsUtc micros, got $got")
+    // the caller's conf is untouched...
+    assert(caller.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false",
+      "loader leaked nanosAsLong into the caller session")
+    // ...so the caller's own subsequent read of nanos parquet still sees
+    // DEFAULT behavior: the footer type error, not a silent LongType
+    intercept[Exception](caller.read.parquet(s"$dir/events.parquet").schema)
+  }
+
   test("events loader: TIMESTAMP(MICROS) NTZ parquet (current generator) loads as micros") {
     val dir = freshDir("ntz")
     spark.sql(s"SELECT 1L AS event_id, timestamp_ntz'2024-01-15 12:34:56.789012' AS ts")
