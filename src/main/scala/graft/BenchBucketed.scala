@@ -123,6 +123,62 @@ object BenchBucketed {
         s"bucketed q2 re-shuffled the fact side ($factExchanges exchanges):\n$plan")
       val tBucketed = med(5)(bucketQ().collect())
 
+      // ---- IVFADC staged-layout section (r10 verdict item 3) ----
+      // The deployment claim q88 carries in prose — "IVF cells bound scan
+      // extent, PQ codes bound bandwidth, cell-partitioned codes are the
+      // 100 TB layout" — measured the q2 way. Inline = the shipping q88
+      // (trains quantizers + encodes codes INSIDE the query, deliberate for
+      // oracle determinism). Staged = pay-once: train, encode, write the
+      // (vec_id, bkt, codes) index partitioned by cell; a probe then reads
+      // ONLY its nprobe cells' files (partition pruning gated below) and
+      // the codes side never exchanges (gated below).
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      import queries.Pipeline
+      import graft.expressions.PipelineExprs
+      val emb = Tables.embeddings(spark, sfDir)
+        .withColumn("nrm", graft.expressions.TextVecExprs.floatVecNorm(col("embedding")))
+      Pipeline.q88(spark, sfDir).collect()
+      val tAnnInline = med(3)(Pipeline.q88(spark, sfDir).collect())
+      val codesPath = s"$scratch/ivfadc_codes"
+      var cents: Array[Array[Double]] = null
+      var cb: Array[Array[Array[Double]]] = null
+      val tAnnStage = {
+        val t = System.nanoTime()
+        cents = Pipeline.ivfTrain(emb)
+        cb = Pipeline.pqTrain(emb)
+        Pipeline.ivfadcIndex(emb, cents, cb)
+          .write.partitionBy("bkt").mode("overwrite").parquet(codesPath)
+        (System.nanoTime() - t) / 1e9
+      }
+      val queriesDf = Pipeline.annQueries(emb)
+      // the probed cells (≤ |queries|·nprobe of them) prune the scan —
+      // driver-side collect is bounded by the probe set, never the corpus
+      val cells = queriesDf
+        .select(explode(PipelineExprs.ivfProbes(col("qv"), cents, 4)).as("p"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      def stagedQ() = {
+        val codes = spark.read.parquet(codesPath)
+          .filter(col("bkt").isin(cells.map(Int.box): _*))
+        Pipeline.ivfadcProbe(codes, emb, queriesDf, cents, cb, nprobe = 4, rerank = 50)
+      }
+      // result parity: staged layout must reproduce the inline q88 rows
+      val inlineRows = Pipeline.q88(spark, sfDir).collect().toSeq
+      val stagedRows = stagedQ().collect().toSeq
+      require(inlineRows == stagedRows,
+        s"staged IVFADC diverged from inline q88: ${stagedRows.size} vs ${inlineRows.size} rows")
+      // plan gates: codes side never exchanges; scan is partition-pruned
+      val gateAnn = stagedQ()
+      gateAnn.collect()
+      val annPlan = gateAnn.queryExecution.executedPlan.toString
+      val codesExchanges = annPlan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("codes") || l.contains("bkt") || l.contains("embedding")))
+      require(codesExchanges == 0,
+        s"staged IVFADC exchanged the codes/embedding side ($codesExchanges):\n$annPlan")
+      require(annPlan.contains("PartitionFilters: [") && annPlan.contains("bkt"),
+        s"staged IVFADC scan is not partition-pruned on bkt:\n$annPlan")
+      val tAnnStaged = med(5)(stagedQ().collect())
+
       val floor1 = med(3)(Tables.region(spark, sfDir).groupBy().count().collect())
       def n(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
       val json =
@@ -130,6 +186,10 @@ object BenchBucketed {
         s""""q2_broadcast_sec":${n(tBroadcast)},"q2_shuffle_smj_sec":${n(tShuffle)},""" +
         s""""q2_bucketed_smj_sec":${n(tBucketed)},"stage_once_sec":${n(tStage)},""" +
         s""""fact_exchanges_bucketed":$factExchanges,""" +
+        s""""ivfadc_inline_q88_sec":${n(tAnnInline)},""" +
+        s""""ivfadc_stage_once_sec":${n(tAnnStage)},""" +
+        s""""ivfadc_staged_probe_sec":${n(tAnnStaged)},""" +
+        s""""ivfadc_cells_probed":${cells.length},"ivfadc_codes_exchanges":$codesExchanges,""" +
         s""""floor_start_sec":${n(floor0)},"floor_end_sec":${n(floor1)}}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
       java.nio.file.Files.writeString(

@@ -350,7 +350,7 @@ object Pipeline {
     * as (qid, qv, qn). One definition so pqAnn/ivfadcAnn's probe and
     * re-rank stages can never drift onto different query sets.
     */
-  private def annQueries(emb: DataFrame): DataFrame =
+  private[graft] def annQueries(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
 
@@ -402,10 +402,34 @@ object Pipeline {
       .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
     val cents = ivfTrain(emb)
     val cb = pqTrain(emb)
-    val indexed = emb.select(col("vec_id"),
+    val indexed = ivfadcIndex(emb, cents, cb)
+    ivfadcProbe(indexed, emb, annQueries(emb), cents, cb, nprobe, rerank)
+  }
+
+  /** The IVFADC index relation: (vec_id, bkt, codes) — 1 int cell id +
+    * m bytes of PQ codes per vector. At deployment this is what gets
+    * STAGED, partitioned by `bkt`, so a probe's scan extent is its
+    * `nprobe` cells' files (partition pruning), not the corpus —
+    * [[graft.BenchBucketed]] records that number and BucketedJoinSpec
+    * gates the plan.
+    */
+  private[graft] def ivfadcIndex(emb: DataFrame, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    emb.select(col("vec_id"),
       element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1).as("bkt"),
       PipelineExprs.pqEncode(col("embedding"), cb).as("codes"))
-    val queries = annQueries(emb)
+
+  /** The IVFADC QUERY stage over an already-built index relation
+    * ((vec_id, bkt, codes) — inline in [[ivfadcAnn]], or a staged
+    * cell-partitioned table at deployment): broadcast the probes against
+    * the codes (the codes side NEVER exchanges), ADC-score, keep the
+    * per-query top-`rerank` shortlist (WindowGroupLimit prunes
+    * per-partition before the tiny qid exchange), then exact-cosine
+    * re-rank only the shortlist against full embeddings.
+    */
+  private[graft] def ivfadcProbe(indexed: DataFrame, emb: DataFrame,
+      queries: DataFrame, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], nprobe: Int, rerank: Int): DataFrame = {
     val probes = queries
       .withColumn("probe", explode(PipelineExprs.ivfProbes(col("qv"), cents, nprobe)))
     val approx = indexed

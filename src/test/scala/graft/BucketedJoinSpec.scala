@@ -47,6 +47,44 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC probe over cell-partitioned codes: partition-pruned scan, no codes-side exchange, inline parity") {
+    // the deployment layout q88's scaladoc claims, gated as a plan shape
+    // (BenchBucketed records the numbers at sf0.1): codes staged
+    // partitioned by cell -> a probe reads only its nprobe cells' files
+    // and the codes side never exchanges; the staged result must equal
+    // the inline q88 rows exactly
+    import graft.queries.Pipeline
+    import graft.expressions.{PipelineExprs, TextVecExprs}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    val cents = Pipeline.ivfTrain(emb)
+    val cb = Pipeline.pqTrain(emb)
+    Pipeline.ivfadcIndex(emb, cents, cb)
+      .write.partitionBy("bkt").mode("overwrite").parquet(dir)
+    val queriesDf = Pipeline.annQueries(emb)
+    val cells = queriesDf
+      .select(explode(PipelineExprs.ivfProbes(col("qv"), cents, 4)).as("p"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    assert(cells.nonEmpty && cells.length <= 40) // ≤ |queries|·nprobe
+    val codes = spark.read.parquet(dir)
+      .filter(col("bkt").isin(cells.map(Int.box): _*))
+    val staged = Pipeline.ivfadcProbe(codes, emb, queriesDf, cents, cb,
+      nprobe = 4, rerank = 50)
+    val stagedRows = staged.collect().toSeq
+    val inlineRows = Pipeline.q88(spark, sf0001).collect().toSeq
+    assert(stagedRows == inlineRows,
+      s"staged IVFADC diverged from inline q88 (${stagedRows.size} vs ${inlineRows.size} rows)")
+    val plan = staged.queryExecution.executedPlan.toString
+    val codesExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("codes") || l.contains("bkt") || l.contains("embedding")))
+    assert(codesExchanges == 0,
+      s"staged IVFADC exchanged the codes/embedding side:\n$plan")
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bkt"),
+      s"codes scan is not partition-pruned on bkt:\n$plan")
+  }
+
   test("q91 snapshot diff over id-bucketed snapshots plans with no shuffle exchange") {
     // the deployment layout the q91 scaladoc claims: both corpus revisions
     // bucketed by doc_id -> the full-outer diff join is exchange-free
