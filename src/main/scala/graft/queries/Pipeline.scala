@@ -2072,9 +2072,22 @@ object Pipeline {
     * MONOTONICALLY (spec-gated; lr=6 observed oscillating, exactly as the
     * bound predicts). Unnormalized binary features put L at max-tokens/4
     * and a usable fixed step either crawls or oscillates (both observed,
-    * PERF.md r10). Features hash once and localCheckpoint; ONE bounded
-    * job per iteration (a sentinel feature carries bias gradient + loss
-    * through the same dim-keyed aggregation).
+    * PERF.md r10). Features hash once and localCheckpoint; ONE
+    * single-stage job per iteration: per-partition
+    * [[graft.functions.LrGradient]] kernels (margin/sigmoid/loss in plain
+    * JVM code against the task-captured weights) emit one long[dim+2]
+    * partial each, merged INCREMENTALLY at the driver by `RDD.reduce` —
+    * long addition is commutative, so driver arrival order cannot perturb
+    * the model. This is the documented per-partition-imperative RDD
+    * exception, and it is measured: the r10 form (Column-expression
+    * margins, per-feature explode, dim-keyed partial+final shuffle) spent
+    * two scheduling rounds and ~64 near-empty tasks per iteration
+    * (~0.17 s/iter — q90's entire cost was task dispatch); a udaf global
+    * aggregation still paid map+exchange+final (~0.30 s/iter, same
+    * window); the one-stage reduce runs ~0.09 s/iter in that window and
+    * at the dispatch floor in a clean one, with BIT-IDENTICAL gradients
+    * (PERF.md r11). Driver memory is one dim+2 array + one in-flight
+    * partial, at any partition count.
     *
     * @return (weights, bias, per-iteration mean log-loss)
     */
@@ -2085,36 +2098,26 @@ object Pipeline {
       .localCheckpoint()
     val n = base.count().toDouble
     require(n > 0, "lrTrain needs at least one labeled document")
-    def fix(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val typed = base.as[(Double, Seq[Int])](
+      org.apache.spark.sql.Encoders.product[(Double, Seq[Int])]).rdd
     val w = new Array[Double](dim)
     var b = 0.0
     val losses = new Array[Double](iters)
     for (it <- 0 until iters) {
-      val wLit = typedLit(w.toSeq)
-      val inv = lit(1.0) / sqrt(greatest(size(col("fs")), lit(1)).cast("double"))
-      val margin = aggregate(col("fs"), lit(0.0),
-        (acc, f) => acc + element_at(wLit, f + 1)) * inv + lit(b)
-      val p = lit(1.0) / (lit(1.0) + exp(-margin))
-      val ll = -(col("y") * log(greatest(p, lit(1e-12))) +
-        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))
-      // ONE job per iteration: a sentinel feature -1 rides along per doc,
-      // carrying the bias gradient and the loss; real features carry the
-      // normalized gradient. groupBy(f) is bounded by dim+1 rows.
-      val scored = base.select(col("fs"),
-        fix((p - col("y")) * inv).as("c"),
-        fix(p - col("y")).as("cb"), fix(ll).as("l"))
-      scored
-        .select(explode(concat(col("fs"), array(lit(-1)))).as("f"),
-          col("c"), col("cb"), col("l"))
-        .groupBy("f")
-        .agg(sum(col("c")).as("g"), sum(col("cb")).as("gb"), sum(col("l")).as("ls"))
-        .collect().foreach { r =>
-          if (r.getInt(0) >= 0) w(r.getInt(0)) -= lr * (r.getLong(1) / 1e6) / n
-          else {
-            b -= lr * (r.getLong(2) / 1e6) / n
-            losses(it) = (r.getLong(3) / 1e6) / n
-          }
-        }
+      val agg = new graft.functions.LrGradient(w.clone(), b)
+      val g = typed.mapPartitions { p =>
+        var buf = agg.zero
+        while (p.hasNext) buf = agg.reduce(buf, p.next())
+        Iterator.single(buf.g)
+      }.reduce { (a, o) =>
+        var i = 0
+        while (i < a.length) { a(i) += o(i); i += 1 }
+        a
+      }
+      var i = 0
+      while (i < dim) { w(i) -= lr * (g(i) / 1e6) / n; i += 1 }
+      b -= lr * (g(dim) / 1e6) / n
+      losses(it) = (g(dim + 1) / 1e6) / n
     }
     (w, b, losses)
   }
