@@ -110,6 +110,18 @@ class PlanSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("q11 == q11Window row-for-row (primitive date key vs streaming window() operator)") {
+    // 1-day tumbling with default origin == date_trunc('day'): the
+    // primitive-key hot path must reproduce the literal streaming
+    // operator's groups exactly, at both spec SFs
+    for (d <- Seq(sf0001, sf001)) {
+      val a = graft.queries.Events.q11(spark, d).collect().map(_.toSeq)
+      val b = graft.queries.Events.q11Window(spark, d).collect().map(_.toSeq)
+      assert(a.length == b.length && a.nonEmpty, s"$d: ${a.length} vs ${b.length}")
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"$d: $x != $y") }
+    }
+  }
+
   test("q5 stays correct under ObjectHashAggregate's SORT-BASED fallback") {
     // a session that never raised the fallback threshold runs the typed
     // aggregate through the sort-based path (buffers serialized between
