@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Per-user session-interval state: disjoint [start, end] microsecond
   * intervals sorted by start, with > gap between consecutive intervals
@@ -108,4 +112,82 @@ class SessionCount(gapMicros: Long) extends Aggregator[Long, SessBuf, Long] {
 
   override def bufferEncoder: Encoder[SessBuf] = Encoders.product[SessBuf]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+
+  // kernel access for the Catalyst spelling — ONE insert definition
+  private[functions] def insertInto(s: SessBuf, x1: Long, x2: Long): SessBuf =
+    insert(s, x1, x2)
+}
+
+/** [[SessionCount]] as a native Catalyst TypedImperativeAggregate (the
+  * [[TopKPriceRows]] treatment): the timestamp reads straight off the
+  * InternalRow instead of round-tripping the udaf encoder stack per
+  * event. Interval semantics are [[SessionCount]]'s verbatim — both
+  * spellings run its insert kernel — and AsofSpec's q12 == q12LagWindow
+  * gate pins the output. The buffer crosses the exchange as
+  * (size, starts, ends) in one byte array.
+  */
+case class SessionCountRows(
+    ts: Expression, gapMicros: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SessBuf] {
+
+  @transient private lazy val kernel = new SessionCount(gapMicros)
+
+  override def children: Seq[Expression] = Seq(ts)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "session_count"
+
+  override def createAggregationBuffer(): SessBuf =
+    SessBuf(new Array[Long](4), new Array[Long](4), 0)
+
+  override def update(b: SessBuf, input: InternalRow): SessBuf = {
+    val v = ts.eval(input)
+    if (v == null) b
+    else {
+      val t = v.asInstanceOf[Long]
+      kernel.insertInto(b, t, t)
+    }
+  }
+
+  override def merge(b: SessBuf, o: SessBuf): SessBuf = {
+    if (b.size >= o.size) {
+      var i = 0
+      while (i < o.size) { kernel.insertInto(b, o.starts(i), o.ends(i)); i += 1 }
+      b
+    } else {
+      var i = 0
+      while (i < b.size) { kernel.insertInto(o, b.starts(i), b.ends(i)); i += 1 }
+      o
+    }
+  }
+
+  override def eval(b: SessBuf): Any = b.size.toLong
+
+  override def serialize(b: SessBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.size)
+    bb.putInt(b.size)
+    var i = 0
+    while (i < b.size) { bb.putLong(b.starts(i)); bb.putLong(b.ends(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SessBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val cap = math.max(4, n)
+    val buf = SessBuf(new Array[Long](cap), new Array[Long](cap), n)
+    var i = 0
+    while (i < n) { buf.starts(i) = bb.getLong; buf.ends(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SessionCountRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SessionCountRows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SessionCountRows =
+    copy(ts = newChildren(0))
 }

@@ -114,12 +114,14 @@ object Events {
     * the lag form and the oracle exactly, on integer microseconds.
     */
   def q12(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = udaf(new graft.functions.SessionCount(1800L * 1000000L),
-      org.apache.spark.sql.Encoders.scalaLong)
+    import org.apache.spark.sql.GraftColumnBridge
+    val sessions = GraftColumnBridge.column(graft.functions.SessionCountRows(
+      GraftColumnBridge.expression(unix_micros(col("ts"))),
+      1800L * 1000000L).toAggregateExpression())
     Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .select(col("user_id"), col("ts"))
       .groupBy(col("user_id"))
-      .agg(sessions(col("ts_us")).as("ns"))
+      .agg(sessions.as("ns"))
       .agg(sum("ns").as("n_sessions"))
   }
 

@@ -178,14 +178,23 @@ object Relational {
     * sort of data rows happens anywhere, and row_number falls out of the
     * position in the already-ordered k-array (posexplode). Same output,
     * same hash, aggregation-shaped at 100 TB.
+    *
+    * The aggregate runs as the native [[graft.functions.TopKPriceRows]]
+    * (TypedImperativeAggregate reading the two primitive columns straight
+    * off the InternalRow) rather than the udaf spelling, whose
+    * per-row encoder stack measured ~2× the whole query's wall (r11
+    * A/B, PERF.md); both spellings share one insert kernel and
+    * PlanSpec's q5 == q5Window gate pins the output.
     */
   def q5(spark: SparkSession, dir: String): DataFrame = {
-    val top3 = udaf(new graft.functions.TopKByPrice(3),
-      org.apache.spark.sql.Encoders.product[graft.functions.RankedRow])
+    import org.apache.spark.sql.GraftColumnBridge
+    val top3 = GraftColumnBridge.column(graft.functions.TopKPriceRows(
+      GraftColumnBridge.expression(col("o_totalprice")),
+      GraftColumnBridge.expression(col("o_orderkey")), 3).toAggregateExpression())
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .groupBy(col("o_custkey"))
-      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .agg(top3.as("top"))
       .select(col("o_custkey"), posexplode(col("top")))
       .select(col("o_custkey"),
         col("col.key").as("o_orderkey"),
