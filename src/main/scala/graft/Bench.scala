@@ -435,13 +435,21 @@ object Bench {
     // Fixed-cost floor probe: a near-zero-work query through the full
     // plan→dispatch→collect path. Taken at start and end of the run, it
     // tells a reader whether the HOST was degraded while this bench ran —
-    // the diagnostic r5's numbers lacked.
+    // the diagnostic r5's numbers lacked. One UNTIMED warm run first:
+    // without it the start probe measures the probe's own first-ever
+    // codegen/JIT (~0.12 s, every run, r11 measured) instead of host
+    // state, and start/end floors aren't comparable.
     val floorFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
       (s, d) => Tables.region(s, d).groupBy().count()
     def floorProbe(tag: String): Unit = {
-      val ts = Seq.fill(3)(timeOnce(s"floor-$tag", floorFn, 30.0)._1).sorted
-      floors.put(s"floor_${tag}_sec", ts(1))
-      System.err.println(f"[bench] floor($tag) median ${ts(1)}%.3f s")
+      // 5 warm runs: a fresh JVM's first seconds carry a C2-compilation
+      // backlog that inflates every execution, not just the first — the
+      // probe must measure the host, not the JIT ramp. MEDIAN of 5 after
+      // that; the min/median spread is printed for the log.
+      Seq.fill(5)(timeOnce(s"floor-$tag-warm", floorFn, 30.0))
+      val ts = Seq.fill(5)(timeOnce(s"floor-$tag", floorFn, 30.0)._1).sorted
+      floors.put(s"floor_${tag}_sec", ts(2))
+      System.err.println(f"[bench] floor($tag) median ${ts(2)}%.3f s (min ${ts.head}%.3f)")
     }
 
     // Global warm pass: run EVERY query once (guarded — a warm-up failure
