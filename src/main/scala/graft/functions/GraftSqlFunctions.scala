@@ -74,6 +74,10 @@ object GraftSqlFunctions {
       case Seq(j, k) => JsonScalarProbe(j, litStr(k, "graft_json_probe", "key"))
       case o => bad("graft_json_probe", o)
     },
+    "graft_json_int" -> {
+      case Seq(j, k) => JsonIntProbe(j, litStr(k, "graft_json_int", "key"))
+      case o => bad("graft_json_int", o)
+    },
     "graft_trigram_hashes" -> {
       case Seq(t) => WordTrigramHashes(t)
       case o => bad("graft_trigram_hashes", o)

@@ -65,7 +65,8 @@ class SqlSurfaceSpec extends SparkSpec {
         |  graft_sorted_intersect_count(graft_trigram_hashes(d.text),
         |                               graft_trigram_hashes(d.text)) ic,
         |  round(graft_vec_sqdist(e.embedding, e.embedding), 6) sq,
-        |  graft_json_probe('{"k":' || CAST(d.doc_id AS STRING) || '}', 'k') jp
+        |  graft_json_probe('{"k":' || CAST(d.doc_id AS STRING) || '}', 'k') jp,
+        |  graft_json_int('{"k":' || CAST(d.doc_id AS STRING) || '}', 'k') ji
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin)
     val dslNew = Tables.documents(spark, sf0001).as("d")
@@ -77,7 +78,9 @@ class SqlSurfaceSpec extends SparkSpec {
           PipelineExprs.wordTrigramHashes(col("d.text"))).as("ic"),
         round(TextVecExprs.floatVecSqDist(col("e.embedding"), col("e.embedding")), 6).as("sq"),
         PipelineExprs.jsonScalarProbe(
-          concat(lit("{\"k\":"), col("d.doc_id").cast("string"), lit("}")), "k").as("jp"))
+          concat(lit("{\"k\":"), col("d.doc_id").cast("string"), lit("}")), "k").as("jp"),
+        PipelineExprs.jsonIntProbe(
+          concat(lit("{\"k\":"), col("d.doc_id").cast("string"), lit("}")), "k").as("ji"))
       .orderBy("doc_id")
     assert(sqlNew.collect().toSeq == dslNew.collect().toSeq)
     // hyper-parameters must be literals
