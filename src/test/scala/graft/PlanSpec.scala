@@ -133,9 +133,14 @@ class PlanSpec extends SparkSpec {
     try {
       conf.set(key, "2")
       val a = Relational.q5(spark, sf0001).collect().map(_.toSeq)
+      val a12 = graft.queries.Events.q12(spark, sf0001).collect().map(_.toSeq)
       conf.set(key, saved)
       val b = Relational.q5(spark, sf0001).collect().map(_.toSeq)
+      val b12 = graft.queries.Events.q12(spark, sf0001).collect().map(_.toSeq)
       assert(a.nonEmpty && a.toSeq == b.toSeq)
+      // q12's SessionCountRows buffer (size, starts, ends byte array) must
+      // survive the same repeated ser/de round-trips
+      assert(a12.nonEmpty && a12.toSeq == b12.toSeq)
     } finally conf.set(key, saved)
   }
 
