@@ -55,6 +55,36 @@ class SnapshotMonitorSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("crash between digest and diff commits: census row lost, lineage intact (r10 ADVICE order)") {
+    // ingest commits digests BEFORE diffs, so the only possible partial
+    // state is "digests committed, diff missing". Simulate that crash for
+    // batch 1 by ingesting it fully and deleting its diff commit; then:
+    //  - history() must surface batches 0 and 2 only (no phantom row);
+    //  - batch 2, ingested AFTER the crash, must still diff against
+    //    batch 1's digests — never silently against batch 0.
+    val root = tmp()
+    SnapshotMonitor.ingest(spark, rev(0), root, 0L)
+    SnapshotMonitor.ingest(spark, rev(1), root, 1L)
+    // crash simulation: batch 1's diff never committed
+    val diff1 = new java.io.File(s"$root/diffs/batch=1")
+    assert(diff1.isDirectory)
+    org.apache.commons.io.FileUtils.deleteDirectory(diff1)
+    SnapshotMonitor.ingest(spark, rev(2), root, 2L)
+    val hist = SnapshotMonitor.history(spark, root).collect()
+      .groupBy(_.getLong(5))
+      .map { case (b, rows) => b -> rows.map(_.toSeq.take(5)).toSeq }
+    assert(hist.keySet == Set(0L, 2L), s"unexpected batches: ${hist.keySet}")
+    assert(hist(2L) == censusRows(Pipeline.snapshotDiff(rev(1), rev(2))),
+      "batch 2 must diff against batch 1's committed digests, not batch 0")
+    // and a RETRY of the crashed batch restores the full history exactly
+    SnapshotMonitor.ingest(spark, rev(1), root, 1L)
+    val hist2 = SnapshotMonitor.history(spark, root).collect()
+      .groupBy(_.getLong(5))
+      .map { case (b, rows) => b -> rows.map(_.toSeq.take(5)).toSeq }
+    assert(hist2.keySet == Set(0L, 1L, 2L))
+    assert(hist2(1L) == censusRows(Pipeline.snapshotDiff(rev(0), rev(1))))
+  }
+
   test("streaming start(): foreachBatch wiring diffs successive file-borne revisions") {
     val root = tmp(); val in = tmp() + "/in"; val ckpt = tmp() + "/ckpt"
     // two revision files arriving one per trigger: full corpus, then a cut
