@@ -76,6 +76,9 @@ object BenchBucketed {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // warm the floor path first — a fresh JVM's C2 ramp otherwise reads
+      // as host drag (the Bench.floorProbe lesson, r11)
+      Seq.fill(5)(Tables.region(spark, sfDir).groupBy().count().collect())
       val floor0 = med(3)(Tables.region(spark, sfDir).groupBy().count().collect())
 
       // shipping q2 (broadcast chain), warmed then median-of-5
