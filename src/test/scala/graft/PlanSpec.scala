@@ -122,6 +122,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q11 hot path groups by the primitive date key (no TimeWindow struct key)") {
+    // the struct group key measured +26% wall (r11); the literal
+    // streaming-operator spelling lives in q11Window, equality-gated above
+    val s = planString(graft.queries.Events.q11(spark, sf0001))
+    assert(s.contains("HashAggregate"), s"plan:\n$s")
+    assert(!s.toLowerCase.contains("timewindow") && !s.contains("window#"),
+      s"window() struct key crept back into q11's hot path:\n$s")
+  }
+
   test("q5 stays correct under ObjectHashAggregate's SORT-BASED fallback") {
     // a session that never raised the fallback threshold runs the typed
     // aggregate through the sort-based path (buffers serialized between
