@@ -649,24 +649,40 @@ object Bench {
     // is reported null rather than a garbage division.
     sys.env.get("SPARK_GRAFT_BENCH_SLOPE_DIR").foreach { loSpec =>
       scala.util.Try {
+        // strict sf token: digits with at most one optional fraction —
+        // `sf([0-9.]+)` captured trailing dots ("sf0.1.bak" -> "0.1." ->
+        // NumberFormatException aborting the whole phase)
         def sfOf(dir: String): Double =
-          "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(Double.NaN)
+          """sf(\d+(?:\.\d+)?)""".r.findFirstMatchIn(dir).map(_.group(1).toDouble)
+            .getOrElse(Double.NaN)
         val loSrcs = loSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val loStaged = loSrcs.zipWithIndex.map { case (src, i) =>
-          val dir = stageInput(src, s"input_lo$i")
-          val sc = new OracleSidecar(dir, scratch, cpus, tag = s"_lo$i")
-          sc.start()
-          (sfOf(src), dir, sc)
-        }
+        // accumulate as each sidecar starts so a failure staging/starting
+        // a LATER dir still kills the earlier ones (a leaked python
+        // process would compete with the measurements that follow)
+        val loStaged = scala.collection.mutable.ArrayBuffer[(Double, String, OracleSidecar)]()
         try {
-          // points sorted by sf ascending; the main dir reuses the main sidecar
-          val points = (loStaged :+ ((sfOf(sfDir), runDir, sidecar))).sortBy(_._1)
+          loSrcs.zipWithIndex.foreach { case (src, i) =>
+            val dir = stageInput(src, s"input_lo$i")
+            val sc = new OracleSidecar(dir, scratch, cpus, tag = s"_lo$i")
+            loStaged += ((sfOf(src), dir, sc))
+            sc.start()
+          }
+          // points sorted by sf ascending; the main dir reuses the main
+          // sidecar. Unparseable sf names degrade to LISTED order with
+          // the 2-point delta fallback (x-values are meaningless) rather
+          // than NaN-sorting into a garbage fit.
+          val sfParseable = loStaged.forall(!_._1.isNaN) && !sfOf(sfDir).isNaN
+          val unsorted = loStaged.toSeq :+ ((sfOf(sfDir), runDir, sidecar))
+          val points = if (sfParseable) unsorted.sortBy(_._1) else unsorted
+          if (!sfParseable)
+            System.err.println("[bench] slope: cannot parse sf from dir names; " +
+              "falling back to 2-point deltas in listed order")
           def medianOf3(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-              dir: String): Double = {
+              dir: String): (Double, Boolean) = {
             val f: (SparkSession, String) => org.apache.spark.sql.DataFrame = (s, _) => fn(s, dir)
             timeOnce(s"$name-slope-warm", f, warmCapSec) // warm: codegen/footers for this dir
-            val ts = Seq.fill(3)(timeOnce(s"$name-slope", f, warmCapSec)._1).sorted
-            ts(1)
+            val rs = Seq.fill(3)(timeOnce(s"$name-slope", f, warmCapSec))
+            (rs.map(_._1).sorted.apply(1), rs.exists(_._2))
           }
           /** Least-squares (slope, maxAbsResidual) of y over x. */
           def fit(xs: Seq[Double], ys: Seq[Double]): (Double, Double) = {
@@ -686,15 +702,21 @@ object Bench {
             // all points back-to-back, ascending sf, engine+oracle paired
             val meas = points.map { case (sf, dir, sc) =>
               val o = sql.flatMap(s => sc.measure(name, s))
-              val e = medianOf3(name, fn, dir)
-              (sf, e, o)
+              val (e, censored) = medianOf3(name, fn, dir)
+              (sf, e, o, censored)
             }
+            // a watchdog-cancelled run's elapsed-at-cancel is NOT a
+            // measurement — the whole row is flagged and its ratio nulled
+            // (the main loop's "never silently reported clean" discipline)
+            val censored = meas.exists(_._4)
             def n(v: Double) = f"$v%.4f"
             def o(v: Option[Double]) = v.map(n).getOrElse("null")
-            val ptsJson = meas.map { case (sf, e, ov) =>
-              s"""{"sf":$sf,"e":${n(e)},"o":${o(ov)}}""" }.mkString("[", ",", "]")
+            val ptsJson = meas.map { case (sf, e, ov, _) =>
+              val sfj = if (sf.isNaN) "null" else sf.toString
+              s"""{"sf":$sfj,"e":${n(e)},"o":${o(ov)}}""" }.mkString("[", ",", "]")
+            val censJson = s""","censored":$censored"""
             val row: String =
-              if (points.size >= 3 && meas.forall(_._3.isDefined)) {
+              if (sfParseable && points.size >= 3 && meas.forall(_._3.isDefined)) {
                 val xs = meas.map(_._1)
                 val (mE, rE) = fit(xs, meas.map(_._2))
                 val (mO, rO) = fit(xs, meas.map(_._3.get))
@@ -703,31 +725,36 @@ object Bench {
                 val spanO = mO * (xs.max - xs.min)
                 val relE = if (spanE > 0) rE / spanE else Double.NaN
                 val relO = if (spanO > 0) rO / spanO else Double.NaN
-                // trust gates: both slopes positive, engine span above
-                // jitter (~20 ms), oracle span above its jitter (~2 ms),
-                // and the engine fit explains the points (resid < half the
-                // span — else the "slope" is mostly window noise).
+                // trust gates: both slopes positive, both spans above
+                // their jitter (~20 ms engine / ~2 ms oracle), BOTH fits
+                // explaining their points (resid < half the span — a
+                // noise-dominated slope on EITHER side makes the division
+                // garbage), and no censored run in the row.
                 val ratio =
-                  if (mE > 0 && mO > 0 && spanE > 0.02 && spanO > 0.002 && relE < 0.5)
+                  if (!censored && mE > 0 && mO > 0 && spanE > 0.02 && spanO > 0.002 &&
+                      relE < 0.5 && relO < 0.5)
                     f"${mE / mO}%.3f"
                   else "null"
                 val fr = (v: Double) => if (v.isNaN) "null" else f"$v%.3f"
                 System.err.println(s"[bench] slope3 $name: " +
-                  meas.map { case (sf, e, ov) => s"$sf:(${n(e)},${o(ov)})" }.mkString(" ") +
-                  s" ratio $ratio residE ${fr(relE)}")
-                s"""{"points":$ptsJson,"m_e":${n(mE)},"m_o":${n(mO)},"resid_rel_e":${fr(relE)},"resid_rel_o":${fr(relO)},"marginal_ratio":$ratio}"""
+                  meas.map { case (sf, e, ov, _) => s"$sf:(${n(e)},${o(ov)})" }.mkString(" ") +
+                  s" ratio $ratio residE ${fr(relE)}" + (if (censored) " CENSORED" else ""))
+                s"""{"points":$ptsJson,"m_e":${n(mE)},"m_o":${n(mO)},"resid_rel_e":${fr(relE)},"resid_rel_o":${fr(relO)}$censJson,"marginal_ratio":$ratio}"""
               } else {
-                // two-point (or missing-oracle) fallback: the r10 form
-                val (_, eLo, oLo) = meas.head
-                val (_, eHi, oHi) = meas.last
+                // two-point (or missing-oracle / unparseable-sf) fallback:
+                // the r10 form
+                val (_, eLo, oLo, _) = meas.head
+                val (_, eHi, oHi, _) = meas.last
                 val eDelta = eHi - eLo
                 val oDelta = for (l <- oLo; h <- oHi) yield h - l
                 val ratio = oDelta match {
-                  case Some(od) if eDelta > 0.02 && od > 0.002 => f"${eDelta / od}%.3f"
+                  case Some(od) if !censored && eDelta > 0.02 && od > 0.002 =>
+                    f"${eDelta / od}%.3f"
                   case _ => "null"
                 }
-                System.err.println(s"[bench] slope $name: e ${n(eLo)}->${n(eHi)} o ${o(oLo)}->${o(oHi)} ratio $ratio")
-                s"""{"points":$ptsJson,"e_lo":${n(eLo)},"e_hi":${n(eHi)},"o_lo":${o(oLo)},"o_hi":${o(oHi)},"marginal_ratio":$ratio}"""
+                System.err.println(s"[bench] slope $name: e ${n(eLo)}->${n(eHi)} o ${o(oLo)}->${o(oHi)} ratio $ratio" +
+                  (if (censored) " CENSORED" else ""))
+                s"""{"points":$ptsJson,"e_lo":${n(eLo)},"e_hi":${n(eHi)},"o_lo":${o(oLo)},"o_hi":${o(oHi)}$censJson,"marginal_ratio":$ratio}"""
               }
             rows(name) = row
           } catch { case e: Throwable =>

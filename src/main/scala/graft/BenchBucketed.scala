@@ -137,7 +137,6 @@ object BenchBucketed {
       // the codes side never exchanges (gated below).
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       import queries.Pipeline
-      import graft.expressions.PipelineExprs
       val emb = Tables.embeddings(spark, sfDir)
         .withColumn("nrm", graft.expressions.TextVecExprs.floatVecNorm(col("embedding")))
       Pipeline.q88(spark, sfDir).collect()
@@ -154,32 +153,23 @@ object BenchBucketed {
         (System.nanoTime() - t) / 1e9
       }
       val queriesDf = Pipeline.annQueries(emb)
-      // the probed cells (≤ |queries|·nprobe of them) prune the scan —
-      // driver-side collect is bounded by the probe set, never the corpus
-      val cells = queriesDf
-        .select(explode(PipelineExprs.ivfProbes(col("qv"), cents, 4)).as("p"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      def stagedQ() = {
-        val codes = spark.read.parquet(codesPath)
-          .filter(col("bkt").isin(cells.map(Int.box): _*))
-        Pipeline.ivfadcProbe(codes, emb, queriesDf, cents, cb, nprobe = 4, rerank = 50)
-      }
+      val cells = Pipeline.ivfadcProbedCells(queriesDf, cents, nprobe = 4)
+      def stagedQ() = Pipeline.ivfadcStagedProbe(
+        spark, codesPath, emb, queriesDf, cents, cb, nprobe = 4, rerank = 50)
       // result parity: staged layout must reproduce the inline q88 rows
       val inlineRows = Pipeline.q88(spark, sfDir).collect().toSeq
       val stagedRows = stagedQ().collect().toSeq
       require(inlineRows == stagedRows,
         s"staged IVFADC diverged from inline q88: ${stagedRows.size} vs ${inlineRows.size} rows")
-      // plan gates: codes side never exchanges; scan is partition-pruned
+      // plan gates (shared with BucketedJoinSpec): codes side never
+      // exchanges; scan is partition-pruned
       val gateAnn = stagedQ()
       gateAnn.collect()
       val annPlan = gateAnn.queryExecution.executedPlan.toString
-      val codesExchanges = annPlan.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning") &&
-          (l.contains("codes") || l.contains("bkt") || l.contains("embedding")))
-      require(codesExchanges == 0,
-        s"staged IVFADC exchanged the codes/embedding side ($codesExchanges):\n$annPlan")
-      require(annPlan.contains("PartitionFilters: [") && annPlan.contains("bkt"),
-        s"staged IVFADC scan is not partition-pruned on bkt:\n$annPlan")
+      val violations = Pipeline.ivfadcCodesGateViolations(annPlan)
+      require(violations.isEmpty,
+        s"staged IVFADC plan violations: ${violations.mkString("; ")}\n$annPlan")
+      val codesExchanges = 0 // gated above; kept in the JSON for continuity
       val tAnnStaged = med(5)(stagedQ().collect())
 
       val floor1 = med(3)(Tables.region(spark, sfDir).groupBy().count().collect())

@@ -80,13 +80,20 @@ object Tables {
     * EventsSchemaDriftSpec proves the caller-session conf stays untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // a prior call that fell back to the NANOS clone already proved the
+    // plain read fails for this (session, dir) — go straight to the cached
+    // clone frame instead of re-paying a failing file-listing + footer
+    // inference on every call
+    val nanosKey = (s, s"$d/events.parquet#nanosAsLong")
+    val cachedClone = cache.get(nanosKey)
     val raw =
-      try load(s, d, "events")
+      if (cachedClone != null) cachedClone
+      else try load(s, d, "events")
       catch { case primary: Exception =>
         // presumed NANOS footer rejection; retried on an isolated clone.
         // If the clone read fails too, the file is genuinely unreadable —
         // surface the ORIGINAL error, not the retry's.
-        try cache.computeIfAbsent((s, s"$d/events.parquet#nanosAsLong"), { _ =>
+        try cache.computeIfAbsent(nanosKey, { _ =>
           // newSession shares the SparkContext but owns its SQLConf; copy
           // the caller's modifiable runtime confs across (timezone
           // included) so the scan's session differs from the caller's in

@@ -982,10 +982,15 @@ case class JsonIntProbe(child: Expression, key: String)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val keyRef = ctx.addReferenceObj("jsonIntProbeKey", keyBytes, "byte[]")
+    // freshName, NOT a fixed identifier: with a NON-nullable child,
+    // nullSafeCodeGen emits the result code unbraced, so two probes in one
+    // generated method would otherwise declare the same local twice —
+    // a janino compile error and silent fallback to interpreted eval
+    val r = ctx.freshName("jsonIntProbeRes")
     nullSafeCodeGen(ctx, ev, a => s"""
-      long graft_jip_r = graft.expressions.JsonScalarProbe.probeInt($a.getBytes(), $keyRef);
-      if (graft_jip_r == ${JsonScalarProbe.IntNull}L) { ${ev.isNull} = true; }
-      else { ${ev.value} = (int) graft_jip_r; }
+      long $r = graft.expressions.JsonScalarProbe.probeInt($a.getBytes(), $keyRef);
+      if ($r == ${JsonScalarProbe.IntNull}L) { ${ev.isNull} = true; }
+      else { ${ev.value} = (int) $r; }
     """)
   }
 

@@ -74,13 +74,23 @@ object Events {
       .agg(sum(try_variant_get(col("v"), "$.k", "int")).as("sk"))
       .orderBy("event_type")
 
-  /** Q11 tumbling daily window. A 1-day tumbling window with the default
+  /** Q11 tumbling daily window. Under the engine's UTC-session contract
+    * (every engine-owned session pins `spark.sql.session.timeZone=UTC` —
+    * Session/Bench/Verify/specs), a 1-day tumbling window with the default
     * origin is EXACTLY `date_trunc('day', ts)` — same UTC boundaries, same
     * groups — so the hot path groups by the primitive date key instead of
     * the `window()` STRUCT key (measured r11: the struct group key cost
-    * +26% wall on the same aggregation; see PERF.md). The literal
-    * streaming-operator spelling is kept as [[q11Window]] with a
-    * row-for-row equality gate (the q5/q5Window pattern), and the REAL
+    * +26% wall on the same aggregation; see PERF.md).
+    *
+    * PRECONDITION: on a caller session with a NON-UTC timezone,
+    * `date_trunc` follows the session's local calendar day while
+    * `window()`'s fixed origin stays UTC-aligned, so the two spellings
+    * bucket boundary events differently (and `to_date` rendering in the
+    * window form shifts too) — the equality below is a UTC-session
+    * statement, same contract class as q83's ASCII precondition.
+    *
+    * The literal streaming-operator spelling is kept as [[q11Window]] with
+    * a row-for-row equality gate (the q5/q5Window pattern), and the REAL
     * streaming path (streaming/Streams.scala) still runs `window()` —
     * batch≡stream equivalence is spec'd there.
     */

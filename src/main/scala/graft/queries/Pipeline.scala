@@ -419,6 +419,47 @@ object Pipeline {
       element_at(PipelineExprs.ivfProbes(col("embedding"), cents, 1), 1).as("bkt"),
       PipelineExprs.pqEncode(col("embedding"), cb).as("codes"))
 
+  /** The cells a query set probes (≤ \|queries\|·nprobe of them) — the
+    * partition-pruning predicate for a staged, cell-partitioned codes
+    * table. Driver-side collect bounded by the probe set, never the corpus.
+    */
+  private[graft] def ivfadcProbedCells(queries: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int): Array[Int] =
+    queries.select(explode(PipelineExprs.ivfProbes(col("qv"), cents, nprobe)).as("p"))
+      .distinct().collect().map(_.getInt(0)).sorted
+
+  /** [[ivfadcProbe]] over a STAGED cell-partitioned codes table: the scan
+    * reads only the probed cells' files (partition pruning on `bkt`).
+    * ONE definition shared by the deployment bench (BenchBucketed) and
+    * its plan-shape spec (BucketedJoinSpec) so they can never gate
+    * different constructions.
+    */
+  private[graft] def ivfadcStagedProbe(spark: SparkSession, codesPath: String,
+      emb: DataFrame, queries: DataFrame, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], nprobe: Int, rerank: Int): DataFrame = {
+    val cells = ivfadcProbedCells(queries, cents, nprobe)
+    val codes = spark.read.parquet(codesPath)
+      .filter(col("bkt").isin(cells.map(Int.box): _*))
+    ivfadcProbe(codes, emb, queries, cents, cb, nprobe, rerank)
+  }
+
+  /** Plan-shape violations of the staged-probe contract, from an EXECUTED
+    * plan string: the codes/embedding side must never exchange, and the
+    * codes scan must be partition-pruned on `bkt`. Empty = plan is the
+    * deployment shape. Shared by bench and spec (same reason as
+    * [[ivfadcStagedProbe]]).
+    */
+  private[graft] def ivfadcCodesGateViolations(plan: String): Seq[String] = {
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("codes") || l.contains("bkt") || l.contains("embedding")))
+    val pruned = plan.contains("PartitionFilters: [") && plan.contains("bkt")
+    Seq(
+      if (exchanges > 0) Some(s"$exchanges exchange(s) touch codes/bkt/embedding") else None,
+      if (!pruned) Some("codes scan is not partition-pruned on bkt") else None
+    ).flatten
+  }
+
   /** The IVFADC QUERY stage over an already-built index relation
     * ((vec_id, bkt, codes) — inline in [[ivfadcAnn]], or a staged
     * cell-partitioned table at deployment): broadcast the probes against

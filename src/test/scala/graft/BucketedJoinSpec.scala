@@ -54,7 +54,7 @@ class BucketedJoinSpec extends SparkSpec {
     // and the codes side never exchanges; the staged result must equal
     // the inline q88 rows exactly
     import graft.queries.Pipeline
-    import graft.expressions.{PipelineExprs, TextVecExprs}
+    import graft.expressions.TextVecExprs
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
@@ -63,26 +63,17 @@ class BucketedJoinSpec extends SparkSpec {
     Pipeline.ivfadcIndex(emb, cents, cb)
       .write.partitionBy("bkt").mode("overwrite").parquet(dir)
     val queriesDf = Pipeline.annQueries(emb)
-    val cells = queriesDf
-      .select(explode(PipelineExprs.ivfProbes(col("qv"), cents, 4)).as("p"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    val cells = Pipeline.ivfadcProbedCells(queriesDf, cents, nprobe = 4)
     assert(cells.nonEmpty && cells.length <= 40) // ≤ |queries|·nprobe
-    val codes = spark.read.parquet(dir)
-      .filter(col("bkt").isin(cells.map(Int.box): _*))
-    val staged = Pipeline.ivfadcProbe(codes, emb, queriesDf, cents, cb,
+    val staged = Pipeline.ivfadcStagedProbe(spark, dir, emb, queriesDf, cents, cb,
       nprobe = 4, rerank = 50)
     val stagedRows = staged.collect().toSeq
     val inlineRows = Pipeline.q88(spark, sf0001).collect().toSeq
     assert(stagedRows == inlineRows,
       s"staged IVFADC diverged from inline q88 (${stagedRows.size} vs ${inlineRows.size} rows)")
     val plan = staged.queryExecution.executedPlan.toString
-    val codesExchanges = plan.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") &&
-        (l.contains("codes") || l.contains("bkt") || l.contains("embedding")))
-    assert(codesExchanges == 0,
-      s"staged IVFADC exchanged the codes/embedding side:\n$plan")
-    assert(plan.contains("PartitionFilters: [") && plan.contains("bkt"),
-      s"codes scan is not partition-pruned on bkt:\n$plan")
+    val violations = Pipeline.ivfadcCodesGateViolations(plan)
+    assert(violations.isEmpty, s"${violations.mkString("; ")}\n$plan")
   }
 
   test("q91 snapshot diff over id-bucketed snapshots plans with no shuffle exchange") {

@@ -418,6 +418,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("two JsonIntProbes over a NON-nullable input share one codegen scope") {
+    // with a non-nullable child, nullSafeCodeGen emits the result code
+    // unbraced — a fixed-name local would be declared twice and janino
+    // would reject the generated method; codegen.fallback=false turns the
+    // silent interpreted fallback into a test failure
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    val saved = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Seq(7L).toDF("id").select(
+        PipelineExprs.jsonIntProbe(
+          concat(lit("{\"a\":"), col("id").cast("string"), lit(",\"b\":2}")), "a").as("a"),
+        PipelineExprs.jsonIntProbe(
+          concat(lit("{\"a\":"), col("id").cast("string"), lit(",\"b\":2}")), "b").as("b")).head()
+      assert(r.getInt(0) == 7 && r.getInt(1) == 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", saved)
+  }
+
   test("minhash signature positions estimate Jaccard within statistical bounds") {
     import spark.implicits._
     // near-identical strings must have high signature agreement; disjoint low
