@@ -439,7 +439,7 @@ object Pipeline {
       cb: Array[Array[Array[Double]]], nprobe: Int, rerank: Int): DataFrame = {
     val cells = ivfadcProbedCells(queries, cents, nprobe)
     val codes = spark.read.parquet(codesPath)
-      .filter(col("bkt").isin(cells.map(Int.box): _*))
+      .filter(col("bkt").isin(cells.toIndexedSeq.map(Int.box): _*))
     ivfadcProbe(codes, emb, queries, cents, cb, nprobe, rerank)
   }
 
