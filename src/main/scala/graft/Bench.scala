@@ -477,6 +477,13 @@ object Bench {
     val unwarmed = warm.valuesIterator.count(_ == -2.0)
     System.err.println(f"[bench] global warm pass: ${elapsed()}%.1f s " +
       f"(deadline ${deadlineSec}%.0f s, $unwarmed unwarmed)")
+    // post-warm floor: the START probe runs ~15 s into JVM life and still
+    // carries C2-ramp cost even with its own warm runs (measured: start
+    // ~0.11 s vs end ~0.04 s on an undragged host, every run). This probe,
+    // taken right after the global warm pass, is the first JIT-free host
+    // reading — compare it with floor_end to detect drag DURING the
+    // timed phase specifically.
+    floorProbe("postwarm")
 
     // A block of `runs` consecutive timed runs (consecutive keeps caches/
     // JIT hot — the honest steady-state number). If a block's spread says a
