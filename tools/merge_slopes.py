@@ -29,6 +29,10 @@ def main(paths):
             e = r["queries"].get(q)
             if e is None or "points" not in e:
                 continue
+            if e.get("censored"):
+                # a watchdog-cancelled run is not a measurement; it cannot
+                # become a "best fit" nor count toward the floor-bound vote
+                continue
             entries.append({
                 "run": tag,
                 "marginal_ratio": e.get("marginal_ratio"),
