@@ -169,7 +169,11 @@ object BenchBucketed {
       val violations = Pipeline.ivfadcCodesGateViolations(annPlan)
       require(violations.isEmpty,
         s"staged IVFADC plan violations: ${violations.mkString("; ")}\n$annPlan")
-      val codesExchanges = 0 // gated above; kept in the JSON for continuity
+      // counted from the executed plan, not asserted-then-hardcoded (r11
+      // advice): the artifact must reflect what actually ran
+      val codesExchanges = annPlan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("codes") || l.contains("bkt") || l.contains("embedding")))
       val tAnnStaged = med(5)(stagedQ().collect())
 
       val floor1 = med(3)(Tables.region(spark, sfDir).groupBy().count().collect())

@@ -78,13 +78,24 @@ object Tables {
     * inference). Engine-owned sessions (Bench/Verify/Session) still set it
     * at build time and take the LongType branch directly.
     * EventsSchemaDriftSpec proves the caller-session conf stays untouched.
+    *
+    * CONF-FREEZE CONTRACT (r11 advice): the clone copies the caller's
+    * modifiable runtime confs ONCE, when the fallback first fires. The
+    * cache key carries the caller's session time zone — the one copied
+    * conf that changes scan-visible values (the NTZ→TIMESTAMP cast and
+    * timestamp rendering) — so a caller that changes its timezone after a
+    * first read gets a FRESH clone, not the stale one. Other confs copied
+    * at clone time stay frozen for the cached frame's life; they affect
+    * expression semantics layered on top of the scan, which the returned
+    * frame does not contain.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // a prior call that fell back to the NANOS clone already proved the
     // plain read fails for this (session, dir) — go straight to the cached
     // clone frame instead of re-paying a failing file-listing + footer
     // inference on every call
-    val nanosKey = (s, s"$d/events.parquet#nanosAsLong")
+    val tz = scala.util.Try(s.conf.get("spark.sql.session.timeZone")).getOrElse("")
+    val nanosKey = (s, s"$d/events.parquet#nanosAsLong#tz=$tz")
     val cachedClone = cache.get(nanosKey)
     val raw =
       if (cachedClone != null) cachedClone

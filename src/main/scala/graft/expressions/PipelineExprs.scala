@@ -2,6 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -603,6 +604,14 @@ case class WordTrigrams(child: Expression)
 case class JsonScalarProbe(child: Expression, key: String)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
+  // analysis-time type gate (r11 advice): without it, SQL misuse on a
+  // non-string column surfaced as a runtime ClassCastException.
+  // (ExpectsInputTypes would say the same thing, but AbstractDataType is
+  // private[sql] — a hand-rolled check is the public-API spelling.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
   override def prettyName: String = "json_scalar_probe"
 
   @transient private lazy val keyBytes: Array[Byte] =
@@ -967,6 +976,13 @@ case class JsonIntProbe(child: Expression, key: String)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true // missing key/NULL value on non-null input
+  // analysis-time type gate (r11 advice): the generated code calls
+  // .getBytes() on the child — a non-string column must fail resolution,
+  // not janino compilation
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
   override def prettyName: String = "json_int_probe"
 
   @transient private lazy val keyBytes: Array[Byte] =

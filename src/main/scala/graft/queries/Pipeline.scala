@@ -453,7 +453,11 @@ object Pipeline {
     val exchanges = plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") &&
         (l.contains("codes") || l.contains("bkt") || l.contains("embedding")))
-    val pruned = plan.contains("PartitionFilters: [") && plan.contains("bkt")
+    // NON-EMPTY partition filter naming bkt: every FileSourceScan prints
+    // "PartitionFilters: []", so a bare contains-check passes on an
+    // unpruned (even unpartitioned) scan — the r11-advice hole. Require
+    // at least one filter expression over bkt inside the brackets.
+    val pruned = """PartitionFilters: \[[^\]]*bkt""".r.findFirstIn(plan).isDefined
     Seq(
       if (exchanges > 0) Some(s"$exchanges exchange(s) touch codes/bkt/embedding") else None,
       if (!pruned) Some("codes scan is not partition-pruned on bkt") else None

@@ -437,6 +437,67 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", saved)
   }
 
+  test("JsonIntProbe adversarial structural docs == try_cast(get_json_object AS INT)") {
+    // r11 verdict item 5: the fused probe is new, hot (q10), and non-ANSI
+    // by design — pin it against Spark's OWN parser + try_cast on the
+    // structurally adversarial shapes a byte scanner can get wrong:
+    // boundary ints, leading zeros, escaped quotes BEFORE the key (the
+    // scanner must not match a "k" inside a string value), key-as-prefix
+    // (kk vs k, both orders), duplicate keys, non-ASCII bytes in values
+    // and keys (multi-byte UTF-8 must not desync the scan), nested objects
+    // containing the key before the real top-level key, and escape
+    // sequences inside candidate keys. try_cast never throws, so the
+    // reference side runs under the session's default ANSI mode.
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    val docs = Seq(
+      """{"k":2147483647}""", """{"k":-2147483648}""",
+      """{"k":2147483648}""", """{"k":-2147483649}""",
+      """{"k":007}""", """{"k":-007}""", """{"k":00}""", """{"k":0123456789}""",
+      """{"a":"\"k\":9","k":5}""", """{"a":"{\"k\":9}","k":6}""",
+      """{"a":"\\","k":12}""", """{"a":"\\\"k\":13,","k":14}""",
+      """{"\"k":1,"k":7}""", """{"k\"":1,"k":15}""",
+      """{"kk":1,"k":2}""", """{"k":3,"kk":1}""", """{"k2":1,"k":4}""",
+      """{"kk":1}""", """{"ak":1}""", """{"ka":1}""",
+      """{"k":1,"k":2}""", """{"k":"x","k":9}""",
+      """{"a":"héllo wörld","k":3}""", """{"é":9,"k":8}""",
+      """{"a":"é😀","k":11}""", """{"日本":1,"k":16}""",
+      """{"b":{"k":9},"k":10}""", """{"b":[{"k":9},"k"],"k":17}""",
+      """{"k":"42"}""", """{"k":" 42 "}""", """{"k":null}""", """{"k":[7]}""",
+      """{ "k" : 21 }""", """{"a":1,"k":22,"z":3}""")
+    val rows = docs.toDF("j").select(
+      PipelineExprs.jsonIntProbe(col("j"), "k").as("fused"),
+      expr("try_cast(get_json_object(j, '$.k') AS INT)").as("ref"),
+      col("j")).collect()
+    rows.foreach { r =>
+      val fused = if (r.isNullAt(0)) None else Some(r.getInt(0))
+      val ref = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      assert(fused == ref, s"fused=$fused ref=$ref on ${r.getString(2)}")
+    }
+  }
+
+  test("Json probes reject non-string input at ANALYSIS time") {
+    // r11 advice: without an input-type check, SQL misuse on a non-string
+    // column failed at RUNTIME (janino error on .getBytes, then an
+    // interpreted ClassCastException) instead of a readable analysis error
+    import spark.implicits._
+    import graft.expressions.PipelineExprs
+    val df = Seq(1L).toDF("x")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(PipelineExprs.jsonIntProbe(col("x"), "k")).collect()
+    }
+    assert(e1.getMessage.contains("STRING"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(PipelineExprs.jsonScalarProbe(col("x"), "k")).collect()
+    }
+    assert(e2.getMessage.contains("STRING"), e2.getMessage)
+    graft.functions.GraftSqlFunctions.register(spark)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_json_int(1, 'k')").collect()
+    }
+    assert(e3.getMessage.contains("STRING"), e3.getMessage)
+  }
+
   test("minhash signature positions estimate Jaccard within statistical bounds") {
     import spark.implicits._
     // near-identical strings must have high signature agreement; disjoint low
