@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Pay-once bucketed-layout bench for q2 (r9 verdict item 5): records the
-  * deployment-scale answer to q2's three-stage broadcast chain as numbers,
-  * not just the BucketedJoinSpec plan shape.
+/** Pay-once bucketed-layout bench (r9 item 5, r10 item 3, r11 items 1/4/6):
+  * records the deployment-scale answer to the repeated-analytics story as
+  * numbers, not just BucketedJoinSpec plan shapes — q2's fact join, the
+  * IVFADC cell-partitioned index, the user_id events family
+  * (q12/q13/q21/q51/q70/q71 over a bucketed+ts-sorted events table), and
+  * q5 over custkey-bucketed orders.
   *
   * Three regimes over the same data, one session:
   *  - `broadcast`: the shipping q2 (stats-gated plan-time broadcast chain)
@@ -176,17 +179,112 @@ object BenchBucketed {
           (l.contains("codes") || l.contains("bkt") || l.contains("embedding")))
       val tAnnStaged = med(5)(stagedQ().collect())
 
+      // ---- pay-once events layout (r11 verdict item 1) ----
+      // The q2/q88 treatment applied to where the weak list lives: events
+      // bucketed by user_id AND sorted within buckets by (user_id, ts,
+      // event_id) — the exact clustering+order every query in the
+      // user_id family requires. The write is staged ONCE (cost reported);
+      // each query then runs with ZERO user_id exchange and (where its
+      // order requirement is a layout prefix) ZERO sort — the lag/session
+      // family's documented sort-floor (Events.scala q13/q12 scaladoc,
+      // two measured negatives in r10/r11) is pre-paid at write time.
+      // repartition on user_id before bucketBy -> every bucket's rows sit
+      // in one task -> ONE file per bucket, the precondition for the scan
+      // to report its sort order (legacy.bucketedTableScan.outputOrdering).
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      spark.sql("DROP TABLE IF EXISTS g_ev_bkt")
+      val tEvStage = {
+        val t = System.nanoTime()
+        Tables.events(spark, sfDir)
+          .repartition(cpus.toInt, col("user_id"))
+          .write.bucketBy(cpus.toInt, "user_id").sortBy("user_id", "ts", "event_id")
+          .mode("overwrite").saveAsTable("g_ev_bkt")
+        (System.nanoTime() - t) / 1e9
+      }
+      import queries.Events
+      val evPlain = Tables.events(spark, sfDir)
+      def evBkt = spark.table("g_ev_bkt")
+      // q70's window runs over POST-distinct user-bounded rows whose scan
+      // order the hash aggregate destroyed — its (cheap) sort is the right
+      // plan, not a violation; see userIdLayoutGateViolations
+      val family: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+        ("q12", Events.q12From, false),
+        ("q13", Events.q13From, false),
+        ("q21", Events.q21From, false),
+        ("q51", Events.q51From, false),
+        ("q70", Events.q70From, true),
+        ("q71", Events.q71From, false))
+      val evResults = family.map { case (name, q, allowSort) =>
+        q(evPlain).collect()
+        val tPlain = med(5)(q(evPlain).collect())
+        // result parity first: the layout must change the plan, never the rows
+        val gateQ = q(evBkt)
+        val rowsB = gateQ.collect().toSeq
+        val rowsP = q(evPlain).collect().toSeq
+        require(rowsB == rowsP,
+          s"bucketed events $name diverged: ${rowsB.size} vs ${rowsP.size} rows")
+        val plan = gateQ.queryExecution.executedPlan.toString
+        val viol = Events.userIdLayoutGateViolations(plan, allowSort)
+        require(viol.isEmpty,
+          s"bucketed events $name layout violations: ${viol.mkString("; ")}\n$plan")
+        val tBkt = med(5)(q(evBkt).collect())
+        (name, tPlain, tBkt)
+      }
+
+      // ---- pay-once orders layout for q5 (r11 verdict item 6) ----
+      // orders bucketed by o_custkey: the TopKPriceRows heap aggregation
+      // plans as ONE exchange-free stage (complete-mode agg on the
+      // co-located scan) instead of partial -> exchange -> final.
+      spark.sql("DROP TABLE IF EXISTS g_ord_bkt")
+      val tQ5Stage = {
+        val t = System.nanoTime()
+        Tables.orders(spark, sfDir)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .repartition(cpus.toInt, col("o_custkey"))
+          .write.bucketBy(cpus.toInt, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable("g_ord_bkt")
+        (System.nanoTime() - t) / 1e9
+      }
+      queries.Relational.q5(spark, sfDir).collect()
+      val tQ5Plain = med(5)(queries.Relational.q5(spark, sfDir).collect())
+      def q5B() = queries.Relational.q5From(spark.table("g_ord_bkt"))
+      val q5Gate = q5B()
+      require(q5Gate.collect().toSeq == queries.Relational.q5(spark, sfDir).collect().toSeq,
+        "bucketed q5 diverged from plain q5")
+      val q5Plan = q5Gate.queryExecution.executedPlan.toString
+      val q5Exchanges = q5Plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("o_custkey"))
+      require(q5Exchanges == 0,
+        s"bucketed q5 re-shuffled on o_custkey ($q5Exchanges exchanges):\n$q5Plan")
+      val tQ5Bkt = med(5)(q5B().collect())
+
       val floor1 = med(3)(Tables.region(spark, sfDir).groupBy().count().collect())
       def n(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      // stage-once amortization: queries until the layout write pays for
+      // itself vs the shipping plan (reported, not just prose — r11
+      // verdict item 4)
+      def amort(stage: Double, before: Double, after: Double): String =
+        if (before > after) (stage / (before - after)).ceil.toLong.toString else "null"
+      val evJson = evResults.map { case (name, p, b) =>
+        s""""ev_${name}_plain_sec":${n(p)},"ev_${name}_bucketed_sec":${n(b)}""" }.mkString(",")
+      val evSavedPerRun = evResults.map { case (_, p, b) => p - b }.sum
+      val evAmort =
+        if (evSavedPerRun > 0) (tEvStage / evSavedPerRun).ceil.toLong.toString else "null"
       val json =
         s"""{"metric":"q2_bucketed_layout","sf":"$sfDir","buckets":$cpus,""" +
         s""""q2_broadcast_sec":${n(tBroadcast)},"q2_shuffle_smj_sec":${n(tShuffle)},""" +
         s""""q2_bucketed_smj_sec":${n(tBucketed)},"stage_once_sec":${n(tStage)},""" +
+        s""""q2_amortize_queries":${amort(tStage, tBroadcast, tBucketed)},""" +
         s""""fact_exchanges_bucketed":$factExchanges,""" +
         s""""ivfadc_inline_q88_sec":${n(tAnnInline)},""" +
         s""""ivfadc_stage_once_sec":${n(tAnnStage)},""" +
         s""""ivfadc_staged_probe_sec":${n(tAnnStaged)},""" +
         s""""ivfadc_cells_probed":${cells.length},"ivfadc_codes_exchanges":$codesExchanges,""" +
+        s""""events_stage_once_sec":${n(tEvStage)},$evJson,""" +
+        s""""events_family_amortize_runs":$evAmort,""" +
+        s""""q5_plain_sec":${n(tQ5Plain)},"q5_bucketed_sec":${n(tQ5Bkt)},""" +
+        s""""q5_stage_once_sec":${n(tQ5Stage)},""" +
+        s""""q5_amortize_queries":${amort(tQ5Stage, tQ5Plain, tQ5Bkt)},""" +
         s""""floor_start_sec":${n(floor0)},"floor_end_sec":${n(floor1)}}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
       java.nio.file.Files.writeString(
@@ -195,6 +293,8 @@ object BenchBucketed {
     } finally {
       scala.util.Try(spark.sql("DROP TABLE IF EXISTS g_li_bkt"))
       scala.util.Try(spark.sql("DROP TABLE IF EXISTS g_o_bkt"))
+      scala.util.Try(spark.sql("DROP TABLE IF EXISTS g_ev_bkt"))
+      scala.util.Try(spark.sql("DROP TABLE IF EXISTS g_ord_bkt"))
       spark.stop()
     }
   }

@@ -191,13 +191,20 @@ object Relational {
     * A/B, PERF.md); both spellings share one insert kernel and
     * PlanSpec's q5 == q5Window gate pins the output.
     */
-  def q5(spark: SparkSession, dir: String): DataFrame = {
+  def q5(spark: SparkSession, dir: String): DataFrame =
+    q5From(Tables.orders(spark, dir))
+
+  /** [[q5]] over any orders-shaped frame — the pay-once layout seam: on an
+    * o_custkey-bucketed orders table the heap aggregation runs PARTIAL-ONLY
+    * (one exchange-free stage), measured in BenchBucketed next to the q2
+    * and events layouts.
+    */
+  def q5From(o: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val top3 = GraftColumnBridge.column(graft.functions.TopKPriceRows(
       GraftColumnBridge.expression(col("o_totalprice")),
       GraftColumnBridge.expression(col("o_orderkey")), 3).toAggregateExpression())
-    Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .groupBy(col("o_custkey"))
       .agg(top3.as("top"))
       .select(col("o_custkey"), posexplode(col("top")))

@@ -76,6 +76,65 @@ class BucketedJoinSpec extends SparkSpec {
     assert(violations.isEmpty, s"${violations.mkString("; ")}\n$plan")
   }
 
+  test("events family over user_id-bucketed ts-sorted layout: no user_id exchange/sort, row parity") {
+    // the r11-verdict pay-once layout for the weak list's sort floor:
+    // events bucketed by user_id, sorted within buckets by (user_id, ts,
+    // event_id) — exactly the clustering+order the whole q12/q13/q21/q51/
+    // q70/q71 family requires. Gates shared with BenchBucketed via
+    // Events.userIdLayoutGateViolations (numbers live in
+    // tools/bench_bucketed_latest.json).
+    import graft.queries.Events
+    spark.sql("DROP TABLE IF EXISTS b_ev_bkt")
+    val orderingWas = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // repartition on user_id first -> one file per bucket, the
+    // precondition for the scan to report its sort order
+    Tables.events(spark, sf0001).repartition(8, col("user_id"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts", "event_id")
+      .mode("overwrite").saveAsTable("b_ev_bkt")
+    try {
+      val evP = Tables.events(spark, sf0001)
+      def evB = spark.table("b_ev_bkt")
+      val family: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+        ("q12", Events.q12From, false),
+        ("q13", Events.q13From, false),
+        ("q21", Events.q21From, false),
+        ("q51", Events.q51From, false),
+        ("q70", Events.q70From, true), // post-distinct sort is correct there
+        ("q71", Events.q71From, false))
+      family.foreach { case (name, q, allowSort) =>
+        val b = q(evB)
+        assert(b.collect().toSeq == q(evP).collect().toSeq,
+          s"$name: bucketed layout changed the rows")
+        val plan = b.queryExecution.executedPlan.toString
+        val viol = Events.userIdLayoutGateViolations(plan, allowSort)
+        assert(viol.isEmpty, s"$name: ${viol.mkString("; ")}\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", orderingWas)
+      spark.sql("DROP TABLE IF EXISTS b_ev_bkt")
+    }
+  }
+
+  test("q5 over o_custkey-bucketed orders plans exchange-free, row parity") {
+    import graft.queries.Relational
+    spark.sql("DROP TABLE IF EXISTS b_ord_bkt")
+    Tables.orders(spark, sf0001)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .repartition(8, col("o_custkey"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_ord_bkt")
+    try {
+      val b = Relational.q5From(spark.table("b_ord_bkt"))
+      assert(b.collect().toSeq == Relational.q5(spark, sf0001).collect().toSeq,
+        "bucketed q5 changed the rows")
+      val plan = b.queryExecution.executedPlan.toString
+      val ex = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("o_custkey"))
+      assert(ex == 0, s"bucketed q5 re-shuffled on o_custkey:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS b_ord_bkt")
+  }
+
   test("q91 snapshot diff over id-bucketed snapshots plans with no shuffle exchange") {
     // the deployment layout the q91 scaladoc claims: both corpus revisions
     // bucketed by doc_id -> the full-outer diff join is exchange-free
