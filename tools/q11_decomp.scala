@@ -1,0 +1,75 @@
+// q11 cost decomposition (r11 verdict item 3): where does q11's 3.37
+// marginal (bench_slope3_latest.json) live? Three nested variants, timed
+// back-to-back per SF inside one session so a drag window hits all
+// points roughly equally:
+//   scan  — events.select(ts).groupBy(to_date(date_trunc(day))).count
+//           (the bare vectorized-scan -> row-codegen -> hash-agg constant
+//            every events query pays)
+//   nokey — + event_type group key (same agg, wider key, no value work)
+//   full  — q11 proper (+ value scan + fixed-point dsum)
+// Least-squares marginal per variant over the 3 SFs; the q11-specific
+// cost is marginal(full) - marginal(scan). Run with:
+//   /opt/spark/bin/spark-shell --master 'local[32]' \
+//     --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+//     --conf spark.sql.session.timeZone=UTC \
+//     --driver-class-path /root/repo/target/scala-2.13/classes \
+//     -I /root/repo/tools/q11_decomp.scala <<< ""
+// Writes tools/bench_q11_decomp_latest.json.
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+def med(n: Int)(f: => Unit): Double = {
+  val ts = Seq.fill(n) {
+    val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+  }.sorted
+  ts(n / 2)
+}
+
+val dirs = Seq(0.001 -> "/root/testdata/sf0.001", 0.01 -> "/root/testdata/sf0.01",
+  0.1 -> "/root/testdata/sf0.1")
+
+def vScan(dir: String) = {
+  Tables.events(spark, dir).select(col("ts")).
+    groupBy(to_date(date_trunc("day", col("ts"))).as("d")).count().orderBy("d")
+}
+def vNokey(dir: String) = {
+  Tables.events(spark, dir).select(col("ts"), col("event_type")).
+    groupBy(to_date(date_trunc("day", col("ts"))).as("d"), col("event_type")).
+    count().orderBy("d", "event_type")
+}
+def vFull(dir: String) = graft.queries.Events.q11(spark, dir)
+
+// floor probe (warmed) brackets the sweep so a dragged window is visible
+Seq.fill(5)(Tables.region(spark, "/root/testdata/sf0.1").groupBy().count().collect())
+val floor0 = med(5)(Tables.region(spark, "/root/testdata/sf0.1").groupBy().count().collect())
+
+val variants = Seq[(String, String => org.apache.spark.sql.DataFrame)](
+  ("scan", vScan), ("nokey", vNokey), ("full", vFull))
+// warm every (variant, dir) first: codegen + parquet footers
+for ((_, f) <- variants; (_, d) <- dirs) { f(d).collect(); f(d).collect(); f(d).collect() }
+// measure back-to-back, ascending sf, variants interleaved per dir
+val meas: Seq[(String, Double, Double)] = dirs.flatMap { case (sf, d) =>
+  variants.map { case (name, f) => (name, sf, med(7)(f(d).collect())) }
+}
+
+def fit(pts: Seq[(Double, Double)]): (Double, Double) = {
+  val n = pts.size
+  val xm = pts.map(_._1).sum / n; val ym = pts.map(_._2).sum / n
+  val sxx = pts.map(p => (p._1 - xm) * (p._1 - xm)).sum
+  val m = pts.map(p => (p._1 - xm) * (p._2 - ym)).sum / sxx
+  val a = ym - m * xm
+  val resid = pts.map(p => math.abs(p._2 - (a + m * p._1))).max
+  (m, resid)
+}
+val floor1 = med(5)(Tables.region(spark, "/root/testdata/sf0.1").groupBy().count().collect())
+
+val rows = variants.map { case (name, _) =>
+  val pts = meas.collect { case (`name`, sf, t) => (sf, t) }
+  val (m, r) = fit(pts)
+  val ptsJson = pts.map { case (sf, t) => f"""{"sf":$sf,"e":$t%.4f}""" }.mkString("[", ",", "]")
+  f""""$name":{"points":$ptsJson,"m":$m%.4f,"resid":$r%.4f}"""
+}
+val json = f"""{"metric":"q11_decomposition","floor_start_sec":$floor0%.4f,"floor_end_sec":$floor1%.4f,${rows.mkString(",")}}"""
+java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/tools/bench_q11_decomp_latest.json"), json + "\n")
+println(json)
+println("DECOMP_DONE")
