@@ -98,6 +98,40 @@ class EventsSchemaDriftSpec extends SparkSpec {
     intercept[Exception](caller.read.parquet(s"$dir/events.parquet").schema)
   }
 
+  test("events loader: a timezone change after a NANOS fallback read gets a FRESH clone") {
+    // r11 advice → r12 fix: the nanos-clone cache copies the caller's
+    // runtime confs once; the cache key now carries the caller's session
+    // time zone (the one copied conf that changes scan-visible values), so
+    // a caller that changes tz after a first read must NOT keep executing
+    // against the stale-tz clone. Rendering runs on the Dataset's OWN
+    // session (the clone), which is exactly where the staleness would hide.
+    val dir = freshDir("nanos-tz")
+    val schema: MessageType = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val writer = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
+      .withType(schema).withConf(new Configuration()).build()
+    try {
+      val g = new SimpleGroupFactory(schema).newGroup()
+      g.append("event_id", 1L)
+      g.append("ts", microsUtc * 1000L)
+      writer.write(g)
+    } finally writer.close()
+    val caller = spark.newSession()
+    caller.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    caller.conf.set("spark.sql.session.timeZone", "UTC")
+    def rendered(): String = Tables.events(caller, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm")).head().getString(0)
+    assert(rendered() == "2024-01-15 12:34", s"UTC render: ${rendered()}")
+    caller.conf.set("spark.sql.session.timeZone", "America/New_York")
+    // 12:34 UTC == 07:34 in New York (January = EST, UTC-5)
+    assert(rendered() == "2024-01-15 07:34",
+      s"stale-tz clone served after timezone change: ${rendered()}")
+  }
+
   test("events loader: TIMESTAMP(MICROS) NTZ parquet (current generator) loads as micros") {
     val dir = freshDir("ntz")
     spark.sql(s"SELECT 1L AS event_id, timestamp_ntz'2024-01-15 12:34:56.789012' AS ts")
