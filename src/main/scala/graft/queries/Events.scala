@@ -180,6 +180,8 @@ object Events {
     * (user_id, ts, event_id)-sorted layout the lag Window sits DIRECTLY on
     * the scan — no exchange, no sort (the r11 verdict's documented
     * sort-floor, pre-paid at write time); measured in BenchBucketed.
+    * [[q13FromSortedKernel]] goes one step further on that layout and
+    * removes WindowExec itself.
     */
   def q13From(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -191,6 +193,74 @@ object Events {
       .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev")))
       .groupBy("event_type")
       .agg(round(sum(col("gap_us")).cast("double") / lit(1000000.0) / count(lit(1)), 4).as("avg_gap_s"))
+      .orderBy("event_type")
+  }
+
+  /** [[q13]] as a single forward pass over an ALREADY laid-out frame — the
+    * bucketed-layout sibling of [[q13From]] for inputs where every user's
+    * rows sit wholly inside one partition, sorted by (user_id, ts,
+    * event_id) with non-null keys (exactly what the pay-once
+    * `bucketBy(user_id).sortBy(user_id, ts, event_id)` table provides).
+    *
+    * Why it exists: on that layout [[q13From]]'s lag Window already plans
+    * with zero exchange and zero sort, yet WindowExec still buffers every
+    * row through its frame machinery (row container + bound evaluation per
+    * row) just to hand back the previous ts — measured at ~3× the bare
+    * scan cost (tools/bench_weak_decomp_latest.json: the operator term is
+    * ~100% of q13's marginal). With the order guaranteed by the layout,
+    * the lag is two locals in a forward scan: this kernel reads the
+    * codegen'd projection's rows directly (the [[graft.functions.LrGradient]]
+    * InternalRow pattern — no per-row encoder allocation), accumulates
+    * exact Long microsecond gap sums per event_type, and emits one partial
+    * row per (partition, event_type).
+    *
+    * Exactness: gap sums are integer micros (order-independent); the final
+    * reduction replays [[q13From]]'s double ops in the same order
+    * (sum → cast double → /1e6 → /count), so results hash-match — pinned
+    * by row-parity asserts in BucketedJoinSpec and BenchBucketed.
+    *
+    * Scale: one map stage over the bucketed scan + a shuffle of
+    * |partitions|×|event types| 24-byte partial rows. The same shape a
+    * 1000-executor run wants: the pre-sorted layout is the pay-once cost,
+    * every q13 after it is a single data pass with no window state.
+    */
+  def q13FromSortedKernel(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = ev.select(col("event_type"), col("user_id"), col("ts"))
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      // event_type cardinality is tiny; key lookups use the row's transient
+      // UTF8String (content hash/equals), cloned only on first insert —
+      // zero per-row allocation on the hot path
+      val acc = new java.util.HashMap[UTF8String, Array[Long]]()
+      var prevUser = 0L
+      var prevTs = 0L
+      var has = false
+      while (it.hasNext) {
+        val r = it.next()
+        val u = r.getLong(1)
+        val t = r.getLong(2) // TimestampType internal rep IS epoch micros
+        if (has && u == prevUser) {
+          val et = r.getUTF8String(0)
+          var a = acc.get(et)
+          if (a == null) { a = new Array[Long](2); acc.put(et.clone(), a) }
+          a(0) += t - prevTs
+          a(1) += 1L
+        }
+        prevUser = u; prevTs = t; has = true
+      }
+      val out = Vector.newBuilder[Row]
+      acc.forEach((k, v) => out += Row(k.toString, v(0), v(1)))
+      out.result().iterator
+    }
+    val schema = StructType(Seq(
+      StructField("event_type", StringType, nullable = false),
+      StructField("gap_us", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    ev.sparkSession.createDataFrame(partials, schema)
+      .groupBy("event_type")
+      .agg(round(sum(col("gap_us")).cast("double") / lit(1000000.0) / sum(col("cnt")), 4).as("avg_gap_s"))
       .orderBy("event_type")
   }
 

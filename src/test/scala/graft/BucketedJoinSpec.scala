@@ -110,6 +110,17 @@ class BucketedJoinSpec extends SparkSpec {
         val viol = Events.userIdLayoutGateViolations(plan, allowSort)
         assert(viol.isEmpty, s"$name: ${viol.mkString("; ")}\n$plan")
       }
+      // the single-pass lag kernel must reproduce the Window form exactly —
+      // on the bucketed table (the deployment path) AND on an explicitly
+      // repartition+sortWithinPartitions frame (pins the semantics to the
+      // documented precondition, independent of the bucketed reader)
+      val windowRows = Events.q13From(evP).collect().toSeq
+      assert(Events.q13FromSortedKernel(evB).collect().toSeq == windowRows,
+        "q13 kernel diverged from the Window form on the bucketed table")
+      val sorted = evP.repartition(8, col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      assert(Events.q13FromSortedKernel(sorted).collect().toSeq == windowRows,
+        "q13 kernel diverged from the Window form on a sorted repartition")
     } finally {
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", orderingWas)
       spark.sql("DROP TABLE IF EXISTS b_ev_bkt")
