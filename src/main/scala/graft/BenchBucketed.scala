@@ -230,17 +230,25 @@ object BenchBucketed {
         val tBkt = med(5)(q(evBkt).collect())
         (name, tPlain, tBkt)
       }
-      // q13's last operator term removed (r12): on the sorted layout the
-      // lag needs no WindowExec at all — a single forward pass computes it
-      // with two locals (Events.q13FromSortedKernel). Parity-gated, then
-      // measured next to the Window-on-layout number above; the
-      // decomposition run recorded kernel == bare-scan cost at sf0.1
-      // (0.176-0.180 vs 0.158-0.180 same-window blocks).
-      require(Events.q13FromSortedKernel(evBkt).collect().toSeq ==
-        Events.q13From(evPlain).collect().toSeq,
-        "q13 sorted-layout kernel diverged from the Window form")
-      Events.q13FromSortedKernel(evBkt).collect()
-      val tQ13Kernel = med(5)(Events.q13FromSortedKernel(evBkt).collect())
+      // the family's last operator terms removed (r12): on the sorted
+      // layout the lag/session machinery needs no WindowExec or hash agg
+      // at all — single forward passes compute them (Events.q1*
+      // FromSortedKernel). Parity-gated, then measured next to the
+      // on-layout declarative numbers above; the decomposition run
+      // recorded the q13 kernel == bare-scan cost at sf0.1 (0.176-0.180
+      // vs 0.158-0.180 same-window blocks).
+      val kernels: Seq[(String,
+          org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+        ("q12", Events.q12From, Events.q12FromSortedKernel(_)),
+        ("q13", Events.q13From, Events.q13FromSortedKernel),
+        ("q71", Events.q71From, Events.q71FromSortedKernel))
+      val kernelResults = kernels.map { case (name, declarative, kernel) =>
+        require(kernel(evBkt).collect().toSeq == declarative(evPlain).collect().toSeq,
+          s"$name sorted-layout kernel diverged from the declarative form")
+        kernel(evBkt).collect()
+        (name, med(5)(kernel(evBkt).collect()))
+      }
 
       // ---- pay-once orders layout for q5 (r11 verdict item 6) ----
       // orders bucketed by o_custkey: the TopKPriceRows heap aggregation
@@ -292,7 +300,8 @@ object BenchBucketed {
         s""""ivfadc_staged_probe_sec":${n(tAnnStaged)},""" +
         s""""ivfadc_cells_probed":${cells.length},"ivfadc_codes_exchanges":$codesExchanges,""" +
         s""""events_stage_once_sec":${n(tEvStage)},$evJson,""" +
-        s""""ev_q13_kernel_sec":${n(tQ13Kernel)},""" +
+        kernelResults.map { case (name, t) =>
+          s""""ev_${name}_kernel_sec":${n(t)},""" }.mkString +
         s""""events_family_amortize_runs":$evAmort,""" +
         s""""q5_plain_sec":${n(tQ5Plain)},"q5_bucketed_sec":${n(tQ5Bkt)},""" +
         s""""q5_stage_once_sec":${n(tQ5Stage)},""" +

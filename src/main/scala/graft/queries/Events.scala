@@ -264,6 +264,111 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** [[q12]] as a single forward pass over the sorted layout — same
+    * precondition and rationale as [[q13FromSortedKernel]]. With every
+    * user's rows contiguous and ts-ordered, sessionization is a counter:
+    * +1 on each user change, +1 on each strictly-greater-than-gap jump
+    * (exactly [[graft.functions.SessionCount]]'s boundary semantics, ties
+    * at the gap merge). One partial long per partition; integer math
+    * end-to-end so the total is trivially exact.
+    */
+  def q12FromSortedKernel(ev: DataFrame, gapMicros: Long = 1800L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val proj = ev.select(col("user_id"), col("ts"))
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      var prevUser = 0L
+      var prevTs = 0L
+      var has = false
+      var sessions = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        val u = r.getLong(0)
+        val t = r.getLong(1)
+        if (!has || u != prevUser || t - prevTs > gapMicros) sessions += 1L
+        prevUser = u; prevTs = t; has = true
+      }
+      if (has) Iterator.single(Row(sessions)) else Iterator.empty
+    }
+    val schema = StructType(Seq(StructField("ns", LongType, nullable = false)))
+    ev.sparkSession.createDataFrame(partials, schema)
+      .agg(sum("ns").as("n_sessions"))
+  }
+
+  /** [[q71]] as a single forward pass over the sorted layout — same
+    * precondition and rationale as [[q13FromSortedKernel]]. The lag here
+    * carries a STRING (previous event_type), so the kernel interns each
+    * type to a dense int once per (partition, type) and tracks the lag as
+    * that int — zero per-row allocation; transition counts live in a
+    * packed-(prev,next)-keyed map of longs. Partials are
+    * |partitions|×|types|² tiny rows; the share window runs over the
+    * aggregated |types|² matrix exactly as [[q71From]] does, replaying its
+    * double ops in the same order so results hash-match.
+    */
+  def q71FromSortedKernel(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = ev.select(col("user_id"), col("event_type"))
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      val intern = new java.util.HashMap[UTF8String, Integer]()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      // dense |types|² count matrix (row-major, capacity-grown on the rare
+      // new-type event) — one array increment per row, no per-row boxing
+      var cap = 16
+      var counts = new Array[Long](cap * cap)
+      var prevUser = 0L
+      var prevType = 0
+      var has = false
+      while (it.hasNext) {
+        val r = it.next()
+        val u = r.getLong(0)
+        val et = r.getUTF8String(1)
+        var idxBox = intern.get(et)
+        if (idxBox == null) {
+          idxBox = Integer.valueOf(names.length)
+          intern.put(et.clone(), idxBox)
+          names += et.toString
+          if (names.length > cap) {
+            val newCap = cap * 2
+            val grown = new Array[Long](newCap * newCap)
+            var i = 0
+            while (i < cap) {
+              System.arraycopy(counts, i * cap, grown, i * newCap, cap)
+              i += 1
+            }
+            cap = newCap; counts = grown
+          }
+        }
+        val idx = idxBox.intValue()
+        if (has && u == prevUser) counts(prevType * cap + idx) += 1L
+        prevUser = u; prevType = idx; has = true
+      }
+      val out = Vector.newBuilder[Row]
+      var p = 0
+      while (p < names.length) {
+        var x = 0
+        while (x < names.length) {
+          val c = counts(p * cap + x)
+          if (c != 0L) out += Row(names(p), names(x), c)
+          x += 1
+        }
+        p += 1
+      }
+      out.result().iterator
+    }
+    val schema = StructType(Seq(
+      StructField("prv", StringType, nullable = false),
+      StructField("nxt", StringType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    ev.sparkSession.createDataFrame(partials, schema)
+      .groupBy("prv", "nxt")
+      .agg(sum("c").as("c"))
+      .withColumn("share",
+        round(col("c").cast("double") / sum(col("c")).over(Window.partitionBy("prv")), 4))
+      .orderBy("prv", "nxt")
+  }
+
   /** Q21 AS-OF join: each 'error' event → most recent prior 'purchase' by
     * the same user, unmatched errors preserved (left as-of).
     *

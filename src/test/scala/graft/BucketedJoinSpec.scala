@@ -110,17 +110,26 @@ class BucketedJoinSpec extends SparkSpec {
         val viol = Events.userIdLayoutGateViolations(plan, allowSort)
         assert(viol.isEmpty, s"$name: ${viol.mkString("; ")}\n$plan")
       }
-      // the single-pass lag kernel must reproduce the Window form exactly —
-      // on the bucketed table (the deployment path) AND on an explicitly
-      // repartition+sortWithinPartitions frame (pins the semantics to the
-      // documented precondition, independent of the bucketed reader)
-      val windowRows = Events.q13From(evP).collect().toSeq
-      assert(Events.q13FromSortedKernel(evB).collect().toSeq == windowRows,
-        "q13 kernel diverged from the Window form on the bucketed table")
+      // the single-pass sorted-layout kernels must reproduce their
+      // Window/aggregate forms exactly — on the bucketed table (the
+      // deployment path) AND on an explicitly repartition+
+      // sortWithinPartitions frame (pins the semantics to the documented
+      // precondition, independent of the bucketed reader)
       val sorted = evP.repartition(8, col("user_id"))
         .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
-      assert(Events.q13FromSortedKernel(sorted).collect().toSeq == windowRows,
-        "q13 kernel diverged from the Window form on a sorted repartition")
+      val kernels: Seq[(String,
+          org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+        ("q12", Events.q12From, Events.q12FromSortedKernel(_)),
+        ("q13", Events.q13From, Events.q13FromSortedKernel),
+        ("q71", Events.q71From, Events.q71FromSortedKernel))
+      kernels.foreach { case (name, declarative, kernel) =>
+        val rows = declarative(evP).collect().toSeq
+        assert(kernel(evB).collect().toSeq == rows,
+          s"$name kernel diverged from the declarative form on the bucketed table")
+        assert(kernel(sorted).collect().toSeq == rows,
+          s"$name kernel diverged from the declarative form on a sorted repartition")
+      }
     } finally {
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", orderingWas)
       spark.sql("DROP TABLE IF EXISTS b_ev_bkt")
