@@ -242,6 +242,7 @@ object BenchBucketed {
           org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
         ("q12", Events.q12From, Events.q12FromSortedKernel(_)),
         ("q13", Events.q13From, Events.q13FromSortedKernel),
+        ("q21", Events.q21From, Events.q21FromSortedKernel),
         ("q71", Events.q71From, Events.q71FromSortedKernel))
       val kernelResults = kernels.map { case (name, declarative, kernel) =>
         require(kernel(evBkt).collect().toSeq == declarative(evPlain).collect().toSeq,

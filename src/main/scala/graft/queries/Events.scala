@@ -295,6 +295,73 @@ object Events {
       .agg(sum("ns").as("n_sessions"))
   }
 
+  /** [[q21]] as a single forward pass over the sorted layout — the as-of
+    * JOIN itself disappears. Same precondition as [[q13FromSortedKernel]];
+    * here the payoff is structural, not just constant-factor: with each
+    * user's errors and purchases interleaved in (ts, event_id) order, the
+    * "most recent prior purchase" is a running variable, so the
+    * equi-join + ts-band + per-error rank machinery of [[q21From]] (and
+    * the broadcast-vs-SMJ tradeoff it forces — the layout's one recorded
+    * negative at sf0.1) reduces to one scan emitting matches as it goes.
+    * The classic sorted-merge as-of: at 100 TB this reads each side once
+    * with zero join state beyond two locals per user.
+    *
+    * Tie semantics replicated exactly: a purchase at the SAME ts as the
+    * error does not qualify (strict ts > p_ts), and among purchases at the
+    * same qualifying ts the highest event_id wins — purchases seen at the
+    * current ts are held in a candidate slot and folded into the running
+    * answer only when ts advances.
+    */
+  def q21FromSortedKernel(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val proj = ev
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val errTag = org.apache.spark.unsafe.types.UTF8String.fromString("error")
+    val matches = proj.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[Row] {
+        private var prevUser = 0L
+        private var hasUser = false
+        private var curTs = 0L
+        private var lastP = 0L; private var hasLastP = false
+        private var curP = 0L; private var hasCurP = false
+        private var nextRow: Row = null
+        @annotation.tailrec
+        private def advance(): Unit =
+          if (it.hasNext) {
+            val r = it.next()
+            val u = r.getLong(0)
+            val t = r.getLong(1)
+            val eid = r.getLong(2)
+            if (!hasUser || u != prevUser) {
+              hasUser = true; prevUser = u; curTs = t
+              hasLastP = false; hasCurP = false
+            } else if (t != curTs) {
+              if (hasCurP) { lastP = curP; hasLastP = true; hasCurP = false }
+              curTs = t
+            }
+            if (r.getUTF8String(3).equals(errTag)) {
+              nextRow = Row(eid, if (hasLastP) lastP else null)
+            } else {
+              curP = eid; hasCurP = true
+              advance()
+            }
+          } else nextRow = null
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): Row = {
+          val out = nextRow; advance(); out
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("prior_purchase", LongType, nullable = true)))
+    ev.sparkSession.createDataFrame(matches, schema)
+      .orderBy("event_id")
+  }
+
   /** [[q71]] as a single forward pass over the sorted layout — same
     * precondition and rationale as [[q13FromSortedKernel]]. The lag here
     * carries a STRING (previous event_type), so the kernel interns each

@@ -122,6 +122,7 @@ class BucketedJoinSpec extends SparkSpec {
           org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
         ("q12", Events.q12From, Events.q12FromSortedKernel(_)),
         ("q13", Events.q13From, Events.q13FromSortedKernel),
+        ("q21", Events.q21From, Events.q21FromSortedKernel),
         ("q71", Events.q71From, Events.q71FromSortedKernel))
       kernels.foreach { case (name, declarative, kernel) =>
         val rows = declarative(evP).collect().toSeq
