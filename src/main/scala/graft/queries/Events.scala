@@ -436,6 +436,124 @@ object Events {
       .orderBy("prv", "nxt")
   }
 
+  /** [[q51]] as a single forward pass over the sorted layout — same
+    * precondition as [[q13FromSortedKernel]]. The funnel's three chained
+    * whole-partition conditional-min windows (each a full pass through
+    * WindowExec's frame machinery) collapse to three booleans per user:
+    * with rows in ts order, the first view IS min(view ts), the first
+    * click strictly after it IS the min qualifying click, and so on —
+    * strict `>` means a click at the view's exact ts is skipped in both
+    * forms. Each partition emits ONE 3-long partial row (users counted at
+    * user-boundary), so the post-scan shuffle is |partitions| rows of 24
+    * bytes — nothing at any scale.
+    */
+  def q51FromSortedKernel(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val proj = ev
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val viewTag = org.apache.spark.unsafe.types.UTF8String.fromString("view")
+    val clickTag = org.apache.spark.unsafe.types.UTF8String.fromString("click")
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      var prevUser = 0L
+      var has = false
+      var vts = 0L; var vSet = false
+      var cts = 0L; var cSet = false
+      var pSet = false
+      var nView = 0L; var nClick = 0L; var nFunnel = 0L
+      def closeUser(): Unit = {
+        if (vSet) nView += 1L
+        if (cSet) nClick += 1L
+        if (pSet) nFunnel += 1L
+        vSet = false; cSet = false; pSet = false
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        val u = r.getLong(0)
+        val t = r.getLong(1)
+        if (has && u != prevUser) closeUser()
+        val et = r.getUTF8String(2)
+        if (et.equals(viewTag)) {
+          if (!vSet) { vSet = true; vts = t }
+        } else if (et.equals(clickTag)) {
+          if (vSet && !cSet && t > vts) { cSet = true; cts = t }
+        } else { // purchase (projection admits only the three types)
+          if (cSet && !pSet && t > cts) pSet = true
+        }
+        prevUser = u; has = true
+      }
+      if (has) { closeUser(); Iterator.single(Row(nView, nClick, nFunnel)) }
+      else Iterator.empty
+    }
+    val schema = StructType(Seq(
+      StructField("nv", LongType, nullable = false),
+      StructField("nc", LongType, nullable = false),
+      StructField("np", LongType, nullable = false)))
+    ev.sparkSession.createDataFrame(partials, schema)
+      .agg(sum("nv").as("n_view"), sum("nc").as("n_view_click"),
+        sum("np").as("n_funnel"))
+  }
+
+  /** [[q70]] as a single forward pass over the sorted layout — same
+    * precondition as [[q13FromSortedKernel]], plus a UTC session time zone
+    * (asserted — week truncation is TZ-dependent and the kernel computes
+    * it in integer day arithmetic: epoch day → Monday-aligned week start
+    * via `d - ((d+3) mod 7)`, 1970-01-01 being a Thursday). The
+    * declarative form's event-count-proportional distinct + min-week
+    * window vanish: per user the ts order makes week starts
+    * NON-DECREASING, so "distinct week" is one comparison against the
+    * previous week and "cohort" is simply the first week seen. Partials
+    * are a per-partition (cohort, offset) count map — bounded by
+    * (#calendar weeks)², not by events.
+    */
+  def q70FromSortedKernel(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    require(ev.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "q70FromSortedKernel computes Monday week-trunc in UTC day arithmetic")
+    val proj = ev.select(col("user_id"), col("ts"))
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      val acc = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      var prevUser = 0L
+      var has = false
+      var cohort = 0L
+      var prevWk = Long.MinValue
+      while (it.hasNext) {
+        val r = it.next()
+        val u = r.getLong(0)
+        val t = r.getLong(1)
+        val d = Math.floorDiv(t, 86400000000L)
+        val wk = d - Math.floorMod(d + 3L, 7L)
+        if (!has || u != prevUser) {
+          cohort = wk; prevWk = Long.MinValue
+        }
+        if (wk != prevWk) {
+          val key = java.lang.Long.valueOf((cohort << 24) | ((wk - cohort) / 7L))
+          var a = acc.get(key)
+          if (a == null) { a = new Array[Long](1); acc.put(key, a) }
+          a(0) += 1L
+          prevWk = wk
+        }
+        prevUser = u; has = true
+      }
+      val out = Vector.newBuilder[Row]
+      acc.forEach((k, v) =>
+        out += Row((k.longValue() >> 24).toInt, k.longValue() & 0xffffffL, v(0)))
+      out.result().iterator
+    }
+    val schema = StructType(Seq(
+      StructField("cohort_days", IntegerType, nullable = false),
+      StructField("week_offset", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    ev.sparkSession.createDataFrame(partials, schema)
+      .groupBy("cohort_days", "week_offset")
+      .agg(sum("n").as("n_users"))
+      .select(expr("date_from_unix_date(cohort_days)").as("cohort"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   /** Q21 AS-OF join: each 'error' event → most recent prior 'purchase' by
     * the same user, unmatched errors preserved (left as-of).
     *

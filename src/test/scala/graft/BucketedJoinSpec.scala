@@ -123,6 +123,8 @@ class BucketedJoinSpec extends SparkSpec {
         ("q12", Events.q12From, Events.q12FromSortedKernel(_)),
         ("q13", Events.q13From, Events.q13FromSortedKernel),
         ("q21", Events.q21From, Events.q21FromSortedKernel),
+        ("q51", Events.q51From, Events.q51FromSortedKernel),
+        ("q70", Events.q70From, Events.q70FromSortedKernel),
         ("q71", Events.q71From, Events.q71FromSortedKernel))
       kernels.foreach { case (name, declarative, kernel) =>
         val rows = declarative(evP).collect().toSeq
