@@ -88,19 +88,11 @@ object BenchBucketed {
       queries.Relational.q2(spark, sfDir).collect()
       val tBroadcast = med(5)(queries.Relational.q2(spark, sfDir).collect())
 
-      // pay-once staging: fact tables bucketed on the join key
-      spark.sql("DROP TABLE IF EXISTS g_li_bkt")
-      spark.sql("DROP TABLE IF EXISTS g_o_bkt")
+      // pay-once staging: fact tables bucketed on the join key (the
+      // public Layouts API — the bench measures what a user would stage)
       val tStage = {
         val t = System.nanoTime()
-        Tables.lineitem(spark, sfDir)
-          .select("l_orderkey", "l_extendedprice", "l_discount")
-          .write.bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
-          .mode("overwrite").saveAsTable("g_li_bkt")
-        Tables.orders(spark, sfDir)
-          .select("o_orderkey", "o_custkey")
-          .write.bucketBy(cpus.toInt, "o_orderkey").sortBy("o_orderkey")
-          .mode("overwrite").saveAsTable("g_o_bkt")
+        Layouts.stageFactsByOrderkey(spark, sfDir, cpus.toInt)
         (System.nanoTime() - t) / 1e9
       }
 
@@ -188,17 +180,11 @@ object BenchBucketed {
       // order requirement is a layout prefix) ZERO sort — the lag/session
       // family's documented sort-floor (Events.scala q13/q12 scaladoc,
       // two measured negatives in r10/r11) is pre-paid at write time.
-      // repartition on user_id before bucketBy -> every bucket's rows sit
-      // in one task -> ONE file per bucket, the precondition for the scan
-      // to report its sort order (legacy.bucketedTableScan.outputOrdering).
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      spark.sql("DROP TABLE IF EXISTS g_ev_bkt")
+      // staged via the public Layouts API (repartition-first → one file
+      // per bucket → the scan reports its sort order; see Layouts scaladoc)
       val tEvStage = {
         val t = System.nanoTime()
-        Tables.events(spark, sfDir)
-          .repartition(cpus.toInt, col("user_id"))
-          .write.bucketBy(cpus.toInt, "user_id").sortBy("user_id", "ts", "event_id")
-          .mode("overwrite").saveAsTable("g_ev_bkt")
+        Layouts.stageEventsByUser(spark, sfDir, cpus.toInt)
         (System.nanoTime() - t) / 1e9
       }
       import queries.Events
@@ -257,14 +243,9 @@ object BenchBucketed {
       // orders bucketed by o_custkey: the TopKPriceRows heap aggregation
       // plans as ONE exchange-free stage (complete-mode agg on the
       // co-located scan) instead of partial -> exchange -> final.
-      spark.sql("DROP TABLE IF EXISTS g_ord_bkt")
       val tQ5Stage = {
         val t = System.nanoTime()
-        Tables.orders(spark, sfDir)
-          .select("o_custkey", "o_orderkey", "o_totalprice")
-          .repartition(cpus.toInt, col("o_custkey"))
-          .write.bucketBy(cpus.toInt, "o_custkey").sortBy("o_custkey")
-          .mode("overwrite").saveAsTable("g_ord_bkt")
+        Layouts.stageOrdersByCustkey(spark, sfDir, cpus.toInt)
         (System.nanoTime() - t) / 1e9
       }
       queries.Relational.q5(spark, sfDir).collect()

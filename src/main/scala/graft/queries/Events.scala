@@ -223,6 +223,11 @@ object Events {
     * |partitions|×|event types| 24-byte partial rows. The same shape a
     * 1000-executor run wants: the pre-sorted layout is the pay-once cost,
     * every q13 after it is a single data pass with no window state.
+    *
+    * A violated precondition fails loudly, never silently: every kernel
+    * in this family validates ascending (user_id, ts) as it scans and
+    * throws on the first descent (see [[badLayout]]); stage inputs with
+    * [[graft.Layouts.stageEventsByUser]].
     */
   def q13FromSortedKernel(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
@@ -241,6 +246,8 @@ object Events {
         val r = it.next()
         val u = r.getLong(1)
         val t = r.getLong(2) // TimestampType internal rep IS epoch micros
+        if (has && (u < prevUser || (u == prevUser && t < prevTs)))
+          badLayout("q13FromSortedKernel")
         if (has && u == prevUser) {
           val et = r.getUTF8String(0)
           var a = acc.get(et)
@@ -285,6 +292,8 @@ object Events {
         val r = it.next()
         val u = r.getLong(0)
         val t = r.getLong(1)
+        if (has && (u < prevUser || (u == prevUser && t < prevTs)))
+          badLayout("q12FromSortedKernel")
         if (!has || u != prevUser || t - prevTs > gapMicros) sessions += 1L
         prevUser = u; prevTs = t; has = true
       }
@@ -334,6 +343,8 @@ object Events {
             val u = r.getLong(0)
             val t = r.getLong(1)
             val eid = r.getLong(2)
+            if (hasUser && (u < prevUser || (u == prevUser && t < curTs)))
+              badLayout("q21FromSortedKernel")
             if (!hasUser || u != prevUser) {
               hasUser = true; prevUser = u; curTs = t
               hasLastP = false; hasCurP = false
@@ -390,6 +401,9 @@ object Events {
       while (it.hasNext) {
         val r = it.next()
         val u = r.getLong(0)
+        if (has && u < prevUser)
+          badLayout("q71FromSortedKernel (user order; ts order is not " +
+            "observable in its 2-column projection)")
         val et = r.getUTF8String(1)
         var idxBox = intern.get(et)
         if (idxBox == null) {
@@ -457,6 +471,7 @@ object Events {
     val clickTag = org.apache.spark.unsafe.types.UTF8String.fromString("click")
     val partials = proj.queryExecution.toRdd.mapPartitions { it =>
       var prevUser = 0L
+      var prevTs = 0L
       var has = false
       var vts = 0L; var vSet = false
       var cts = 0L; var cSet = false
@@ -472,6 +487,8 @@ object Events {
         val r = it.next()
         val u = r.getLong(0)
         val t = r.getLong(1)
+        if (has && (u < prevUser || (u == prevUser && t < prevTs)))
+          badLayout("q51FromSortedKernel")
         if (has && u != prevUser) closeUser()
         val et = r.getUTF8String(2)
         if (et.equals(viewTag)) {
@@ -481,7 +498,7 @@ object Events {
         } else { // purchase (projection admits only the three types)
           if (cSet && !pSet && t > cts) pSet = true
         }
-        prevUser = u; has = true
+        prevUser = u; prevTs = t; has = true
       }
       if (has) { closeUser(); Iterator.single(Row(nView, nClick, nFunnel)) }
       else Iterator.empty
@@ -516,6 +533,7 @@ object Events {
     val partials = proj.queryExecution.toRdd.mapPartitions { it =>
       val acc = new java.util.HashMap[java.lang.Long, Array[Long]]()
       var prevUser = 0L
+      var prevTs = 0L
       var has = false
       var cohort = 0L
       var prevWk = Long.MinValue
@@ -523,6 +541,9 @@ object Events {
         val r = it.next()
         val u = r.getLong(0)
         val t = r.getLong(1)
+        if (has && (u < prevUser || (u == prevUser && t < prevTs)))
+          badLayout("q70FromSortedKernel")
+        prevTs = t
         val d = Math.floorDiv(t, 86400000000L)
         val wk = d - Math.floorMod(d + 3L, 7L)
         if (!has || u != prevUser) {
@@ -797,6 +818,30 @@ object Events {
     * hash aggregate, so a (cheap, user-bounded) sort is the correct plan
     * there, not a layout violation.
     */
+  /** Layout-violation failure for the `*FromSortedKernel` family. Both
+    * supported inputs — the user_id-bucketed `sortBy(user_id, ts,
+    * event_id)` table and an explicit `repartition(user_id)` +
+    * `sortWithinPartitions(user_id, ts, event_id)` frame — deliver
+    * ASCENDING (user_id, ts) within every partition, so any descent
+    * observed mid-scan means the caller's frame is not the documented
+    * layout; fail loudly instead of returning a silently wrong
+    * single-pass answer. Costs two long compares per row (unmeasurable
+    * against the scan). What this cannot see: a user split ACROSS
+    * partitions (that invariant belongs to the bucketing/repartition
+    * itself) and, where the kernel's projection drops event_id, the
+    * tie-order among equal timestamps (pinned instead by
+    * SortedKernelTieSpec).
+    */
+  private def badLayout(kernel: String): Nothing =
+    throw new IllegalStateException(
+      s"$kernel: input is not the (user_id, ts)-sorted layout — a " +
+      "descending (user_id, ts) pair arrived within a partition. Feed the " +
+      "user_id-bucketed sortBy(user_id, ts, event_id) table (one file per " +
+      "bucket, spark.sql.legacy.bucketedTableScan.outputOrdering=true) or " +
+      "repartition(user_id).sortWithinPartitions(user_id, ts, event_id) " +
+      "first, or use the declarative form (q12From/q13From/...) which " +
+      "lays out its own input.")
+
   private[graft] def userIdLayoutGateViolations(
       plan: String, allowUserIdSort: Boolean = false): Seq[String] = {
     val exchanges = plan.linesIterator.count(l =>

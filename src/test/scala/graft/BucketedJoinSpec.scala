@@ -84,14 +84,8 @@ class BucketedJoinSpec extends SparkSpec {
     // Events.userIdLayoutGateViolations (numbers live in
     // tools/bench_bucketed_latest.json).
     import graft.queries.Events
-    spark.sql("DROP TABLE IF EXISTS b_ev_bkt")
     val orderingWas = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    // repartition on user_id first -> one file per bucket, the
-    // precondition for the scan to report its sort order
-    Tables.events(spark, sf0001).repartition(8, col("user_id"))
-      .write.bucketBy(8, "user_id").sortBy("user_id", "ts", "event_id")
-      .mode("overwrite").saveAsTable("b_ev_bkt")
+    Layouts.stageEventsByUser(spark, sf0001, buckets = 8, table = "b_ev_bkt")
     try {
       val evP = Tables.events(spark, sf0001)
       def evB = spark.table("b_ev_bkt")
@@ -141,12 +135,7 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("q5 over o_custkey-bucketed orders plans exchange-free, row parity") {
     import graft.queries.Relational
-    spark.sql("DROP TABLE IF EXISTS b_ord_bkt")
-    Tables.orders(spark, sf0001)
-      .select("o_custkey", "o_orderkey", "o_totalprice")
-      .repartition(8, col("o_custkey"))
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("b_ord_bkt")
+    Layouts.stageOrdersByCustkey(spark, sf0001, buckets = 8, table = "b_ord_bkt")
     try {
       val b = Relational.q5From(spark.table("b_ord_bkt"))
       assert(b.collect().toSeq == Relational.q5(spark, sf0001).collect().toSeq,

@@ -113,6 +113,30 @@ class SortedKernelTieSpec extends SparkSpec {
       Events.q71From(plain).collect().toSeq)
   }
 
+  test("kernels throw loudly on a mis-laid-out frame instead of answering") {
+    // one partition sorted by ts ALONE: users interleave (u2's 09:xx rows
+    // precede u1's 10:xx, then u1's 11:00 follows u2's 10:30), so the
+    // in-kernel ascending-(user_id, ts) guard must fire — a silently
+    // wrong single-pass answer is the failure mode the guard exists for.
+    // (A repartition by event_id would NOT do: the single-mapper shuffle
+    // preserves the source's user-ascending order inside every bucket.)
+    val bad = plain.repartition(1).sortWithinPartitions(col("ts"))
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    val kernels: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("q12", Events.q12FromSortedKernel(_)),
+      ("q13", Events.q13FromSortedKernel),
+      ("q21", Events.q21FromSortedKernel),
+      ("q51", Events.q51FromSortedKernel),
+      ("q70", Events.q70FromSortedKernel),
+      ("q71", Events.q71FromSortedKernel))
+    kernels.foreach { case (name, kernel) =>
+      val e = intercept[Throwable] { kernel(bad).collect() }
+      assert(rootMessages(e).exists(_.contains("not the (user_id, ts)-sorted layout")),
+        s"$name kernel did not raise the layout guard on unsorted input: $e")
+    }
+  }
+
   test("q70 week boundaries pinned by hand, kernel equal") {
     val expected = Seq(
       ("2024-01-01", 0L, 4L), // users 1,2,3,4 active in their cohort week 0
