@@ -32,7 +32,36 @@ object Layouts {
       sortCols: Seq[String], table: String): Unit = {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // Force bucket-aligned scans: the DisableUnnecessaryBucketedScan
+    // planner rule reverts a bucketed table to SIZE-BASED file splits when
+    // no operator in the plan declares a distribution/ordering requirement
+    // — which is exactly the shape of the single-pass kernels (a bare
+    // projection feeding an RDD pass; the planner cannot see that the
+    // kernel exploits bucket alignment). Size-based splits pack several
+    // bucket files into one partition and the kernels' layout guards fire
+    // (caught live: a 31-partition scan over 32 buckets in the Verify
+    // session — two sorted files concatenated mid-partition). The conf is
+    // runtime-modifiable and session-scoped, set here so every session
+    // that stages a layout reads it bucket-aligned.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // Self-heal an ORPHANED location: a crashed/killed prior run can leave
+    // the table directory on disk while the (per-process derby) catalog has
+    // no entry — DROP IF EXISTS is then a no-op and saveAsTable fails with
+    // LOCATION_ALREADY_EXISTS. These staging tables are engine-owned by
+    // construction, so removing the stale directory is safe. Local
+    // filesystems only; on a shared metastore+DFS deployment the catalog
+    // entry survives the crash and the DROP above handles it.
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+    if (wh.getScheme == null || wh.getScheme == "file") {
+      val loc = java.nio.file.Paths.get(
+        (if (wh.getScheme == null) wh.getPath else wh.getPath) + "/" + table)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     df.repartition(buckets, col(bucketCol))
       .write.bucketBy(buckets, bucketCol)
       .sortBy(sortCols.head, sortCols.tail: _*)
@@ -53,6 +82,25 @@ object Layouts {
       Seq("user_id", "ts", "event_id"), table)
     spark.table(table)
   }
+
+  /** Memoized [[stageEventsByUser]] for repeated kernel queries in one
+    * session: the first call per (session, dir) pays the staging, every
+    * later call returns the already-staged table — the amortization the
+    * layout exists for, made concrete (the six `q92+` kernel entries in
+    * SparkEntry share ONE staging this way). The table name carries a
+    * dir digest so multi-SF sessions (the bench's slope mode) never
+    * alias two datasets onto one table.
+    */
+  def eventsByUserCached(spark: SparkSession, dir: String, buckets: Int = 32)
+      : DataFrame =
+    stagedEvents.computeIfAbsent((spark, dir), { _ =>
+      val table = "g_ev_bkt_" +
+        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      stageEventsByUser(spark, dir, buckets, table)
+    })
+
+  private val stagedEvents =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** The per-customer top-k layout (q5's shape): orders bucketed by
     * o_custkey, pruned to the three columns the query family reads; the

@@ -114,6 +114,20 @@ object SparkEntry {
     "q89_temp_mixture"    -> (Pipeline.q89 _),
     "q90_lr_quality"      -> (Pipeline.q90 _),
     "q91_snapshot_diff"   -> (Pipeline.q91 _),
+    // q92–q97: the events family's single-pass sorted-layout kernels
+    // (Events.*FromSortedKernel) run against the pay-once bucketed layout
+    // (Layouts.eventsByUserCached — staged once per session+dir, shared by
+    // all six). Same oracles as their declarative twins q12/q13/q21/q51/
+    // q70/q71: the kernels must HASH-MATCH them, making the layout path
+    // driver-gated, not just spec-gated. Timed runs measure the
+    // post-staging steady state; the stage-once cost is recorded
+    // separately (tools/bench_bucketed_latest.json, amortization counts).
+    "q92_kernel_session"  -> ((s, d) => Events.q12FromSortedKernel(Layouts.eventsByUserCached(s, d))),
+    "q93_kernel_lag"      -> ((s, d) => Events.q13FromSortedKernel(Layouts.eventsByUserCached(s, d))),
+    "q94_kernel_asof"     -> ((s, d) => Events.q21FromSortedKernel(Layouts.eventsByUserCached(s, d))),
+    "q95_kernel_funnel"   -> ((s, d) => Events.q51FromSortedKernel(Layouts.eventsByUserCached(s, d))),
+    "q96_kernel_retention" -> ((s, d) => Events.q70FromSortedKernel(Layouts.eventsByUserCached(s, d))),
+    "q97_kernel_transitions" -> ((s, d) => Events.q71FromSortedKernel(Layouts.eventsByUserCached(s, d))),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -167,7 +181,20 @@ object SparkEntry {
     *  - q76 (G-K sketch merges are partitioning-dependent; spec pins each
     *    approx percentile inside the exact ±0.01-quantile envelope)
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    // the sorted-layout kernels (q92–q97) must hash-match their
+    // declarative twins, so they share the twins' oracles verbatim
+    base ++ Map(
+      "q92_kernel_session"     -> base("q12_session"),
+      "q93_kernel_lag"         -> base("q13_lag"),
+      "q94_kernel_asof"        -> base("q21_asof_join"),
+      "q95_kernel_funnel"      -> base("q51_funnel"),
+      "q96_kernel_retention"   -> base("q70_retention"),
+      "q97_kernel_transitions" -> base("q71_transitions"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity", 2)} AS sum_qty,

@@ -104,6 +104,16 @@ class BucketedJoinSpec extends SparkSpec {
         val viol = Events.userIdLayoutGateViolations(plan, allowSort)
         assert(viol.isEmpty, s"$name: ${viol.mkString("; ")}\n$plan")
       }
+      // the kernels' scan must stay BUCKET-ALIGNED: a bare projection
+      // gives the planner no reason to keep the bucketed scan
+      // (DisableUnnecessaryBucketedScan), and size-based splits interleave
+      // bucket files — Layouts forces autoBucketedScan off; gate it here
+      val bareProj = evB.select(col("user_id"), col("ts"))
+      val scanPlan = bareProj.queryExecution.executedPlan.toString
+      assert(!scanPlan.contains("Bucketed: false"),
+        s"kernel-shaped scan lost bucket alignment:\n$scanPlan")
+      assert(bareProj.queryExecution.toRdd.getNumPartitions == 8,
+        "bucketed scan must yield one partition per bucket")
       // the single-pass sorted-layout kernels must reproduce their
       // Window/aggregate forms exactly — on the bucketed table (the
       // deployment path) AND on an explicitly repartition+
