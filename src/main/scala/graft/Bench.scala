@@ -537,11 +537,16 @@ object Bench {
     }
     // Contemporaneous oracle measurement for a B-set query, immediately
     // before the engine block so a host stall hits both sides.
-    def coMeasureOracle(name: String): Unit =
+    // Returns the fresh reading WITHOUT committing it: the caller pairs it
+    // with the engine value only if that engine value is KEPT. Committing
+    // unconditionally corrupted the contemporaneous pair on re-run passes:
+    // pass 2's (discarded, dragged) engine reading left behind pass 2's
+    // oracle reading, silently re-pairing pass 1's clean engine time with
+    // a dragged oracle time and flipping the ratio.
+    def coMeasureOracle(name: String): Option[Double] =
       if (bset.contains(name))
-        SparkEntry.oracleSql.get(name).foreach { sql =>
-          sidecar.measure(name, sql).foreach { o => oracleSec.put(name, o) }
-        }
+        SparkEntry.oracleSql.get(name).flatMap(sql => sidecar.measure(name, sql))
+      else None
     // The FULL inflation predicate, shared by the first-pass flagging and
     // the end-of-run re-probe unflagging (the r6 advice caught the re-probe
     // rechecking only the prior-median arm, so a new query whose re-probe
@@ -569,18 +574,24 @@ object Bench {
     // and est/suspect flags always describe the KEPT value — a later
     // clean reading clears the flags its predecessor earned, a slower
     // later reading changes nothing.
-    def measuredPass(): Unit = for (((name, fn), idx) <- ordered.zipWithIndex) {
+    // `budget`: the wall budget this pass may measure against. Pass 1 gets
+    // the plain deadline; RE-RUN passes get the same 1.15x extension their
+    // while-guard budgets with — gating the inner skip logic on the plain
+    // deadline made every re-run query take the deadline-skip branch
+    // (elapsed >= deadline by then), so the "re-run the whole suite"
+    // pass measured exactly nothing while burning wall-clock.
+    def measuredPass(budget: Double): Unit = for (((name, fn), idx) <- ordered.zipWithIndex) {
       // reserve one estimated run for every query after this one
       val tailCost = ordered.drop(idx + 1).map { case (n, _) => est(n) }.sum
       val w = math.max(est(name), 0.05)
-      val room = deadlineSec - elapsed() - tailCost
+      val room = budget - elapsed() - tailCost
       val runs = math.min(5, math.max(1, (room / w).toInt))
       val runCap = math.max(warmCapSec, 5 * w)
       val old = Option(results.get(name)).map(_.doubleValue)
-      coMeasureOracle(name)
+      val freshOracle = coMeasureOracle(name)
       var mFlagged = false // this measurement is an est+suspect fallback
       val t = try {
-        if (warm(name) >= 0 && (deadlineSec - elapsed() < w || w > deadlineSec / 10)) {
+        if (warm(name) >= 0 && (budget - elapsed() < w || w > deadlineSec / 10)) {
           // No room for even one timed run — or the warm run itself was
           // already pathologically slow. The warm figure is reported BUT
           // flagged: it is a single first-ever execution (JIT + codegen +
@@ -607,7 +618,7 @@ object Bench {
               System.err.println(
                 f"[bench] $name noisy block $block samples=${s.map(x => f"$x%.3f").mkString(",")}")
             go = noisy && block < 3 &&
-              deadlineSec - elapsed() - tailCost > runs * w + 5.0
+              budget - elapsed() - tailCost > runs * w + 5.0
           }
           val gcMs = gcMillis() - gc0
           if (gcMs > 500) System.err.println(s"[bench] $name gc=${gcMs}ms")
@@ -629,6 +640,10 @@ object Bench {
       }
       if (keepNew) {
         results.put(name, t)
+        // commit the oracle reading taken contemporaneously with THIS
+        // engine reading; when the engine value is discarded, the old
+        // (still-paired) oracle value stays
+        freshOracle.foreach(o => oracleSec.put(name, o))
         val reason = if (t >= 0) inflationReason(name, t) else None
         reason.foreach(why => System.err.println(s"[bench] $name SUSPECT: $why"))
         if (mFlagged) { estimated.add(name); suspect.add(name) }
@@ -671,7 +686,7 @@ object Bench {
               // re-adds a fresh one unless the sidecar is gone, in which
               // case the query reports engine time only, no stale ratio.
               oracleSec.remove(name)
-              coMeasureOracle(name)
+              coMeasureOracle(name).foreach(o => oracleSec.put(name, o))
               // full recheck (both arms), not just the prior-median one: a
               // re-probe still 5x above its own warm must stay flagged
               if (inflationReason(name, t1).isEmpty) {
@@ -691,7 +706,7 @@ object Bench {
     // of publishing a noise artifact. Min-merge makes re-runs strictly
     // information-gaining; the per-pass end floors stay in the JSON as
     // floor_end_passN_sec so a reader can see which pass was clean.
-    measuredPass()
+    measuredPass(deadlineSec)
     reprobeSuspects()
     var fEnd = floorProbe("end")
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "3").toInt
@@ -704,7 +719,7 @@ object Bench {
         f"(floor $fEnd%.3f s, ${suspect.size} suspects) — re-running the suite " +
         f"with ${deadlineSec * 1.15 - elapsed()}%.0f s of budget left")
       passes += 1
-      measuredPass()
+      measuredPass(deadlineSec * 1.15)
       reprobeSuspects()
       fEnd = floorProbe("end")
     }

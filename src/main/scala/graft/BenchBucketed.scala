@@ -255,10 +255,9 @@ object BenchBucketed {
       require(q5Gate.collect().toSeq == queries.Relational.q5(spark, sfDir).collect().toSeq,
         "bucketed q5 diverged from plain q5")
       val q5Plan = q5Gate.queryExecution.executedPlan.toString
-      val q5Exchanges = q5Plan.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning") && l.contains("o_custkey"))
-      require(q5Exchanges == 0,
-        s"bucketed q5 re-shuffled on o_custkey ($q5Exchanges exchanges):\n$q5Plan")
+      val q5Viol = queries.Relational.custkeyLayoutGateViolations(q5Plan)
+      require(q5Viol.isEmpty,
+        s"bucketed q5 layout violations: ${q5Viol.mkString("; ")}\n$q5Plan")
       val tQ5Bkt = med(5)(q5B().collect())
 
       val floor1 = med(3)(Tables.region(spark, sfDir).groupBy().count().collect())

@@ -87,7 +87,11 @@ object Tables {
     * first read gets a FRESH clone, not the stale one. Other confs copied
     * at clone time stay frozen for the cached frame's life; they affect
     * expression semantics layered on top of the scan, which the returned
-    * frame does not contain.
+    * frame does not contain. Cost of the tz key: each DISTINCT timezone a
+    * caller uses retains one clone for the process — fine for the
+    * engine's fixed-UTC sessions and any sane caller; a caller cycling
+    * through many timezones over NANOS data pays one clone each (bounded
+    * by the ~600 zone ids, and correctness beats the old stale-conf read).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // a prior call that fell back to the NANOS clone already proved the

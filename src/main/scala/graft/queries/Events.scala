@@ -507,9 +507,14 @@ object Events {
       StructField("nv", LongType, nullable = false),
       StructField("nc", LongType, nullable = false),
       StructField("np", LongType, nullable = false)))
+    // coalesce to 0: on an input with no view/click/purchase rows at all,
+    // the declarative form's count() aggregates yield (0,0,0) while a bare
+    // sum over zero partial rows would yield NULLs — the hash-match
+    // contract covers the empty corpus too
     ev.sparkSession.createDataFrame(partials, schema)
-      .agg(sum("nv").as("n_view"), sum("nc").as("n_view_click"),
-        sum("np").as("n_funnel"))
+      .agg(coalesce(sum("nv"), lit(0L)).as("n_view"),
+        coalesce(sum("nc"), lit(0L)).as("n_view_click"),
+        coalesce(sum("np"), lit(0L)).as("n_funnel"))
   }
 
   /** [[q70]] as a single forward pass over the sorted layout — same

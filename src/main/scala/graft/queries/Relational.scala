@@ -216,6 +216,18 @@ object Relational {
       .limit(100)
   }
 
+  /** ONE definition of the o_custkey pay-once layout's plan gate, shared
+    * by BenchBucketed and BucketedJoinSpec (the userIdLayoutGateViolations
+    * pattern): the bucketed q5 must not re-exchange on o_custkey. A gate
+    * duplicated at each call site can drift and silently check different
+    * plans.
+    */
+  private[graft] def custkeyLayoutGateViolations(plan: String): Seq[String] = {
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("o_custkey"))
+    if (ex > 0) Seq(s"$ex exchange(s) re-partition on o_custkey") else Seq.empty
+  }
+
   /** The row_number window form of q5 — the one-line idiomatic spelling,
     * retained as the independent semantic oracle for the aggregate form
     * (RelationalSpec asserts q5 == q5Window row-for-row). Shuffles once on

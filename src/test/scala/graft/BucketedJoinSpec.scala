@@ -85,6 +85,7 @@ class BucketedJoinSpec extends SparkSpec {
     // tools/bench_bucketed_latest.json).
     import graft.queries.Events
     val orderingWas = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    val autoScanWas = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     Layouts.stageEventsByUser(spark, sf0001, buckets = 8, table = "b_ev_bkt")
     try {
       val evP = Tables.events(spark, sf0001)
@@ -138,23 +139,32 @@ class BucketedJoinSpec extends SparkSpec {
           s"$name kernel diverged from the declarative form on a sorted repartition")
       }
     } finally {
+      // restore BOTH confs Layouts set — the session is a JVM-wide
+      // singleton shared by every suite, and a leaked autoBucketedScan
+      // would make later suites' plan assertions order-dependent
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", orderingWas)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScanWas)
       spark.sql("DROP TABLE IF EXISTS b_ev_bkt")
     }
   }
 
   test("q5 over o_custkey-bucketed orders plans exchange-free, row parity") {
     import graft.queries.Relational
+    val orderingWas5 = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    val autoScanWas5 = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     Layouts.stageOrdersByCustkey(spark, sf0001, buckets = 8, table = "b_ord_bkt")
     try {
       val b = Relational.q5From(spark.table("b_ord_bkt"))
       assert(b.collect().toSeq == Relational.q5(spark, sf0001).collect().toSeq,
         "bucketed q5 changed the rows")
       val plan = b.queryExecution.executedPlan.toString
-      val ex = plan.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning") && l.contains("o_custkey"))
-      assert(ex == 0, s"bucketed q5 re-shuffled on o_custkey:\n$plan")
-    } finally spark.sql("DROP TABLE IF EXISTS b_ord_bkt")
+      val viol = Relational.custkeyLayoutGateViolations(plan)
+      assert(viol.isEmpty, s"bucketed q5: ${viol.mkString("; ")}\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", orderingWas5)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScanWas5)
+      spark.sql("DROP TABLE IF EXISTS b_ord_bkt")
+    }
   }
 
   test("q91 snapshot diff over id-bucketed snapshots plans with no shuffle exchange") {
