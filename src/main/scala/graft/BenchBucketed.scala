@@ -232,6 +232,14 @@ object BenchBucketed {
         ("q51", Events.q51From, Events.q51FromSortedKernel),
         ("q70", Events.q70From, Events.q70FromSortedKernel),
         ("q71", Events.q71From, Events.q71FromSortedKernel))
+      // the recorded kernel numbers are only meaningful on a BUCKET-ALIGNED
+      // scan (BucketedJoinSpec gates the same shape): a planner-reverted
+      // size-split scan would either trip the kernels' layout guards or,
+      // worse, time a different physical read than the one documented
+      val kernelScanPlan = evBkt.select(col("user_id"), col("ts"))
+        .queryExecution.executedPlan.toString
+      require(!kernelScanPlan.contains("Bucketed: false"),
+        s"kernel-shaped scan lost bucket alignment:\n$kernelScanPlan")
       val kernelResults = kernels.map { case (name, declarative, kernel) =>
         require(kernel(evBkt).collect().toSeq == declarative(evPlain).collect().toSeq,
           s"$name sorted-layout kernel diverged from the declarative form")

@@ -137,6 +137,26 @@ class SortedKernelTieSpec extends SparkSpec {
     }
   }
 
+  test("q70 week arithmetic matches Spark's date_trunc across eras (seeded random ts)") {
+    // the kernel computes Monday-aligned week starts in integer day
+    // arithmetic (d - ((d+3) mod 7)); this pins it against Spark's own
+    // date_trunc('week') over ~60 years INCLUDING pre-1970 negative
+    // micros (Math.floorDiv/floorMod territory) and second-resolution
+    // jitter around day boundaries — the hand-pinned cases above cover
+    // the named edges, this covers the era space
+    val rng = new scala.util.Random(20260815L)
+    val spanMicros = 60L * 365 * 86400L * 1000000L // ~1968..2028
+    val t0 = -2L * 365 * 86400L * 1000000L
+    val rows = (0 until 400).map { i =>
+      (1000L + i, t0 + (rng.nextDouble() * spanMicros).toLong, (i % 23).toLong, "event")
+    }
+    val df = mkEvents(rows)
+    val laid = df.repartition(3, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+    assert(Events.q70FromSortedKernel(laid).collect().toSeq ==
+      Events.q70From(df).collect().toSeq)
+  }
+
   test("q70 week boundaries pinned by hand, kernel equal") {
     val expected = Seq(
       ("2024-01-01", 0L, 4L), // users 1,2,3,4 active in their cohort week 0
