@@ -38,27 +38,13 @@ object BenchBucketed {
 
   /** q2 with an explicitly-broadcast customer chain and NO hint on the
     * fact join — the shape whose fact-join physicality is decided by the
-    * session (shuffled vs co-located) rather than by a broadcast.
+    * session (shuffled vs co-located) rather than by a broadcast. Now the
+    * public `Relational.q2FromFacts` (the q98 driver entry); the bench
+    * times what a user would call.
     */
   private def q2FactJoin(li: DataFrame, o: DataFrame, spark: SparkSession,
-      dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
-    val n = broadcast(Tables.nation(spark, dir))
-    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
-    val asiaCust = broadcast(c
-      .join(n, col("c_nationkey") === col("n_nationkey"))
-      .join(r, col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey"), col("n_name")))
-    val asiaOrders = o.select("o_orderkey", "o_custkey")
-      .join(asiaCust, col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("n_name"))
-    li.select("l_orderkey", "l_extendedprice", "l_discount")
-      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("n_name"))
-      .agg(queries.Relational.dsum(
-        col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("rev"))
-      .orderBy(col("rev").desc, col("n_name"))
-  }
+      dir: String): DataFrame =
+    queries.Relational.q2FromFacts(li, o, spark, dir)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,11 +100,12 @@ object BenchBucketed {
       val gateQ = bucketQ()
       gateQ.collect()
       val plan = gateQ.queryExecution.executedPlan.toString
+      val factViol = queries.Relational.orderkeyLayoutGateViolations(plan)
+      require(factViol.isEmpty,
+        s"bucketed q2: ${factViol.mkString("; ")}\n$plan")
       val factExchanges = plan.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning") &&
           (l.contains("l_orderkey") || l.contains("o_orderkey")))
-      require(factExchanges == 0,
-        s"bucketed q2 re-shuffled the fact side ($factExchanges exchanges):\n$plan")
       val tBucketed = med(5)(bucketQ().collect())
 
       // ---- IVFADC staged-layout section (r10 verdict item 3) ----

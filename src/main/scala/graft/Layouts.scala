@@ -107,8 +107,7 @@ object Layouts {
     // can split one bucket file MID-USER across partitions — the one
     // violation the kernels' ascending-(user_id, ts) guard cannot see
     // (each fragment is still locally ascending). Cheap, idempotent.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    reassertScanConfs(spark)
     frame
   }
 
@@ -126,6 +125,53 @@ object Layouts {
       buckets, "o_custkey", Seq("o_custkey"), table)
     spark.table(table)
   }
+
+  /** Memoized [[stageOrdersByCustkey]] — the q5-family analog of
+    * [[eventsByUserCached]]: the first call per (session, dir, buckets)
+    * pays the staging, every later call reuses the table (the `q99`
+    * driver entry measures this post-staging steady state). Same digest
+    * naming so multi-SF sessions never alias datasets.
+    */
+  def ordersByCustkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
+      : DataFrame = {
+    val frame = stagedOrders.computeIfAbsent((spark, dir, buckets), { _ =>
+      val table = "g_ord_bkt_" +
+        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
+      stageOrdersByCustkey(spark, dir, buckets, table)
+    })
+    reassertScanConfs(spark)
+    frame
+  }
+
+  /** Memoized [[stageFactsByOrderkey]] — both fact tables staged once per
+    * (session, dir, buckets); the `q98` driver entry runs q2's fact join
+    * over them as a zero-exchange co-located SortMergeJoin.
+    */
+  def factsByOrderkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
+      : (DataFrame, DataFrame) = {
+    val frames = stagedFacts.computeIfAbsent((spark, dir, buckets), { _ =>
+      val digest = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      stageFactsByOrderkey(spark, dir, buckets,
+        lineitemTable = s"g_li_bkt_${digest}_$buckets",
+        ordersTable = s"g_o_bkt_${digest}_$buckets")
+    })
+    reassertScanConfs(spark)
+    frames
+  }
+
+  /** The two scan confs every staged layout depends on, re-asserted on
+    * each cached access (see [[eventsByUserCached]] for why a RESET
+    * between staging and use would otherwise silently change the read).
+    */
+  private def reassertScanConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+  }
+
+  private val stagedOrders =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  private val stagedFacts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), (DataFrame, DataFrame)]()
 
   /** The co-located fact-join layout (q2's shape at the scale where
     * nothing broadcasts): lineitem and orders each bucketed + sorted on

@@ -128,6 +128,17 @@ object SparkEntry {
     "q95_kernel_funnel"   -> ((s, d) => Events.q51FromSortedKernel(Layouts.eventsByUserCached(s, d))),
     "q96_kernel_retention" -> ((s, d) => Events.q70FromSortedKernel(Layouts.eventsByUserCached(s, d))),
     "q97_kernel_transitions" -> ((s, d) => Events.q71FromSortedKernel(Layouts.eventsByUserCached(s, d))),
+    // q98/q99: the remaining two pay-once layouts, driver-gated the q92+
+    // way (same oracles as their plain twins q2/q5, so the layout path
+    // must hash-match). q98 runs q2's fact join over orderkey-bucketed
+    // lineitem+orders — the zero-exchange co-located SortMergeJoin that
+    // survives 100 TB where no fact side broadcasts; q99 runs q5's heap
+    // top-k over o_custkey-bucketed orders — one exchange-free stage.
+    "q98_layout_factjoin" -> ((s, d) => {
+      val (li, o) = Layouts.factsByOrderkeyCached(s, d)
+      Relational.q2FromFacts(li, o, s, d)
+    }),
+    "q99_layout_topk"     -> ((s, d) => Relational.q5From(Layouts.ordersByCustkeyCached(s, d))),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -191,7 +202,10 @@ object SparkEntry {
       "q94_kernel_asof"        -> base("q21_asof_join"),
       "q95_kernel_funnel"      -> base("q51_funnel"),
       "q96_kernel_retention"   -> base("q70_retention"),
-      "q97_kernel_transitions" -> base("q71_transitions"))
+      "q97_kernel_transitions" -> base("q71_transitions"),
+      // the staged-layout twins likewise share their plain forms' oracles
+      "q98_layout_factjoin"    -> base("q2_join_broadcast"),
+      "q99_layout_topk"        -> base("q5_rank_window"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -79,6 +79,47 @@ object Relational {
       .orderBy(col("rev").desc, col("n_name"))
   }
 
+  /** [[q2]]'s fact join over ANY lineitem/orders-shaped frames — the
+    * pay-once layout seam (the q5From pattern): the dimension chain is
+    * still explicitly broadcast (region/nation/customer are small at any
+    * scale), but the fact join carries NO hint, so its physicality is the
+    * session's choice. Over [[graft.Layouts.stageFactsByOrderkey]]'s
+    * orderkey-bucketed tables it plans as a zero-exchange co-located
+    * SortMergeJoin — the shape that survives 100 TB where neither fact
+    * side broadcasts; driver-gated as `q98` against q2's own oracle.
+    */
+  def q2FromFacts(li: DataFrame, o: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    val asiaCust = broadcast(c
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name")))
+    val asiaOrders = o.select("o_orderkey", "o_custkey")
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    li.select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(Relational.dsum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("rev"))
+      .orderBy(col("rev").desc, col("n_name"))
+  }
+
+  /** ONE definition of the orderkey fact-layout's plan gate (the
+    * custkeyLayoutGateViolations pattern), shared by BenchBucketed and
+    * BucketedJoinSpec: the bucketed fact join must not re-exchange either
+    * fact side on its orderkey.
+    */
+  private[graft] def orderkeyLayoutGateViolations(plan: String): Seq[String] = {
+    val ex = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("l_orderkey") || l.contains("o_orderkey")))
+    if (ex > 0) Seq(s"$ex exchange(s) re-partition the fact side") else Seq.empty
+  }
+
   /** Broadcast hint gated on real plan-time statistics: applied only when
     * `bound`'s optimized-plan size (for a pruned parquet scan, the actual
     * COMPRESSED file footprint scaled by column pruning) fits the session

@@ -167,6 +167,35 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("q2 over orderkey-bucketed facts: zero fact-side exchange SMJ, row parity") {
+    import graft.queries.Relational
+    val orderingWas = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    val autoScanWas = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    Layouts.stageFactsByOrderkey(spark, sf0001, buckets = 8,
+      lineitemTable = "b_li_bkt", ordersTable = "b_o_bkt")
+    // force the 100 TB regime: the fact join may not broadcast (the dim
+    // chain inside q2FromFacts stays explicitly broadcast — small at any
+    // scale); bucketing must then remove the SMJ's fact exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val b = Relational.q2FromFacts(
+        spark.table("b_li_bkt"), spark.table("b_o_bkt"), spark, sf0001)
+      assert(b.collect().toSeq == Relational.q2(spark, sf0001).collect().toSeq,
+        "bucketed q2 changed the rows")
+      val plan = b.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast fact join:\n$plan")
+      val viol = Relational.orderkeyLayoutGateViolations(plan)
+      assert(viol.isEmpty, s"bucketed q2: ${viol.mkString("; ")}\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", orderingWas)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScanWas)
+      spark.sql("DROP TABLE IF EXISTS b_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS b_o_bkt")
+    }
+  }
+
   test("q91 snapshot diff over id-bucketed snapshots plans with no shuffle exchange") {
     // the deployment layout the q91 scaladoc claims: both corpus revisions
     // bucketed by doc_id -> the full-outer diff join is exchange-free
