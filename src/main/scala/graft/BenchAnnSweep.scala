@@ -96,6 +96,18 @@ object BenchAnnSweep {
         s"""{"nprobe":$np,"rerank":50,"recall":${n(rec)},"sec":${n(t)}}"""
       }
 
+      // IVFADC rerank axis (nprobe=4) + both-knobs-up points: the nprobe
+      // axis above plateaus at ~0.54, so THIS is the binding knob.
+      val ivfadcRr = (Seq((4, 100), (4, 200), (4, 400), (8, 200), (16, 200))).map {
+        case (np, rr) =>
+          Pipeline.ivfadcAnn(spark, sfDir, nprobe = np, rerank = rr).collect()
+          val t = med(3)(Pipeline.ivfadcAnn(spark, sfDir, nprobe = np, rerank = rr).collect())
+          val rec = recallOf(Pipeline.ivfadcAnn(spark, sfDir, nprobe = np, rerank = rr))
+          System.err.println(
+            f"[ann-sweep] ivfadc nprobe=$np%2d rerank=$rr%4d recall=$rec%.2f t=$t%.3f")
+          s"""{"nprobe":$np,"rerank":$rr,"recall":${n(rec)},"sec":${n(t)}}"""
+      }
+
       // IVFADC staged probe: index written ONCE partitioned by cell; each
       // probe reads only its nprobe cells' files. cells_probed is recorded
       // so the pruning claim is checkable against the time curve.
@@ -132,6 +144,7 @@ object BenchAnnSweep {
           s""""ivf":[${ivfPoints.mkString(",")}],""" +
           s""""pq":[${pqPoints.mkString(",")}],""" +
           s""""ivfadc_inline":[${ivfadcNp.mkString(",")}],""" +
+          s""""ivfadc_rerank_axis":[${ivfadcRr.mkString(",")}],""" +
           s""""ivfadc_stage_once_sec":${n(tStage)},""" +
           s""""ivfadc_staged":[${stagedPoints.mkString(",")}],""" +
           s""""floor_start_sec":${n(floor0)},"floor_end_sec":${n(floor1)}}"""

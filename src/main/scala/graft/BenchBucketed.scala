@@ -137,7 +137,7 @@ object BenchBucketed {
       val queriesDf = Pipeline.annQueries(emb)
       val cells = Pipeline.ivfadcProbedCells(queriesDf, cents, nprobe = 4)
       def stagedQ() = Pipeline.ivfadcStagedProbe(
-        spark, codesPath, emb, queriesDf, cents, cb, nprobe = 4, rerank = 50)
+        spark, codesPath, emb, queriesDf, cents, cb, nprobe = 4, rerank = 200)
       // result parity: staged layout must reproduce the inline q88 rows
       val inlineRows = Pipeline.q88(spark, sfDir).collect().toSeq
       val stagedRows = stagedQ().collect().toSeq

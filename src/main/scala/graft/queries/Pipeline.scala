@@ -391,10 +391,15 @@ object Pipeline {
     * cell-bucketed files of PQ codes, with full embeddings fetched only
     * for the shortlist. Probing all cells AND re-ranking everything
     * reproduces exact q16 verbatim (spec) — both approximations are
-    * independently lossless-at-the-limit dials.
+    * independently lossless-at-the-limit dials. Default operating point
+    * (4, 200): the r12 sweep (tools/bench_ann_sweep.json) measured the
+    * rerank axis as the binding knob at rerank=50 (recall 0.54 plateaus
+    * across nprobe), while rerank=200 saturates nprobe=4's probe-set
+    * ceiling (recall 0.62) at indistinguishable cost — the re-rank is
+    * |queries|×rerank exact dots, O(1) per corpus size.
     */
   def q88(spark: SparkSession, dir: String): DataFrame =
-    ivfadcAnn(spark, dir, nprobe = 4, rerank = 50)
+    ivfadcAnn(spark, dir, nprobe = 4, rerank = 200)
 
   private[graft] def ivfadcAnn(spark: SparkSession, dir: String,
       nprobe: Int, rerank: Int): DataFrame = {

@@ -66,7 +66,7 @@ class BucketedJoinSpec extends SparkSpec {
     val cells = Pipeline.ivfadcProbedCells(queriesDf, cents, nprobe = 4)
     assert(cells.nonEmpty && cells.length <= 40) // ≤ |queries|·nprobe
     val staged = Pipeline.ivfadcStagedProbe(spark, dir, emb, queriesDf, cents, cb,
-      nprobe = 4, rerank = 50)
+      nprobe = 4, rerank = 200)
     val stagedRows = staged.collect().toSeq
     val inlineRows = Pipeline.q88(spark, sf0001).collect().toSeq
     assert(stagedRows == inlineRows,

@@ -89,7 +89,7 @@ class PipelineSpec extends SparkSpec {
     assert(full == exact)
   }
 
-  test("q88 IVFADC recall at nprobe=4, rerank=50 vs exact top-5 (isotropic corpus)") {
+  test("q88 IVFADC recall at nprobe=4, rerank=200 vs exact top-5 (isotropic corpus)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Pipeline.q88(spark, sf001).select("qid", "vec_id").collect()
