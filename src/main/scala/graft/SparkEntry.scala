@@ -139,6 +139,11 @@ object SparkEntry {
       Relational.q2FromFacts(li, o, s, d)
     }),
     "q99_layout_topk"     -> ((s, d) => Relational.q5From(Layouts.ordersByCustkeyCached(s, d))),
+    // q100: the columnar-batch kernel seam (operators/ColumnarScan) — q11
+    // recomputed directly from the parquet scan's ColumnarBatches, no
+    // ColumnarToRow boundary. Shares q11's oracle: the kernel must
+    // hash-match the declarative form bit-for-bit.
+    "q100_columnar_tumbling" -> (Events.q11ColumnarKernel _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -205,7 +210,9 @@ object SparkEntry {
       "q97_kernel_transitions" -> base("q71_transitions"),
       // the staged-layout twins likewise share their plain forms' oracles
       "q98_layout_factjoin"    -> base("q2_join_broadcast"),
-      "q99_layout_topk"        -> base("q5_rank_window"))
+      "q99_layout_topk"        -> base("q5_rank_window"),
+      // the columnar kernel likewise hash-matches its declarative twin
+      "q100_columnar_tumbling" -> base("q11_tumbling"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Columnar-batch access to a parquet scan — the engine's answer to the
+  * measured vectorized-reader→row boundary constant.
+  *
+  * Why this exists (the r12 decomposition record): for the events/orders
+  * query families, every remaining >2× marginal vs the DuckDB baseline was
+  * decomposed to either (a) the bare scan+agg constant (q11 — the whole
+  * marginal IS `ColumnarToRowExec` + codegen'd per-row agg consume,
+  * tools/bench_q11_decomp_latest.json) or (b) a single operator's per-row
+  * JVM cost (q12's interval agg, q13's WindowExec). Plan-level work is
+  * exhausted: those plans already have zero avoidable exchanges, pruned
+  * scans, and whole-stage codegen. The only structure left ABOVE the plan
+  * is the row boundary itself: Spark's parquet reader produces
+  * [[ColumnarBatch]]es, then `ColumnarToRowExec` walks them row-wise into
+  * codegen — paying per-row virtual reads, null checks and UnsafeRow
+  * traffic before the aggregate sees a single value.
+  *
+  * [[soleColumnarScan]] hands a kernel the scan's OWN columnar output —
+  * the exact RDD[ColumnarBatch] the vectorized reader builds, with
+  * partition layout, pruning and pushed filters untouched — so a
+  * tight-loop kernel can consume column vectors directly (long/double
+  * primitive reads, batch-level null short-circuit via
+  * `ColumnVector.hasNull`). This is the same seam Spark's own columnar
+  * accelerators (the `org.apache.spark.sql.columnar` plugin API) attach
+  * to; here it feeds hand-written aggregation kernels whose results are
+  * driver-gated against the SAME DuckDB oracles as their declarative
+  * twins (the q92–q97 discipline: a kernel that drifts hash-mismatches).
+  *
+  * Scale: nothing driver-side happens here — the RDD is the scan's
+  * distributed output, one batch stream per file split, so a kernel on
+  * top is exactly as partitioned/parallel as the scan it replaces.
+  */
+object ColumnarScan {
+
+  /** The single scan leaf under `df`'s executed plan, verified columnar.
+    *
+    * The caller's `df` exists only to DRIVE planning (column pruning,
+    * partition pruning, filter pushdown); any projections/casts layered
+    * above the scan are intentionally discarded — the kernel re-derives
+    * its semantics from raw scan columns (and must: e.g. events.ts
+    * arrives as NTZ micros or NANOS longs depending on testdata
+    * generation, and the kernel replicates Tables.events' normalization
+    * on the primitive values).
+    *
+    * Loud-failure contract (the badLayout discipline): a plan with joins,
+    * multiple leaves, or a non-columnar scan (vectorized reader disabled,
+    * nested schema, non-parquet source) throws with the plan attached —
+    * a kernel must never silently aggregate the wrong relation.
+    */
+  def soleColumnarScan(df: DataFrame): SparkPlan = {
+    // AdaptiveSparkPlanExec is itself a LeafExecNode — unwrap it so the
+    // leaf census below sees the real scan structure (a pure scan is
+    // normally not AQE-wrapped, but joins are, and the error message for
+    // "you handed the kernel a join" must say so)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val leaves = plan.collectLeaves()
+    if (leaves.size != 1) throw new IllegalStateException(
+      s"ColumnarScan needs exactly one scan leaf, found ${leaves.size}:\n$plan")
+    val scan = leaves.head
+    if (!scan.supportsColumnar) throw new IllegalStateException(
+      "ColumnarScan: the scan does not produce ColumnarBatches (vectorized " +
+      s"reader disabled, or unsupported schema/source):\n$scan")
+    scan
+  }
+
+  /** The scan's columnar output plus its schema (column order == vector
+    * order in each batch). Schema fields are the PRUNED read columns —
+    * index by name, not by the caller's select order.
+    */
+  def batches(df: DataFrame): (RDD[ColumnarBatch], StructType) = {
+    val scan = soleColumnarScan(df)
+    (scan.executeColumnar(), scan.schema)
+  }
+}
+
+/** Minimal open-addressing long→accumulator map for columnar kernels:
+  * primitive arrays only (no per-probe boxing — `java.util.HashMap[Long,_]`
+  * allocates a boxed key per get), `slots` parallel long accumulators per
+  * key, linear probing at ≤0.5 load. Group cardinality in the kernels
+  * using this is tiny (days × event types), so the table stays L1/L2
+  * resident; the growth path exists for safety, not for the hot case.
+  */
+final class LongAccMap(slots: Int, initCap: Int = 1024) {
+  require(Integer.bitCount(initCap) == 1, "capacity must be a power of two")
+  private var cap = initCap
+  private var mask = cap - 1
+  private var keys = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var vals = new Array[Long](cap * slots)
+  private var n = 0
+
+  /** Base index into [[values]] for `key`'s accumulators, inserting a
+    * zeroed entry on first sight.
+    */
+  def slot(key: Long): Int = {
+    var i = (java.lang.Long.hashCode(key * -7046029254386353131L)) & mask
+    while (used(i)) {
+      if (keys(i) == key) return i * slots
+      i = (i + 1) & mask
+    }
+    used(i) = true; keys(i) = key; n += 1
+    if (n * 2 > cap) { grow(); slot(key) } else i * slots
+  }
+
+  def values: Array[Long] = vals
+  def size: Int = n
+
+  /** Visit every (key, baseIndex) pair. */
+  def foreachEntry(f: (Long, Int) => Unit): Unit = {
+    var i = 0
+    while (i < cap) { if (used(i)) f(keys(i), i * slots); i += 1 }
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ou = used; val ov = vals; val ocap = cap
+    cap *= 2; mask = cap - 1; n = 0
+    keys = new Array[Long](cap); used = new Array[Boolean](cap)
+    vals = new Array[Long](cap * slots)
+    var i = 0
+    while (i < ocap) {
+      if (ou(i)) {
+        val base = slot(ok(i))
+        var s = 0
+        while (s < slots) { vals(base + s) = ov(i * slots + s); s += 1 }
+      }
+      i += 1
+    }
+  }
+}

@@ -96,7 +96,12 @@ object Events {
     */
   def q11(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(to_date(date_trunc("day", col("ts"))).as("d"), col("event_type"))
+      // `cast(ts AS DATE)` ≡ `to_date(date_trunc('day', ts))` in ANY session
+      // timezone (both truncate to the session-local day); the cast spelling
+      // skips date_trunc's instant→zoned→truncate→instant round trip —
+      // measured −32% on the 10M-row scaled table (PERF.md r12 columnar
+      // section: 0.644 → 0.444 s group-count, parity-checked)
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
       .agg(count(lit(1)).as("c"), Relational.dsum(col("value"), 2).as("s"))
       .orderBy("d", "event_type")
 
@@ -109,6 +114,183 @@ object Events {
       .agg(count(lit(1)).as("c"), Relational.dsum(col("value"), 2).as("s"))
       .select(to_date(col("window.start")).as("d"), col("event_type"), col("c"), col("s"))
       .orderBy("d", "event_type")
+
+  /** [[q11]] as a COLUMNAR-BATCH kernel — the engine's first operator on
+    * the [[graft.operators.ColumnarScan]] seam, attacking the one cost the
+    * r12 decomposition proved is q11's ENTIRE remaining marginal vs the
+    * oracle: the vectorized-reader→row boundary
+    * (tools/bench_q11_decomp_latest.json — bare scan-agg ≡ full q11 within
+    * residuals; "only a different scan boundary moves this family").
+    *
+    * Semantics are q11's, re-derived from raw scan columns:
+    *  - day: `to_date(date_trunc('day', ts))` under the UTC-session
+    *    contract == floorDiv(micros, 86 400 000 000) == the DateType
+    *    internal epoch-day. The ts variant normalization is
+    *    [[graft.Tables.events]]' exactly: NANOS longs → `ts div 1000`
+    *    (truncating division, matching the `div` expression), NTZ/UTC
+    *    micros used as-is (identical internal longs).
+    *  - count: every row, null value included (`count(lit(1))`).
+    *  - sum: [[graft.queries.Relational.dsum]]'s fixed-point form per row
+    *    (`floor(v·10⁴ + 0.5).toLong`, exact for the 2-decimal corpus),
+    *    summed as longs (order-independent), descaled+rounded ONCE in the
+    *    final tiny aggregate — so the kernel hash-matches q11's oracle
+    *    bit-for-bit (driver-gated as q100 on q11's own DuckDB SQL).
+    *  - null groups: a null ts rows under a null day, a null event_type
+    *    under a null type (both per-row-checked only in batches whose
+    *    vectors report `hasNull`); an all-null-value group sums to NULL,
+    *    tracked by a has-value accumulator per group.
+    *
+    * Shape at 100 TB: ONE single-stage job — the scan's own partitioning,
+    * a per-partition bounded accumulator (days × event types packed into a
+    * primitive open-addressing [[graft.operators.LongAccMap]]), partials
+    * merged on the driver (bounded state, the LrGradient pattern — the
+    * group space doesn't grow with rows). What changes per row: three
+    * primitive vector reads + one map probe, with no ColumnarToRow
+    * materialization, no UnsafeRow writes, no expression eval per row;
+    * event_type is read as parquet DICTIONARY IDS where encoded (one int
+    * read + array index per row, strings decoded once per batch id).
+    */
+  def q11ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DateType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val ev = Tables.events(spark, dir).select(col("ts"), col("event_type"), col("value"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(ev)
+    val tsIdx = schema.fieldIndex("ts")
+    val etIdx = schema.fieldIndex("event_type")
+    val vIdx = schema.fieldIndex("value")
+    // NANOS generations scan as LongType and need the micros truncation;
+    // TIMESTAMP/NTZ generations are already internal micros (UTC contract)
+    val nanosDiv: Long = schema(tsIdx).dataType match {
+      case LongType => 1000L
+      case TimestampType | TimestampNTZType => 1L
+      case other => throw new IllegalStateException(
+        s"q11ColumnarKernel: events.ts scanned as ${other.sql} — extend " +
+        "the kernel alongside Tables.events (same drift contract).")
+    }
+    val NullDay: Long = Int.MinValue.toLong  // epoch days span ±~107M only
+    val NullType = 0xFFFFF                   // 2^20-1; interned ids are tiny
+    val partials = batches.mapPartitions { it =>
+      val ids = new java.util.HashMap[UTF8String, Integer]()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val acc = new graft.operators.LongAccMap(3) // cnt, fixsum, hasValue
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val tsV = b.column(tsIdx); val etV = b.column(etIdx); val vV = b.column(vIdx)
+        val anyNull = tsV.hasNull || etV.hasNull || vV.hasNull
+        // Dictionary fast path: parquet keeps low-cardinality strings
+        // dictionary-encoded and the vectorized reader preserves that (an
+        // encoding fallback mid-row-group makes the reader materialize the
+        // whole batch, so hasDictionary is a safe all-or-nothing per-batch
+        // signal). Per row it is then one int read + one array index; the
+        // string is decoded ONCE per (batch, dictionary id), not per row —
+        // measured as the dominant kernel cost before this path existed.
+        val etW = etV match {
+          case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+            if w.hasDictionary => w
+          case _ => null
+        }
+        val dictIds = if (etW != null) etW.getDictionaryIds else null
+        var remap: Array[Int] = null
+        var i = 0
+        while (i < n) {
+          val day =
+            if (anyNull && tsV.isNullAt(i)) NullDay
+            else Math.floorDiv(tsV.getLong(i) / nanosDiv, 86400000000L)
+          var id = NullType
+          if (!(anyNull && etV.isNullAt(i))) {
+            if (etW != null) {
+              val did = dictIds.getInt(i)
+              if (remap == null || did >= remap.length) {
+                val grown = new Array[Int](Math.max(256, Integer.highestOneBit(did) * 2))
+                java.util.Arrays.fill(grown, -1)
+                if (remap != null) System.arraycopy(remap, 0, grown, 0, remap.length)
+                remap = grown
+              }
+              id = remap(did)
+              if (id == -1) {
+                val s = etV.getUTF8String(i)
+                var boxed = ids.get(s)
+                if (boxed == null) {
+                  boxed = Integer.valueOf(names.length)
+                  ids.put(s.clone(), boxed); names += s.toString
+                }
+                id = boxed.intValue()
+                remap(did) = id
+              }
+            } else {
+              val s = etV.getUTF8String(i)
+              var boxed = ids.get(s)
+              if (boxed == null) {
+                boxed = Integer.valueOf(names.length)
+                ids.put(s.clone(), boxed); names += s.toString
+              }
+              id = boxed.intValue()
+            }
+          }
+          val base = acc.slot((day << 20) | id.toLong)
+          val vals = acc.values
+          vals(base) += 1L
+          if (!(anyNull && vV.isNullAt(i))) {
+            vals(base + 1) += Math.floor(vV.getDouble(i) * 10000.0 + 0.5).toLong
+            vals(base + 2) = 1L
+          }
+          i += 1
+        }
+      }
+      // type ids are PER-PARTITION — decode them before the partials leave
+      val out = Vector.newBuilder[(Long, String, Long, Long, Long)]
+      acc.foreachEntry { (key, base) =>
+        val day = key >> 20
+        val id = (key & 0xFFFFF).toInt
+        val v = acc.values
+        out += ((day, if (id == NullType) null else names(id),
+          v(base), v(base + 1), v(base + 2)))
+      }
+      out.result().iterator
+    }
+    // Final merge on the DRIVER, not a shuffle: the partial set is bounded
+    // by partitions × days × event types (the LrGradient bounded-state
+    // argument — kilobytes at any corpus size, because days and types don't
+    // grow with rows). A distributed groupBy here would spend ~0.2 s of
+    // pure task scheduling (32 reduce tasks + the orderBy's range-sampling
+    // job) to merge a few thousand 40-byte tuples — measured in the r12
+    // scaled A/B as the LARGEST single cost of the fresh-query path. The
+    // merge replays the declarative finale EXACTLY: long sums (order-
+    // independent), one descale+HALF_UP round (java BigDecimal — verified
+    // equal to Spark's round(double,2) on adversarial values), NULL when no
+    // non-null value contributed, and (d, event_type) ASC NULLS FIRST with
+    // UTF8String binary string order. NOTE the returned frame is already
+    // materialized (a LocalTableScan) — the kernel runs its one job HERE.
+    val merged = new java.util.HashMap[(Long, String), Array[Long]]()
+    partials.collect().foreach { case (day, name, c, fix, hasVal) =>
+      val a = merged.computeIfAbsent((day, name), _ => new Array[Long](3))
+      a(0) += c; a(1) += fix; a(2) |= hasVal
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[((Long, String), Row)]
+    merged.forEach { (k, v) =>
+      val s =
+        if (v(2) == 0L) null
+        else java.lang.Double.valueOf(java.math.BigDecimal.valueOf(v(1).toDouble / 10000.0)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+      rows += ((k, Row(
+        if (k._1 == NullDay) null else java.time.LocalDate.ofEpochDay(k._1),
+        k._2, v(0), s)))
+    }
+    val sorted = rows.sortWith { case (((da, ta), _), ((db, tb), _)) =>
+      if (da != db) da < db  // NullDay == Long.MinValue-ish sorts first
+      else if (ta == null || tb == null) ta == null && tb != null
+      else UTF8String.fromString(ta).compareTo(UTF8String.fromString(tb)) < 0
+    }.map(_._2)
+    val outSchema = StructType(Seq(
+      StructField("d", DateType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
+      StructField("c", LongType, nullable = false),
+      StructField("s", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(sorted.asJava, outSchema)
+  }
 
   /** Q12 sessionization, 30-min inactivity gap — counted by the
     * INTERVAL-MERGE AGGREGATE [[graft.functions.SessionCount]], not a lag

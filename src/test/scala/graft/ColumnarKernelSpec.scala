@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{ColumnarScan, LongAccMap}
+import graft.queries.Events
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The columnar-batch kernel seam (operators/ColumnarScan) and its first
+  * operator, q11's columnar twin (driver-gated as q100 on q11's oracle).
+  *
+  * The parity tests collect BOTH forms fully — the kernel must reproduce
+  * the declarative result row-for-row including column order, types, and
+  * the exact rounded doubles (same fixed-point arithmetic), because the
+  * driver hashes them against the same DuckDB SQL.
+  */
+class ColumnarKernelSpec extends SparkSpec {
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.collect().toSeq
+
+  test("q11 columnar kernel == declarative q11, rows/schema/values (2 SFs)") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val want = Events.q11(spark, dir)
+      val got = Events.q11ColumnarKernel(spark, dir)
+      assert(got.schema.map(f => (f.name, f.dataType)) ===
+        want.schema.map(f => (f.name, f.dataType)), s"schema at $dir")
+      assert(rowsOf(got) === rowsOf(want), s"rows at $dir")
+    }
+  }
+
+  test("kernel handles null ts / event_type / value exactly as the declarative form") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("colkernel").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      Row(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.25, "{}"),
+      Row(2L, ts("2024-01-01 11:00:00"), 1L, "click", null, "{}"),   // null value counted, not summed
+      Row(3L, ts("2024-01-01 12:00:00"), 2L, null, 2.50, "{}"),      // null type group
+      Row(4L, null, 2L, "view", 3.75, "{}"),                          // null ts -> null day group
+      Row(5L, ts("2024-01-02 00:00:00"), 3L, "view", null, "{}"),    // all-null-value group -> s NULL
+      Row(6L, ts("2023-12-31 23:59:59"), 3L, "click", -1.25, "{}"))  // negative value, prior day
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val want = rowsOf(Events.q11(spark, tmp))
+    val got = rowsOf(Events.q11ColumnarKernel(spark, tmp))
+    assert(got === want)
+    // sanity on the crafted corpus itself: the all-null-value group is NULL
+    assert(want.exists(r => r.get(3) == null))
+  }
+
+  test("non-columnar scan fails loudly, never silently row-aggregates") {
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = spark.read.parquet(s"$sf0001/events.parquet")
+        .select(col("user_id"))
+      val e = intercept[IllegalStateException] { ColumnarScan.batches(df) }
+      assert(e.getMessage.contains("ColumnarBatch"))
+    } finally spark.conf.set(key, old)
+  }
+
+  test("ColumnarScan rejects multi-leaf plans") {
+    val a = spark.range(10).toDF("x")
+    val b = spark.range(10).toDF("y")
+    val e = intercept[IllegalStateException] {
+      ColumnarScan.soleColumnarScan(a.crossJoin(b))
+    }
+    assert(e.getMessage.contains("exactly one scan leaf"))
+  }
+
+  test("LongAccMap matches a reference HashMap across growth, incl. key 0 and negatives") {
+    val rnd = new scala.util.Random(42)
+    val m = new LongAccMap(2, initCap = 8)
+    val ref = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+    val keys = (Seq(0L, -1L, Long.MinValue >> 20, 1L << 40) ++
+      Seq.fill(5000)(rnd.nextLong() >> rnd.nextInt(40))).toArray
+    for (k <- keys; _ <- 0 to rnd.nextInt(3)) {
+      val base = m.slot(k)
+      m.values(base) += 1L
+      m.values(base + 1) += k
+      val (c, s) = ref.getOrElse(k, (0L, 0L))
+      ref(k) = (c + 1L, s + k)
+    }
+    assert(m.size === ref.size)
+    var seen = 0
+    m.foreachEntry { (k, base) =>
+      assert(ref(k) === ((m.values(base), m.values(base + 1))), s"key $k")
+      seen += 1
+    }
+    assert(seen === ref.size)
+  }
+}
