@@ -144,6 +144,15 @@ object SparkEntry {
     // ColumnarToRow boundary. Shares q11's oracle: the kernel must
     // hash-match the declarative form bit-for-bit.
     "q100_columnar_tumbling" -> (Events.q11ColumnarKernel _),
+    // q101: the lineitem-family columnar kernel — q1 recomputed from raw
+    // scan vectors (pushed filter re-applied per row, dictionary-id group
+    // keys, fixed-point sums, bounded driver finale). Shares q1's oracle.
+    "q101_columnar_pricing" -> (Relational.q1ColumnarKernel _),
+    // q102/q103: the sorted-layout kernels (q93/q92) on the columnar seam —
+    // the same single forward pass consuming the bucketed scan's own
+    // ColumnarBatches. Share q13's/q12's oracles like their row twins.
+    "q102_columnar_lag"     -> ((s, d) => Events.q13FromColumnarSortedKernel(Layouts.eventsByUserCached(s, d))),
+    "q103_columnar_session" -> ((s, d) => Events.q12FromColumnarSortedKernel(Layouts.eventsByUserCached(s, d))),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -211,8 +220,11 @@ object SparkEntry {
       // the staged-layout twins likewise share their plain forms' oracles
       "q98_layout_factjoin"    -> base("q2_join_broadcast"),
       "q99_layout_topk"        -> base("q5_rank_window"),
-      // the columnar kernel likewise hash-matches its declarative twin
-      "q100_columnar_tumbling" -> base("q11_tumbling"))
+      // the columnar kernels likewise hash-match their declarative twins
+      "q100_columnar_tumbling" -> base("q11_tumbling"),
+      "q101_columnar_pricing"  -> base("q1_pricing_agg"),
+      "q102_columnar_lag"      -> base("q13_lag"),
+      "q103_columnar_session"  -> base("q12_session"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

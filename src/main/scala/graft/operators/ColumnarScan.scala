@@ -66,6 +66,25 @@ object ColumnarScan {
     val leaves = plan.collectLeaves()
     if (leaves.size != 1) throw new IllegalStateException(
       s"ColumnarScan needs exactly one scan leaf, found ${leaves.size}:\n$plan")
+    // A kernel consumes the SCAN's output and re-derives its semantics —
+    // any plan node above the scan is advisory (it drives pruning and
+    // filter pushdown) and is otherwise DISCARDED. That is safe for
+    // project/filter shapes; anything that would reorder, redistribute or
+    // transform rows (Exchange, Sort, Join, Aggregate, …) must be
+    // rejected loudly here, or a kernel with an ordering precondition
+    // would read the raw scan where the caller believed a sort applied.
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.WholeStageCodegenExec
+         | _: org.apache.spark.sql.execution.InputAdapter
+         | _: org.apache.spark.sql.execution.ProjectExec
+         | _: org.apache.spark.sql.execution.FilterExec
+         | _: org.apache.spark.sql.execution.ColumnarToRowExec => ()
+      case p if p eq leaves.head => ()
+      case other => throw new IllegalStateException(
+        s"ColumnarScan: plan node ${other.nodeName} above the scan would be " +
+        s"silently discarded by a columnar kernel — hand the kernel a pure " +
+        s"scan (projections/filters only):\n$plan")
+    }
     val scan = leaves.head
     if (!scan.supportsColumnar) throw new IllegalStateException(
       "ColumnarScan: the scan does not produce ColumnarBatches (vectorized " +
@@ -81,6 +100,68 @@ object ColumnarScan {
     val scan = soleColumnarScan(df)
     (scan.executeColumnar(), scan.schema)
   }
+}
+
+/** Per-partition string→dense-int interner for columnar kernels, with the
+  * parquet DICTIONARY fast path: low-cardinality string columns stay
+  * dictionary-encoded through the vectorized reader (an encoding fallback
+  * mid-row-group makes the reader materialize the whole batch, so
+  * `hasDictionary` is a safe all-or-nothing per-batch signal), and then a
+  * row costs one int read + one array index — the string is decoded ONCE
+  * per (batch, dictionary id). Plain-encoded batches fall back to a
+  * content-hash probe per row. Ids are dense, stable for the partition's
+  * life, and decode via [[name]].
+  *
+  * Usage per batch: [[bind]] the column vector, then [[idAt]] for each
+  * row the CALLER has already null-checked.
+  */
+final class StringIdInterner {
+  private val ids = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+  private val names = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var vec: org.apache.spark.sql.vectorized.ColumnVector = null
+  private var dictIds: org.apache.spark.sql.vectorized.ColumnVector = null
+  private var remap: Array[Int] = null
+
+  def bind(v: org.apache.spark.sql.vectorized.ColumnVector): Unit = {
+    vec = v
+    dictIds = v match {
+      case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+        if w.hasDictionary => w.getDictionaryIds
+      case _ => null
+    }
+    remap = null // dictionary ids are only meaningful within one batch
+  }
+
+  /** Dense id for the (non-null) string at row `i` of the bound vector. */
+  def idAt(i: Int): Int = {
+    if (dictIds != null) {
+      val did = dictIds.getInt(i)
+      if (remap == null || did >= remap.length) {
+        val grown = new Array[Int](Math.max(256, Integer.highestOneBit(Math.max(did, 1)) * 4))
+        java.util.Arrays.fill(grown, -1)
+        if (remap != null) System.arraycopy(remap, 0, grown, 0, remap.length)
+        remap = grown
+      }
+      val cached = remap(did)
+      if (cached != -1) cached
+      else { val id = internAt(i); remap(did) = id; id }
+    } else internAt(i)
+  }
+
+  private def internAt(i: Int): Int = {
+    val s = vec.getUTF8String(i)
+    var boxed = ids.get(s)
+    if (boxed == null) {
+      boxed = Integer.valueOf(names.length)
+      ids.put(s.clone(), boxed)
+      names += s.toString
+    }
+    boxed.intValue()
+  }
+
+  /** Decode an id back to its string. */
+  def name(id: Int): String = names(id)
+  def size: Int = names.length
 }
 
 /** Minimal open-addressing long→accumulator map for columnar kernels:

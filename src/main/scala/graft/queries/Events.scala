@@ -171,64 +171,20 @@ object Events {
     val NullDay: Long = Int.MinValue.toLong  // epoch days span ±~107M only
     val NullType = 0xFFFFF                   // 2^20-1; interned ids are tiny
     val partials = batches.mapPartitions { it =>
-      val ids = new java.util.HashMap[UTF8String, Integer]()
-      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val et = new graft.operators.StringIdInterner
       val acc = new graft.operators.LongAccMap(3) // cnt, fixsum, hasValue
       while (it.hasNext) {
         val b = it.next()
         val n = b.numRows()
         val tsV = b.column(tsIdx); val etV = b.column(etIdx); val vV = b.column(vIdx)
         val anyNull = tsV.hasNull || etV.hasNull || vV.hasNull
-        // Dictionary fast path: parquet keeps low-cardinality strings
-        // dictionary-encoded and the vectorized reader preserves that (an
-        // encoding fallback mid-row-group makes the reader materialize the
-        // whole batch, so hasDictionary is a safe all-or-nothing per-batch
-        // signal). Per row it is then one int read + one array index; the
-        // string is decoded ONCE per (batch, dictionary id), not per row —
-        // measured as the dominant kernel cost before this path existed.
-        val etW = etV match {
-          case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
-            if w.hasDictionary => w
-          case _ => null
-        }
-        val dictIds = if (etW != null) etW.getDictionaryIds else null
-        var remap: Array[Int] = null
+        et.bind(etV)
         var i = 0
         while (i < n) {
           val day =
             if (anyNull && tsV.isNullAt(i)) NullDay
             else Math.floorDiv(tsV.getLong(i) / nanosDiv, 86400000000L)
-          var id = NullType
-          if (!(anyNull && etV.isNullAt(i))) {
-            if (etW != null) {
-              val did = dictIds.getInt(i)
-              if (remap == null || did >= remap.length) {
-                val grown = new Array[Int](Math.max(256, Integer.highestOneBit(did) * 2))
-                java.util.Arrays.fill(grown, -1)
-                if (remap != null) System.arraycopy(remap, 0, grown, 0, remap.length)
-                remap = grown
-              }
-              id = remap(did)
-              if (id == -1) {
-                val s = etV.getUTF8String(i)
-                var boxed = ids.get(s)
-                if (boxed == null) {
-                  boxed = Integer.valueOf(names.length)
-                  ids.put(s.clone(), boxed); names += s.toString
-                }
-                id = boxed.intValue()
-                remap(did) = id
-              }
-            } else {
-              val s = etV.getUTF8String(i)
-              var boxed = ids.get(s)
-              if (boxed == null) {
-                boxed = Integer.valueOf(names.length)
-                ids.put(s.clone(), boxed); names += s.toString
-              }
-              id = boxed.intValue()
-            }
-          }
+          val id = if (anyNull && etV.isNullAt(i)) NullType else et.idAt(i)
           val base = acc.slot((day << 20) | id.toLong)
           val vals = acc.values
           vals(base) += 1L
@@ -245,7 +201,7 @@ object Events {
         val day = key >> 20
         val id = (key & 0xFFFFF).toInt
         val v = acc.values
-        out += ((day, if (id == NullType) null else names(id),
+        out += ((day, if (id == NullType) null else et.name(id),
           v(base), v(base + 1), v(base + 2)))
       }
       out.result().iterator
@@ -484,6 +440,153 @@ object Events {
     val schema = StructType(Seq(StructField("ns", LongType, nullable = false)))
     ev.sparkSession.createDataFrame(partials, schema)
       .agg(sum("ns").as("n_sessions"))
+  }
+
+  /** [[q13]]'s sorted-layout kernel on the COLUMNAR seam — the
+    * [[q13FromSortedKernel]] forward pass consuming the bucketed scan's
+    * own ColumnarBatches ([[graft.operators.ColumnarScan]]): primitive
+    * user_id/ts reads, event_type as dictionary ids, exact Long gap sums
+    * per type, partials merged on the driver (bounded by event types ×
+    * partitions). Same precondition (bucket-aligned, (user_id, ts)-sorted
+    * input — stage with [[graft.Layouts.eventsByUserCached]]), same loud
+    * guards: ascending order validated per row, null user_id/ts rejected
+    * (the layout sorts on them; a null there means the input is not the
+    * staged table). Driver-gated as q102 on q13's own oracle.
+    *
+    * NOTE like q100/q101 the returned frame is already materialized — the
+    * kernel runs its single-stage job here, skipping the fresh-query
+    * shuffle/sort scheduling the r12 scaled A/B measured at ~0.2 s.
+    */
+  def q13FromColumnarSortedKernel(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = ev.select(col("user_id"), col("ts"), col("event_type"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(proj)
+    val uIdx = schema.fieldIndex("user_id")
+    val tIdx = schema.fieldIndex("ts")
+    val eIdx = schema.fieldIndex("event_type")
+    schema(tIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalStateException(
+        s"q13FromColumnarSortedKernel: staged ts arrived as ${other.sql}; " +
+        "stage through Layouts (Tables.events normalizes to TIMESTAMP).")
+    }
+    val partials = batches.mapPartitions { it =>
+      val et = new graft.operators.StringIdInterner
+      var sums = new Array[Long](16)
+      var cnts = new Array[Long](16)
+      var nullSum = 0L; var nullCnt = 0L
+      var prevUser = 0L; var prevTs = 0L; var has = false
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val uV = b.column(uIdx); val tV = b.column(tIdx); val eV = b.column(eIdx)
+        if (uV.hasNull || tV.hasNull) badLayout("q13FromColumnarSortedKernel")
+        val etNull = eV.hasNull
+        et.bind(eV)
+        var i = 0
+        while (i < n) {
+          val u = uV.getLong(i)
+          val t = tV.getLong(i)
+          if (has && (u < prevUser || (u == prevUser && t < prevTs)))
+            badLayout("q13FromColumnarSortedKernel")
+          if (has && u == prevUser) {
+            if (etNull && eV.isNullAt(i)) { nullSum += t - prevTs; nullCnt += 1L }
+            else {
+              val id = et.idAt(i)
+              if (id >= sums.length) {
+                sums = java.util.Arrays.copyOf(sums, sums.length * 2)
+                cnts = java.util.Arrays.copyOf(cnts, cnts.length * 2)
+              }
+              sums(id) += t - prevTs
+              cnts(id) += 1L
+            }
+          }
+          prevUser = u; prevTs = t; has = true
+          i += 1
+        }
+      }
+      val out = Vector.newBuilder[(String, Long, Long)]
+      var id = 0
+      while (id < et.size) {
+        if (cnts(id) > 0L) out += ((et.name(id), sums(id), cnts(id)))
+        id += 1
+      }
+      if (nullCnt > 0L) out += ((null, nullSum, nullCnt))
+      out.result().iterator
+    }
+    // driver finale replaying q13From's ops in order:
+    // round(sum(gap_us)::double / 1e6 / count, 4), ASC NULLS FIRST
+    val merged = new java.util.HashMap[String, Array[Long]]()
+    partials.collect().foreach { case (name, s, c) =>
+      val a = merged.computeIfAbsent(name, _ => new Array[Long](2))
+      a(0) += s; a(1) += c
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Row)]
+    merged.forEach { (name, a) =>
+      val avg = java.math.BigDecimal.valueOf(a(0).toDouble / 1000000.0 / a(1))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      rows += ((name, Row(name, avg)))
+    }
+    val sorted = rows.sortWith { case ((na, _), (nb, _)) =>
+      if (na == null || nb == null) na == null && nb != null
+      else UTF8String.fromString(na).compareTo(UTF8String.fromString(nb)) < 0
+    }.map(_._2)
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType, nullable = true),
+      StructField("avg_gap_s", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    ev.sparkSession.createDataFrame(sorted.asJava, outSchema)
+  }
+
+  /** [[q12]]'s sorted-layout kernel on the COLUMNAR seam — session
+    * counting as two primitive vector reads + one compare per row, the
+    * [[q12FromSortedKernel]] counter over ColumnarBatches. Same
+    * precondition and guards as [[q13FromColumnarSortedKernel]];
+    * driver-gated as q103 on q12's own oracle. Returns a materialized
+    * one-row frame (sum of per-partition counts; NULL on an empty corpus,
+    * matching `sum` over zero rows).
+    */
+  def q12FromColumnarSortedKernel(ev: DataFrame, gapMicros: Long = 1800L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampNTZType, TimestampType}
+    val proj = ev.select(col("user_id"), col("ts"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(proj)
+    val uIdx = schema.fieldIndex("user_id")
+    val tIdx = schema.fieldIndex("ts")
+    schema(tIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalStateException(
+        s"q12FromColumnarSortedKernel: staged ts arrived as ${other.sql}; " +
+        "stage through Layouts (Tables.events normalizes to TIMESTAMP).")
+    }
+    val partials = batches.mapPartitions { it =>
+      var prevUser = 0L; var prevTs = 0L; var has = false
+      var sessions = 0L
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val uV = b.column(uIdx); val tV = b.column(tIdx)
+        if (uV.hasNull || tV.hasNull) badLayout("q12FromColumnarSortedKernel")
+        var i = 0
+        while (i < n) {
+          val u = uV.getLong(i)
+          val t = tV.getLong(i)
+          if (has && (u < prevUser || (u == prevUser && t < prevTs)))
+            badLayout("q12FromColumnarSortedKernel")
+          if (!has || u != prevUser || t - prevTs > gapMicros) sessions += 1L
+          prevUser = u; prevTs = t; has = true
+          i += 1
+        }
+      }
+      if (has) Iterator.single(sessions) else Iterator.empty
+    }
+    val counts = partials.collect()
+    val total: Any = if (counts.isEmpty) null else java.lang.Long.valueOf(counts.sum)
+    val outSchema = StructType(Seq(StructField("n_sessions", LongType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    ev.sparkSession.createDataFrame(Seq(Row(total)).asJava, outSchema)
   }
 
   /** [[q21]] as a single forward pass over the sorted layout — the as-of

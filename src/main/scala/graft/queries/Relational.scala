@@ -35,6 +35,142 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** [[q1]] as a COLUMNAR-BATCH kernel (the [[graft.operators.ColumnarScan]]
+    * seam; q11's q100 sibling on the lineitem family, driver-gated as q101
+    * on q1's own DuckDB oracle). Everything is re-derived from raw scan
+    * vectors:
+    *
+    *  - filter: `l_shipdate <= TIMESTAMP '1998-09-02'` — the predicate is
+    *    still PUSHED to the scan (the df below carries it, so parquet
+    *    row-group stats prune exactly as in q1's plan) and re-applied
+    *    per row on the internal micros (NTZ and UTC micros agree under
+    *    the engine's UTC-session contract); null shipdate drops the row.
+    *  - group key: both single-char flag columns read as parquet
+    *    dictionary ids ([[graft.operators.StringIdInterner]]), packed into
+    *    one long.
+    *  - sums: [[dsum]]'s fixed-point per-row form (`floor(v·10⁴+0.5)` as
+    *    long), per-sum has-value flags for exact all-NULL semantics;
+    *    `sum_disc`'s per-row double product replays q1's expression order
+    *    exactly (`ep * (1.0 - disc)` then fix).
+    *  - finale on the driver (bounded: flag-pair groups), replaying q1's
+    *    ops in order: descale, HALF_UP round at the declared scales,
+    *    `avg_qty = round(fsum/cnt, 6)`, ASC NULLS FIRST binary sort.
+    *
+    * Same 100 TB shape as q1 (scan-partitioned single pass, map-side
+    * combine into bounded per-partition state, tiny merge); what changes
+    * is per-row cost — no ColumnarToRow, no UnsafeRow agg buffer, no
+    * BigDecimal-free-but-boxed expression tree, just primitive reads.
+    */
+  def q1ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val cutoffMicros = java.time.LocalDate.of(1998, 9, 2).toEpochDay * 86400000000L
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(li)
+    val rfIdx = schema.fieldIndex("l_returnflag")
+    val lsIdx = schema.fieldIndex("l_linestatus")
+    val qIdx = schema.fieldIndex("l_quantity")
+    val epIdx = schema.fieldIndex("l_extendedprice")
+    val dcIdx = schema.fieldIndex("l_discount")
+    val sdIdx = schema.fieldIndex("l_shipdate")
+    schema(sdIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalStateException(
+        s"q1ColumnarKernel: l_shipdate scanned as ${other.sql} — extend the " +
+        "kernel alongside Tables/probeSchemas (same drift contract).")
+    }
+    val NullId = 0xFFFFF
+    val partials = batches.mapPartitions { it =>
+      val rf = new graft.operators.StringIdInterner
+      val ls = new graft.operators.StringIdInterner
+      // slots: cnt, qfix, qHas, bfix, bHas, dfix, dHas
+      val acc = new graft.operators.LongAccMap(7)
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val rfV = b.column(rfIdx); val lsV = b.column(lsIdx)
+        val qV = b.column(qIdx); val epV = b.column(epIdx)
+        val dcV = b.column(dcIdx); val sdV = b.column(sdIdx)
+        val anyNull = rfV.hasNull || lsV.hasNull || qV.hasNull ||
+          epV.hasNull || dcV.hasNull || sdV.hasNull
+        rf.bind(rfV); ls.bind(lsV)
+        var i = 0
+        while (i < n) {
+          // the pushed filter prunes row groups; rows inside a surviving
+          // group still need the per-row predicate (null => dropped)
+          if (!(anyNull && sdV.isNullAt(i)) && sdV.getLong(i) <= cutoffMicros) {
+            val rfId = if (anyNull && rfV.isNullAt(i)) NullId else rf.idAt(i)
+            val lsId = if (anyNull && lsV.isNullAt(i)) NullId else ls.idAt(i)
+            val base = acc.slot((rfId.toLong << 20) | lsId.toLong)
+            val vals = acc.values
+            vals(base) += 1L
+            if (!(anyNull && qV.isNullAt(i))) {
+              vals(base + 1) += Math.floor(qV.getDouble(i) * 10000.0 + 0.5).toLong
+              vals(base + 2) = 1L
+            }
+            if (!(anyNull && epV.isNullAt(i))) {
+              val ep = epV.getDouble(i)
+              vals(base + 3) += Math.floor(ep * 10000.0 + 0.5).toLong
+              vals(base + 4) = 1L
+              if (!(anyNull && dcV.isNullAt(i))) {
+                vals(base + 5) += Math.floor(ep * (1.0 - dcV.getDouble(i)) * 10000.0 + 0.5).toLong
+                vals(base + 6) = 1L
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      val out = Vector.newBuilder[(String, String, Array[Long])]
+      acc.foreachEntry { (key, base) =>
+        val rfId = (key >> 20).toInt; val lsId = (key & 0xFFFFF).toInt
+        out += ((if (rfId == NullId) null else rf.name(rfId),
+          if (lsId == NullId) null else ls.name(lsId),
+          java.util.Arrays.copyOfRange(acc.values, base, base + 7)))
+      }
+      out.result().iterator
+    }
+    // driver-side finale: group count is bounded by the flag alphabet
+    def r(x: Double, scale: Int): java.lang.Double =
+      java.lang.Double.valueOf(java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue())
+    val merged = new java.util.HashMap[(String, String), Array[Long]]()
+    partials.collect().foreach { case (a, bK, v) =>
+      val m = merged.computeIfAbsent((a, bK), _ => new Array[Long](7))
+      m(0) += v(0); m(1) += v(1); m(2) |= v(2); m(3) += v(3)
+      m(4) |= v(4); m(5) += v(5); m(6) |= v(6)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[((String, String), Row)]
+    merged.forEach { (k, v) =>
+      val cnt = v(0)
+      val sumQty = if (v(2) == 0L) null else r(v(1).toDouble / 10000.0, 2)
+      val sumBase = if (v(4) == 0L) null else r(v(3).toDouble / 10000.0, 2)
+      val sumDisc = if (v(6) == 0L) null else r(v(5).toDouble / 10000.0, 2)
+      val avgQty = if (v(2) == 0L) null else r(v(1).toDouble / 10000.0 / cnt, 6)
+      rows += ((k, Row(k._1, k._2, sumQty, sumBase, sumDisc, avgQty, cnt)))
+    }
+    def lt(a: String, b: String): Boolean =
+      if (a == null || b == null) a == null && b != null
+      else UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val sorted = rows.sortWith { case (((ra, la), _), ((rb, lb), _)) =>
+      if (ra != rb) lt(ra, rb) else lt(la, lb)
+    }.map(_._2)
+    val outSchema = StructType(Seq(
+      StructField("l_returnflag", StringType, nullable = true),
+      StructField("l_linestatus", StringType, nullable = true),
+      StructField("sum_qty", DoubleType, nullable = true),
+      StructField("sum_base", DoubleType, nullable = true),
+      StructField("sum_disc", DoubleType, nullable = true),
+      StructField("avg_qty", DoubleType, nullable = true),
+      StructField("cnt", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(sorted.asJava, outSchema)
+  }
+
   /** Q2 revenue by nation: 4-way join, selective side first.
     *
     * Join order matters and Catalyst does NOT reorder user joins without

@@ -55,6 +55,46 @@ class ColumnarKernelSpec extends SparkSpec {
     assert(want.exists(r => r.get(3) == null))
   }
 
+  test("q1 columnar kernel == declarative q1, rows/schema/values (2 SFs)") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val want = graft.queries.Relational.q1(spark, dir)
+      val got = graft.queries.Relational.q1ColumnarKernel(spark, dir)
+      assert(got.schema.map(f => (f.name, f.dataType)) ===
+        want.schema.map(f => (f.name, f.dataType)), s"schema at $dir")
+      assert(rowsOf(got) === rowsOf(want), s"rows at $dir")
+    }
+  }
+
+  test("q12/q13 columnar sorted kernels == declarative twins over the staged layout (2 SFs)") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val staged = Layouts.eventsByUserCached(spark, dir, buckets = 8)
+      assert(rowsOf(Events.q13FromColumnarSortedKernel(staged)) ===
+        rowsOf(Events.q13(spark, dir)), s"q13 at $dir")
+      assert(rowsOf(Events.q12FromColumnarSortedKernel(staged)) ===
+        rowsOf(Events.q12(spark, dir)), s"q12 at $dir")
+    }
+  }
+
+  test("sorted columnar kernels reject a mis-laid-out input loudly") {
+    // a plain (unbucketed, unsorted) events scan violates the ascending
+    // (user_id, ts) precondition — the in-scan guard must fire, because a
+    // single-pass answer on unsorted input would be silently wrong
+    val plain = graft.Tables.events(spark, sf001)
+    val e = intercept[Exception] {
+      Events.q13FromColumnarSortedKernel(plain).collect()
+    }
+    assert(e.getMessage.contains("layout") || e.getMessage.contains("Layout")
+      || e.getMessage.contains("sorted"), s"got: ${e.getMessage}")
+  }
+
+  test("ColumnarScan rejects plan shapes a kernel would silently discard (sort/exchange)") {
+    val df = spark.read.parquet(s"$sf0001/orders.parquet")
+      .repartition(4, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+    val e = intercept[IllegalStateException] { ColumnarScan.soleColumnarScan(df) }
+    assert(e.getMessage.contains("silently discarded"))
+  }
+
   test("non-columnar scan fails loudly, never silently row-aggregates") {
     val key = "spark.sql.parquet.enableVectorizedReader"
     val old = spark.conf.get(key)
