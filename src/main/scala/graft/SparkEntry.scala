@@ -153,6 +153,16 @@ object SparkEntry {
     // ColumnarBatches. Share q13's/q12's oracles like their row twins.
     "q102_columnar_lag"     -> ((s, d) => Events.q13FromColumnarSortedKernel(Layouts.eventsByUserCached(s, d))),
     "q103_columnar_session" -> ((s, d) => Events.q12FromColumnarSortedKernel(Layouts.eventsByUserCached(s, d))),
+    // q104-q107: the rest of the weak list on the columnar seam — global
+    // top-k (q6), the broadcast range join (q3), the 4-way fact join (q2)
+    // and the per-customer top-3 heap (q5), each sharing its declarative
+    // twin's oracle. The join kernels collect the SAME reduced build
+    // frames their twins broadcast (the stats-gated broadcast-regime
+    // boundedness); the declarative forms remain the beyond-threshold path.
+    "q104_columnar_topk"      -> (Relational.q6ColumnarKernel _),
+    "q105_columnar_rangejoin" -> (Relational.q3ColumnarKernel _),
+    "q106_columnar_factjoin"  -> (Relational.q2ColumnarKernel _),
+    "q107_columnar_custtopk"  -> (Relational.q5ColumnarKernel _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -224,7 +234,11 @@ object SparkEntry {
       "q100_columnar_tumbling" -> base("q11_tumbling"),
       "q101_columnar_pricing"  -> base("q1_pricing_agg"),
       "q102_columnar_lag"      -> base("q13_lag"),
-      "q103_columnar_session"  -> base("q12_session"))
+      "q103_columnar_session"  -> base("q12_session"),
+      "q104_columnar_topk"      -> base("q6_topk"),
+      "q105_columnar_rangejoin" -> base("q3_range_join"),
+      "q106_columnar_factjoin"  -> base("q2_join_broadcast"),
+      "q107_columnar_custtopk"  -> base("q5_rank_window"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -171,7 +171,7 @@ final class StringIdInterner {
   * using this is tiny (days × event types), so the table stays L1/L2
   * resident; the growth path exists for safety, not for the hot case.
   */
-final class LongAccMap(slots: Int, initCap: Int = 1024) {
+final class LongAccMap(slots: Int, initCap: Int = 1024) extends Serializable {
   require(Integer.bitCount(initCap) == 1, "capacity must be a power of two")
   private var cap = initCap
   private var mask = cap - 1
@@ -191,6 +191,18 @@ final class LongAccMap(slots: Int, initCap: Int = 1024) {
     }
     used(i) = true; keys(i) = key; n += 1
     if (n * 2 > cap) { grow(); slot(key) } else i * slots
+  }
+
+  /** Base index for `key` WITHOUT inserting; -1 when absent. The probe
+    * side of a kernel build-map uses this (a miss must not allocate).
+    */
+  def getSlot(key: Long): Int = {
+    var i = (java.lang.Long.hashCode(key * -7046029254386353131L)) & mask
+    while (used(i)) {
+      if (keys(i) == key) return i * slots
+      i = (i + 1) & mask
+    }
+    -1
   }
 
   def values: Array[Long] = vals

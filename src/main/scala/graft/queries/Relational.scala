@@ -171,6 +171,516 @@ object Relational {
     spark.createDataFrame(sorted.asJava, outSchema)
   }
 
+  /** [[q6]] global top-k on the columnar seam (driver-gated as q104 on
+    * q6's oracle): a bounded candidate list per partition, merged and
+    * re-limited on the driver — TakeOrderedAndProject's exact shape with
+    * the per-row comparator running over primitive vector reads instead
+    * of UnsafeRow comparisons. Ordering replicated: l_extendedprice DESC
+    * NULLS LAST, then l_orderkey / l_linenumber ASC NULLS FIRST ((okey,
+    * lineno) is the row identity, so the order — and the hash — is total).
+    * Bounded state everywhere: k rows per partition, k × partitions on
+    * the driver.
+    */
+  def q6ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val k = 10
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(li)
+    val okIdx = schema.fieldIndex("l_orderkey")
+    val lnIdx = schema.fieldIndex("l_linenumber")
+    val epIdx = schema.fieldIndex("l_extendedprice")
+    val lnIsLong = schema(lnIdx).dataType == LongType
+    // candidate = (epNull, ep, okNull, ok, lnNull, ln); beats(a, b) iff a
+    // orders strictly before b under the query's sort
+    type Cand = (Boolean, Double, Boolean, Long, Boolean, Long)
+    def beats(a: Cand, b: Cand): Boolean = {
+      if (a._1 != b._1) return !a._1            // DESC NULLS LAST: non-null first
+      if (!a._1 && a._2 != b._2) return a._2 > b._2
+      if (a._3 != b._3) return a._3             // ASC NULLS FIRST: null first
+      if (!a._3 && a._4 != b._4) return a._4 < b._4
+      if (a._5 != b._5) return a._5
+      if (!a._5 && a._6 != b._6) return a._6 < b._6
+      false
+    }
+    def insert(buf: scala.collection.mutable.ArrayBuffer[Cand], c: Cand): Unit = {
+      if (buf.size >= k && !beats(c, buf.last)) return
+      var i = 0
+      while (i < buf.size && !beats(c, buf(i))) i += 1
+      buf.insert(i, c)
+      if (buf.size > k) buf.remove(buf.size - 1)
+    }
+    val partials = batches.mapPartitions { it =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Cand]
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val okV = b.column(okIdx); val lnV = b.column(lnIdx); val epV = b.column(epIdx)
+        val anyNull = okV.hasNull || lnV.hasNull || epV.hasNull
+        var i = 0
+        while (i < n) {
+          val epNull = anyNull && epV.isNullAt(i)
+          val ep = if (epNull) 0.0 else epV.getDouble(i)
+          // quick reject on the primary sort column before boxing
+          if (buf.size < k || epNull || buf.last._1 || ep >= buf.last._2) {
+            val okNull = anyNull && okV.isNullAt(i)
+            val lnNull = anyNull && lnV.isNullAt(i)
+            insert(buf, (epNull, ep,
+              okNull, if (okNull) 0L else okV.getLong(i),
+              lnNull, if (lnNull) 0L else if (lnIsLong) lnV.getLong(i) else lnV.getInt(i).toLong))
+          }
+          i += 1
+        }
+      }
+      buf.iterator
+    }
+    val all = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    partials.collect().foreach(insert(all, _))
+    val rows = all.map { c =>
+      Row(if (c._3) null else java.lang.Long.valueOf(c._4),
+        if (c._5) null
+        else if (lnIsLong) java.lang.Long.valueOf(c._6)
+        else java.lang.Integer.valueOf(c._6.toInt),
+        if (c._1) null else java.lang.Double.valueOf(c._2))
+    }
+    val outSchema = StructType(Seq(
+      StructField("l_orderkey", LongType, nullable = true),
+      StructField("l_linenumber", if (lnIsLong) LongType else IntegerType, nullable = true),
+      StructField("l_extendedprice", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, outSchema)
+  }
+
+  /** [[q3]] on the columnar seam (driver-gated as q105 on q3's oracle):
+    * the broadcast range join as a primitive probe. The build side is the
+    * SAME reduced orders frame q3 broadcasts — (o_orderkey, o_orderdate,
+    * o_end = +90 days) computed BY Spark so calendar semantics are
+    * identical — collected into a [[graft.operators.LongAccMap]]
+    * (orderkey → the two band bounds as micros; the same broadcast-regime
+    * boundedness q3's own stats-gated hint asserts, and the declarative
+    * shuffle form remains the beyond-threshold path). The probe is then
+    * three primitive reads + one open-addressing lookup + two long
+    * compares per lineitem row — the hash-probe and band-eval constants
+    * the r12 micro-decomposition measured as q3's whole marginal
+    * (0.78 + 0.78 of 2.26 s/sf), with no joined-row materialization at
+    * all. Assumes o_orderkey unique (the orders PK; the declarative join
+    * would fan out on duplicates, the map keeps one).
+    */
+  def q3ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Build side on the columnar seam too: two primitive reads per order,
+    // per-partition (key, start) pair arrays, merged on the driver. The
+    // +90 DAYS band upper bound is a CONSTANT micros add here: a
+    // day-interval on TIMESTAMP_NTZ is naive-calendar arithmetic and on
+    // TIMESTAMP follows the session zone — UTC has no DST, so both are
+    // exactly 90 × 86 400 000 000 µs (the kernel-parity spec pins this
+    // against the declarative interval add).
+    val ninetyDaysMicros = 90L * 86400000000L
+    val oScan = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val (oBatches, oSchema) = graft.operators.ColumnarScan.batches(oScan)
+    val bOkIdx = oSchema.fieldIndex("o_orderkey")
+    val bOdIdx = oSchema.fieldIndex("o_orderdate")
+    oSchema(bOdIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalStateException(
+        s"q3ColumnarKernel: o_orderdate scanned as ${other.sql} — extend the " +
+        "kernel alongside Tables/probeSchemas (same drift contract).")
+    }
+    val band = new graft.operators.LongAccMap(2, initCap = 1 << 18)
+    oBatches.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val okV = b.column(bOkIdx); val odV = b.column(bOdIdx)
+        val anyNull = okV.hasNull || odV.hasNull
+        var i = 0
+        while (i < n) {
+          // null key never equi-matches; a null date makes BETWEEN null →
+          // the filter drops every joined row → equivalent to absent
+          if (!(anyNull && (okV.isNullAt(i) || odV.isNullAt(i)))) {
+            buf += okV.getLong(i); buf += odV.getLong(i)
+          }
+          i += 1
+        }
+      }
+      Iterator.single(buf.result())
+    }.collect().foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val base = band.slot(arr(i))
+        band.values(base) = arr(i + 1)
+        band.values(base + 1) = arr(i + 1) + ninetyDaysMicros
+        i += 2
+      }
+    }
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(li)
+    val okIdx = schema.fieldIndex("l_orderkey")
+    val sdIdx = schema.fieldIndex("l_shipdate")
+    val epIdx = schema.fieldIndex("l_extendedprice")
+    val bandB = spark.sparkContext.broadcast(band)
+    val partials = batches.mapPartitions { it =>
+      val m = bandB.value
+      var cnt = 0L; var fix = 0L; var has = 0L
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val okV = b.column(okIdx); val sdV = b.column(sdIdx); val epV = b.column(epIdx)
+        val anyNull = okV.hasNull || sdV.hasNull || epV.hasNull
+        var i = 0
+        while (i < n) {
+          if (!(anyNull && (okV.isNullAt(i) || sdV.isNullAt(i)))) {
+            val base = m.getSlot(okV.getLong(i))
+            if (base >= 0) {
+              val sd = sdV.getLong(i)
+              if (sd >= m.values(base) && sd <= m.values(base + 1)) {
+                cnt += 1L
+                if (!(anyNull && epV.isNullAt(i))) {
+                  fix += Math.floor(epV.getDouble(i) * 10000.0 + 0.5).toLong
+                  has = 1L
+                }
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      Iterator.single((cnt, fix, has))
+    }
+    var cnt = 0L; var fix = 0L; var has = 0L
+    partials.collect().foreach { case (c, f, h) => cnt += c; fix += f; has |= h }
+    val ap =
+      if (has == 0L) null
+      else java.lang.Double.valueOf(java.math.BigDecimal.valueOf(fix.toDouble / 10000.0 / cnt)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+    val outSchema = StructType(Seq(
+      StructField("c", LongType, nullable = false),
+      StructField("ap", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(Row(cnt, ap)).asJava, outSchema)
+  }
+
+  /** [[q2]] on the columnar seam (driver-gated as q106 on q2's oracle):
+    * the 4-way join's fact-side probe as primitives. The dimension chain
+    * (customer⋈nation⋈region → orders reduction) is EXACTLY q2's own
+    * Spark subplan, collected as (o_orderkey → nation id) into a
+    * [[graft.operators.LongAccMap]] + interned name table — the
+    * broadcast-regime boundedness q2's stats-gated hint already asserts.
+    * The lineitem probe is then one lookup + one fused
+    * `ep·(1−disc)` fix per row, revenue accumulating per nation id in a
+    * primitive array. Finale on the driver (nations): descale, HALF_UP
+    * round, `rev DESC NULLS LAST, n_name ASC` — q2's exact output order.
+    */
+  def q2ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // The whole dimension chain on the columnar seam: region and nation
+    // are collected outright (a handful of rows), customer and orders are
+    // primitive two-column columnar passes probing the previous level's
+    // map — the same inner-equi-join semantics as q2's chain (dimension
+    // PKs unique, null keys never match), with zero Spark join stages.
+    val asiaRegions = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey").cast("long"))
+      .collect().filter(!_.isNullAt(0)).map(_.getLong(0)).toSet
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val nationToNid = new graft.operators.LongAccMap(1)
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(2) && asiaRegions.contains(r.getLong(2))) {
+          val base = nationToNid.slot(r.getLong(0))
+          nationToNid.values(base) = names.length.toLong
+          names += (if (r.isNullAt(1)) null else r.getString(1))
+        }
+      }
+    def probePairs(df: org.apache.spark.sql.DataFrame, keyCol: String, probeCol: String,
+        probeMap: graft.operators.LongAccMap): graft.operators.LongAccMap = {
+      val (bs, sch) = graft.operators.ColumnarScan.batches(df)
+      val kIdx = sch.fieldIndex(keyCol)
+      val pIdx = sch.fieldIndex(probeCol)
+      // dim foreign keys ship as INTEGER in this testdata, fact keys as
+      // BIGINT — widen per the scanned type (getLong on an int vector is
+      // undefined, not a widening read)
+      val kIsLong = sch(kIdx).dataType == LongType
+      val pIsLong = sch(pIdx).dataType == LongType
+      val mapB = df.sparkSession.sparkContext.broadcast(probeMap)
+      val out = new graft.operators.LongAccMap(1, initCap = 1 << 18)
+      bs.mapPartitions { it =>
+        val m = mapB.value
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) {
+          val b = it.next()
+          val n = b.numRows()
+          val kV = b.column(kIdx); val pV = b.column(pIdx)
+          val anyNull = kV.hasNull || pV.hasNull
+          var i = 0
+          while (i < n) {
+            if (!(anyNull && (kV.isNullAt(i) || pV.isNullAt(i)))) {
+              val p = if (pIsLong) pV.getLong(i) else pV.getInt(i).toLong
+              val base = m.getSlot(p)
+              if (base >= 0) {
+                buf += (if (kIsLong) kV.getLong(i) else kV.getInt(i).toLong)
+                buf += m.values(base)
+              }
+            }
+            i += 1
+          }
+        }
+        Iterator.single(buf.result())
+      }.collect().foreach { arr =>
+        var i = 0
+        while (i < arr.length) {
+          val base = out.slot(arr(i))
+          out.values(base) = arr(i + 1)
+          i += 2
+        }
+      }
+      mapB.destroy()
+      out
+    }
+    val custToNid = probePairs(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+      "c_custkey", "c_nationkey", nationToNid)
+    val okToNation = probePairs(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+      "o_orderkey", "o_custkey", custToNid)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(li)
+    val okIdx = schema.fieldIndex("l_orderkey")
+    val epIdx = schema.fieldIndex("l_extendedprice")
+    val dcIdx = schema.fieldIndex("l_discount")
+    val mapB = spark.sparkContext.broadcast(okToNation)
+    val nNations = names.length
+    val partials = batches.mapPartitions { it =>
+      val m = mapB.value
+      val fix = new Array[Long](Math.max(nNations, 1))
+      val hasV = new Array[Long](Math.max(nNations, 1))
+      val cnt = new Array[Long](Math.max(nNations, 1))
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val okV = b.column(okIdx); val epV = b.column(epIdx); val dcV = b.column(dcIdx)
+        val anyNull = okV.hasNull || epV.hasNull || dcV.hasNull
+        var i = 0
+        while (i < n) {
+          if (!(anyNull && okV.isNullAt(i))) {
+            val base = m.getSlot(okV.getLong(i))
+            if (base >= 0) {
+              val nid = m.values(base).toInt
+              cnt(nid) += 1L
+              if (!(anyNull && (epV.isNullAt(i) || dcV.isNullAt(i)))) {
+                fix(nid) += Math.floor(epV.getDouble(i) * (1.0 - dcV.getDouble(i)) * 10000.0 + 0.5).toLong
+                hasV(nid) = 1L
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      Iterator.single((cnt, fix, hasV))
+    }
+    val cnt = new Array[Long](Math.max(nNations, 1))
+    val fix = new Array[Long](Math.max(nNations, 1))
+    val hasV = new Array[Long](Math.max(nNations, 1))
+    partials.collect().foreach { case (c0, f0, h0) =>
+      var i = 0
+      while (i < nNations) { cnt(i) += c0(i); fix(i) += f0(i); hasV(i) |= h0(i); i += 1 }
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, java.lang.Double)]
+    var i = 0
+    while (i < nNations) {
+      if (cnt(i) > 0L) {       // inner join: a nation appears only if matched
+        val rev =
+          if (hasV(i) == 0L) null
+          else java.lang.Double.valueOf(java.math.BigDecimal.valueOf(fix(i).toDouble / 10000.0)
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+        rows += ((names(i), rev))
+      }
+      i += 1
+    }
+    // rev DESC NULLS LAST, then n_name ASC (binary)
+    val sorted = rows.sortWith { case ((na, ra), (nb, rb)) =>
+      if ((ra == null) != (rb == null)) rb == null
+      else if (ra != null && ra.doubleValue() != rb.doubleValue()) ra.doubleValue() > rb.doubleValue()
+      else UTF8String.fromString(na).compareTo(UTF8String.fromString(nb)) < 0
+    }.map { case (n2, r2) => Row(n2, r2) }
+    val outSchema = StructType(Seq(
+      StructField("n_name", StringType, nullable = true),
+      StructField("rev", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(sorted.asJava, outSchema)
+  }
+
+  /** [[q5]] on the columnar seam (driver-gated as q107 on q5's oracle):
+    * per-customer top-3 heaps over primitive vector reads. Per partition a
+    * [[graft.operators.LongAccMap]] holds each seen customer's 3-slot
+    * (price DESC, key ASC) buffer — [[graft.functions.TopKByPrice]]'s
+    * insert semantics exactly, prices stored as raw long bits. The output
+    * contract (`ORDER BY o_custkey, rn LIMIT 100`) bounds what must leave
+    * each partition: a customer can contribute only if fewer than 100
+    * customers rank below it IN THAT PARTITION (hash buckets only shrink
+    * that set), so each partition emits its 100 smallest custkeys'
+    * buffers and the driver merges per-custkey (lossless for top-k),
+    * sorts, limits. Works on the plain scan AND the o_custkey-bucketed
+    * layout (where per-partition buffers are already final).
+    */
+  def q5ColumnarKernel(spark: SparkSession, dir: String): DataFrame =
+    q5ColumnarKernelFrom(Tables.orders(spark, dir))
+
+  /** [[q5ColumnarKernel]] over any orders-shaped frame (the layout seam). */
+  def q5ColumnarKernelFrom(o: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val k = 3
+    val limit = 100
+    val proj = o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(proj)
+    val ckIdx = schema.fieldIndex("o_custkey")
+    val okIdx = schema.fieldIndex("o_orderkey")
+    val tpIdx = schema.fieldIndex("o_totalprice")
+    // slots per custkey: size, p0,k0, p1,k1, p2,k2 (prices as raw bits)
+    val slots = 1 + 2 * k
+    val partials = batches.mapPartitions { it =>
+      val acc = new graft.operators.LongAccMap(slots)
+      var sawNullCust = false
+      val nullBuf = new Array[Long](slots)
+      def insert(vals: Array[Long], base: Int, p: Double, key: Long): Unit = {
+        val size = vals(base).toInt
+        // O(1) reject against the current worst (TopKByPrice.better: price
+        // DESC then key ASC)
+        if (size >= k) {
+          val wp = java.lang.Double.longBitsToDouble(vals(base + 1 + 2 * (size - 1)))
+          val wk = vals(base + 2 + 2 * (size - 1))
+          if (!(p > wp || (p == wp && key < wk))) return
+        }
+        var i = 0
+        var continue = true
+        while (i < size && continue) {
+          val cp = java.lang.Double.longBitsToDouble(vals(base + 1 + 2 * i))
+          val ck = vals(base + 2 + 2 * i)
+          if (p > cp || (p == cp && key < ck)) continue = false else i += 1
+        }
+        if (i < k) {
+          val newSize = Math.min(size + 1, k)
+          var j = newSize - 1
+          while (j > i) {
+            vals(base + 1 + 2 * j) = vals(base + 1 + 2 * (j - 1))
+            vals(base + 2 + 2 * j) = vals(base + 2 + 2 * (j - 1))
+            j -= 1
+          }
+          vals(base + 1 + 2 * i) = java.lang.Double.doubleToRawLongBits(p)
+          vals(base + 2 + 2 * i) = key
+          vals(base) = newSize
+        }
+      }
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val ckV = b.column(ckIdx); val okV = b.column(okIdx); val tpV = b.column(tpIdx)
+        val anyNull = ckV.hasNull || okV.hasNull || tpV.hasNull
+        var i = 0
+        while (i < n) {
+          // TopKPriceRows skips null price/key inputs; a null custkey is
+          // its own group (ASC NULLS FIRST puts it ahead of every custkey)
+          if (!(anyNull && (okV.isNullAt(i) || tpV.isNullAt(i)))) {
+            val p = tpV.getDouble(i); val key = okV.getLong(i)
+            if (anyNull && ckV.isNullAt(i)) { sawNullCust = true; insert(nullBuf, 0, p, key) }
+            else {
+              val base = acc.slot(ckV.getLong(i))
+              insert(acc.values, base, p, key)
+            }
+          }
+          i += 1
+        }
+      }
+      // keep only the partition's `limit` smallest custkeys (plus the
+      // null-custkey group, which sorts before all of them)
+      val keys = new Array[Long](acc.size)
+      var ki = 0
+      acc.foreachEntry { (key, _) => keys(ki) = key; ki += 1 }
+      java.util.Arrays.sort(keys)
+      val keep = Math.min(keys.length, limit)
+      val out = Vector.newBuilder[(java.lang.Long, Array[Long])]
+      if (sawNullCust) out += ((null, nullBuf.clone()))
+      var j = 0
+      while (j < keep) {
+        val base = acc.getSlot(keys(j))
+        out += ((java.lang.Long.valueOf(keys(j)),
+          java.util.Arrays.copyOfRange(acc.values, base, base + slots)))
+        j += 1
+      }
+      out.result().iterator
+    }
+    // driver merge: per-custkey top-k merge is lossless; then the global
+    // (custkey ASC NULLS FIRST, rn) order and LIMIT
+    val merged = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    partials.collect().foreach { case (ck, buf) =>
+      val cur = merged.get(ck)
+      if (cur == null) merged.put(ck, buf)
+      else {
+        var i = 0
+        val sz = buf(0).toInt
+        while (i < sz) {
+          val p = java.lang.Double.longBitsToDouble(buf(1 + 2 * i))
+          val key = buf(2 + 2 * i)
+          // replay insert into cur
+          val size = cur(0).toInt
+          var pos = 0
+          var cont = true
+          while (pos < size && cont) {
+            val cp = java.lang.Double.longBitsToDouble(cur(1 + 2 * pos))
+            val ckk = cur(2 + 2 * pos)
+            if (p > cp || (p == cp && key < ckk)) cont = false else pos += 1
+          }
+          if (pos < k) {
+            val newSize = Math.min(size + 1, k)
+            var j = newSize - 1
+            while (j > pos) {
+              cur(1 + 2 * j) = cur(1 + 2 * (j - 1))
+              cur(2 + 2 * j) = cur(2 + 2 * (j - 1))
+              j -= 1
+            }
+            cur(1 + 2 * pos) = java.lang.Double.doubleToRawLongBits(p)
+            cur(2 + 2 * pos) = key
+            cur(0) = newSize
+          }
+          i += 1
+        }
+      }
+    }
+    val custkeys = scala.collection.mutable.ArrayBuffer.empty[java.lang.Long]
+    merged.forEach((ck, _) => custkeys += ck)
+    val sortedCk = custkeys.sortWith { (a, b) =>
+      if (a == null || b == null) a == null && b != null else a.longValue() < b.longValue()
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val ckIt = sortedCk.iterator
+    while (rows.size < limit && ckIt.hasNext) {
+      val ck = ckIt.next()
+      val buf = merged.get(ck)
+      val sz = buf(0).toInt
+      var i = 0
+      while (i < sz && rows.size < limit) {
+        rows += Row(ck, buf(2 + 2 * i),
+          java.lang.Double.longBitsToDouble(buf(1 + 2 * i)), (i + 1).toLong)
+        i += 1
+      }
+    }
+    val outSchema = StructType(Seq(
+      StructField("o_custkey", LongType, nullable = true),
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_totalprice", DoubleType, nullable = false),
+      StructField("rn", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    proj.sparkSession.createDataFrame(rows.asJava, outSchema)
+  }
+
   /** Q2 revenue by nation: 4-way join, selective side first.
     *
     * Join order matters and Catalyst does NOT reorder user joins without

@@ -75,6 +75,45 @@ class ColumnarKernelSpec extends SparkSpec {
     }
   }
 
+  test("q6/q3/q2/q5 columnar kernels == declarative twins (2 SFs)") {
+    import graft.queries.Relational
+    for (dir <- Seq(sf0001, sf001)) {
+      for ((name, want, got) <- Seq(
+        ("q6", Relational.q6(spark, dir), Relational.q6ColumnarKernel(spark, dir)),
+        ("q3", Relational.q3(spark, dir), Relational.q3ColumnarKernel(spark, dir)),
+        ("q2", Relational.q2(spark, dir), Relational.q2ColumnarKernel(spark, dir)),
+        ("q5", Relational.q5(spark, dir), Relational.q5ColumnarKernel(spark, dir)))) {
+        assert(got.schema.map(f => (f.name, f.dataType)) ===
+          want.schema.map(f => (f.name, f.dataType)), s"$name schema at $dir")
+        assert(rowsOf(got) === rowsOf(want), s"$name rows at $dir")
+      }
+    }
+  }
+
+  test("q5 columnar kernel survives adversarial partitioning (per-partition top-k merge)") {
+    // the smallest-100-custkeys-per-partition bound must stay lossless
+    // when one customer's orders scatter across every partition: write a
+    // crafted corpus where custkey 1 has its best order in the LAST file
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("q5col").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+    val rows = (1L to 500L).flatMap { ck =>
+      Seq(Row(ck * 10 + 1, ck, 100.0 + ck), Row(ck * 10 + 2, ck, 200.0 + ck),
+        Row(ck * 10 + 3, ck, 300.0 + ck), Row(ck * 10 + 4, ck, 50.0 + ck))
+    } :+ Row(9999L, 1L, 99999.0) // custkey 1's true best, far from its others
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(8)
+    df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val plain = spark.read.parquet(s"$tmp/orders.parquet")
+    val want = rowsOf(graft.queries.Relational.q5From(plain))
+    val got = rowsOf(graft.queries.Relational.q5ColumnarKernelFrom(plain))
+    assert(got === want)
+    // and the crafted best really is in the answer
+    assert(got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 9999L && r.getLong(3) == 1L))
+  }
+
   test("sorted columnar kernels reject a mis-laid-out input loudly") {
     // a plain (unbucketed, unsorted) events scan violates the ascending
     // (user_id, ts) precondition — the in-scan guard must fire, because a

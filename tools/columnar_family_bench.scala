@@ -58,7 +58,21 @@ val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
   ("q102_sf01", () => graft.queries.Events.q13FromColumnarSortedKernel(staged)),
   ("q12_sf01", () => graft.queries.Events.q12(spark, sf01)),
   ("q92_sf01", () => graft.queries.Events.q12FromSortedKernel(staged)),
-  ("q103_sf01", () => graft.queries.Events.q12FromColumnarSortedKernel(staged)))
+  ("q103_sf01", () => graft.queries.Events.q12FromColumnarSortedKernel(staged)),
+  ("q6_sf01", () => graft.queries.Relational.q6(spark, sf01)),
+  ("q104_sf01", () => graft.queries.Relational.q6ColumnarKernel(spark, sf01)),
+  ("q3_sf01", () => graft.queries.Relational.q3(spark, sf01)),
+  ("q105_sf01", () => graft.queries.Relational.q3ColumnarKernel(spark, sf01)),
+  ("q2_sf01", () => graft.queries.Relational.q2(spark, sf01)),
+  ("q106_sf01", () => graft.queries.Relational.q2ColumnarKernel(spark, sf01)),
+  ("q5_sf01", () => graft.queries.Relational.q5(spark, sf01)),
+  ("q107_sf01", () => graft.queries.Relational.q5ColumnarKernel(spark, sf01)),
+  ("q6_x20", () => {
+    val li = spark.read.parquet(bigLi + "/lineitem.parquet")
+    li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")).limit(10)
+  }),
+  ("q104_x20", () => graft.queries.Relational.q6ColumnarKernel(spark, bigLi)))
 
 // warm: codegen + footers + staging
 for ((_, f) <- variants) { f().collect(); f().collect() }
