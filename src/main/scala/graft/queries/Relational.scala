@@ -384,15 +384,16 @@ object Relational {
     // primitive two-column columnar passes probing the previous level's
     // map — the same inner-equi-join semantics as q2's chain (dimension
     // PKs unique, null keys never match), with zero Spark join stages.
-    val asiaRegions = Tables.region(spark, dir)
-      .filter(col("r_name") === "ASIA").select(col("r_regionkey").cast("long"))
-      .collect().filter(!_.isNullAt(0)).map(_.getLong(0)).toSet
+    // region⋈nation as ONE tiny collect (both fit in a hand): every job
+    // here is a full dispatch, and the kernel's wall is mostly job count
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     val nationToNid = new graft.operators.LongAccMap(1)
     Tables.nation(spark, dir)
-      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").cast("long"), col("n_name"))
       .collect().foreach { r =>
-        if (!r.isNullAt(0) && !r.isNullAt(2) && asiaRegions.contains(r.getLong(2))) {
+        if (!r.isNullAt(0)) {
           val base = nationToNid.slot(r.getLong(0))
           nationToNid.values(base) = names.length.toLong
           names += (if (r.isNullAt(1)) null else r.getString(1))
