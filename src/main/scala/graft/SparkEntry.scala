@@ -163,6 +163,9 @@ object SparkEntry {
     "q105_columnar_rangejoin" -> (Relational.q3ColumnarKernel _),
     "q106_columnar_factjoin"  -> (Relational.q2ColumnarKernel _),
     "q107_columnar_custtopk"  -> (Relational.q5ColumnarKernel _),
+    "q108_columnar_rollup"    -> (Relational.q7ColumnarKernel _),
+    "q109_columnar_semianti"  -> (Relational.q4ColumnarKernel _),
+    "q110_columnar_json"      -> (Events.q10ColumnarKernel _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -238,7 +241,10 @@ object SparkEntry {
       "q104_columnar_topk"      -> base("q6_topk"),
       "q105_columnar_rangejoin" -> base("q3_range_join"),
       "q106_columnar_factjoin"  -> base("q2_join_broadcast"),
-      "q107_columnar_custtopk"  -> base("q5_rank_window"))
+      "q107_columnar_custtopk"  -> base("q5_rank_window"),
+      "q108_columnar_rollup"    -> base("q7_rollup"),
+      "q109_columnar_semianti"  -> base("q4_semi_anti"),
+      "q110_columnar_json"      -> base("q10_json"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

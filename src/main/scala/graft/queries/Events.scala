@@ -46,6 +46,93 @@ object Events {
       .agg(sum(graft.expressions.PipelineExprs.jsonIntProbe(col("props"), "k")).as("sk"))
       .orderBy("event_type")
 
+  /** [[q10]] on the columnar seam (driver-gated as q110 on q10's oracle):
+    * the fused [[graft.expressions.PipelineExprs.jsonIntProbe]] byte scan
+    * called directly per row on the props bytes — same non-ANSI/try_cast
+    * semantics, same `IntNull` sentinel — with event_type as dictionary
+    * ids and per-type long sums merged on the driver (bounded: types).
+    * Relative to q10's already-fused expression this removes the row
+    * boundary and the hash-agg machinery; the per-row JSON byte scan
+    * itself is unchanged (and property-pinned where it lives).
+    */
+  def q10ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("props"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(ev)
+    val etIdx = schema.fieldIndex("event_type")
+    val prIdx = schema.fieldIndex("props")
+    val NullType = 0xFFFFF
+    val keyBytes = "k".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val partials = batches.mapPartitions { it =>
+      val et = new graft.operators.StringIdInterner
+      var sums = new Array[Long](16)
+      var hasv = new Array[Long](16)
+      var nullSum = 0L; var nullHas = 0L; var nullSeen = false
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val etV = b.column(etIdx); val prV = b.column(prIdx)
+        val anyNull = etV.hasNull || prV.hasNull
+        et.bind(etV)
+        var i = 0
+        while (i < n) {
+          // null props → probe yields SQL NULL → sum skips; IntNull
+          // likewise (missing key / non-numeric / out of range)
+          var v = graft.expressions.JsonScalarProbe.IntNull
+          if (!(anyNull && prV.isNullAt(i)))
+            v = graft.expressions.JsonScalarProbe.probeInt(
+              prV.getUTF8String(i).getBytes, keyBytes)
+          if (anyNull && etV.isNullAt(i)) {
+            // the null-type GROUP exists even when every probe in it is
+            // NULL (groupBy emits it with sk NULL)
+            nullSeen = true
+            if (v != graft.expressions.JsonScalarProbe.IntNull) {
+              nullSum += v; nullHas = 1L
+            }
+          } else {
+            val id = et.idAt(i) // interner records the group either way
+            if (id >= sums.length) {
+              sums = java.util.Arrays.copyOf(sums, sums.length * 2)
+              hasv = java.util.Arrays.copyOf(hasv, hasv.length * 2)
+            }
+            if (v != graft.expressions.JsonScalarProbe.IntNull) {
+              sums(id) += v; hasv(id) = 1L
+            }
+          }
+          i += 1
+        }
+      }
+      val out = Vector.newBuilder[(String, Long, Long)]
+      var id = 0
+      while (id < et.size) { out += ((et.name(id), sums(id), hasv(id))); id += 1 }
+      if (nullSeen) out += ((null, nullSum, nullHas))
+      out.result().iterator
+    }
+    // NOTE groups must exist even when every probe in them is NULL (the
+    // declarative groupBy emits them with sk NULL) — the interner records
+    // every seen type, so all-null groups flow through with has=0
+    val merged = new java.util.HashMap[String, Array[Long]]()
+    partials.collect().foreach { case (name, s, h) =>
+      val a = merged.computeIfAbsent(name, _ => new Array[Long](2))
+      a(0) += s; a(1) |= h
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Row)]
+    merged.forEach { (name, a) =>
+      rows += ((name, Row(name, if (a(1) == 0L) null else java.lang.Long.valueOf(a(0)))))
+    }
+    val sorted = rows.sortWith { case ((na, _), (nb, _)) =>
+      if (na == null || nb == null) na == null && nb != null
+      else UTF8String.fromString(na).compareTo(UTF8String.fromString(nb)) < 0
+    }.map(_._2)
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType, nullable = true),
+      StructField("sk", LongType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(sorted.asJava, outSchema)
+  }
+
   /** q34 from_json -> struct access (SURVEY §2.2 row 32): parse props once
     * into a typed struct and aggregate a field — the multi-key alternative
     * to q10's single-path get_json_object probe.

@@ -682,6 +682,167 @@ object Relational {
     proj.sparkSession.createDataFrame(rows.asJava, outSchema)
   }
 
+  /** [[q7]] ROLLUP on the columnar seam (driver-gated as q108 on q7's
+    * oracle): one q101-style pass collects the finest (returnflag,
+    * linestatus) cells — count + fixed-point price sum + has-value flag —
+    * and the rollup lattice (per-flag subtotals, grand total) is computed
+    * on the driver from those cells, exactly the pre-aggregate-then-roll
+    * shape q7 itself uses (and for the same reason: every rollup cell is
+    * a union of finest cells, so only the tiny cell table is ever
+    * combined). Ordering: ASC NULLS FIRST on both columns, which places
+    * each level's subtotal ahead of its detail rows, as Spark's sort does.
+    */
+  def q7ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(li)
+    val rfIdx = schema.fieldIndex("l_returnflag")
+    val lsIdx = schema.fieldIndex("l_linestatus")
+    val epIdx = schema.fieldIndex("l_extendedprice")
+    val NullId = 0xFFFFF
+    val partials = batches.mapPartitions { it =>
+      val rf = new graft.operators.StringIdInterner
+      val ls = new graft.operators.StringIdInterner
+      val acc = new graft.operators.LongAccMap(3) // cnt, fix, has
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val rfV = b.column(rfIdx); val lsV = b.column(lsIdx); val epV = b.column(epIdx)
+        val anyNull = rfV.hasNull || lsV.hasNull || epV.hasNull
+        rf.bind(rfV); ls.bind(lsV)
+        var i = 0
+        while (i < n) {
+          val rfId = if (anyNull && rfV.isNullAt(i)) NullId else rf.idAt(i)
+          val lsId = if (anyNull && lsV.isNullAt(i)) NullId else ls.idAt(i)
+          val base = acc.slot((rfId.toLong << 20) | lsId.toLong)
+          val vals = acc.values
+          vals(base) += 1L
+          if (!(anyNull && epV.isNullAt(i))) {
+            vals(base + 1) += Math.floor(epV.getDouble(i) * 10000.0 + 0.5).toLong
+            vals(base + 2) = 1L
+          }
+          i += 1
+        }
+      }
+      val out = Vector.newBuilder[(String, String, Long, Long, Long)]
+      acc.foreachEntry { (key, base) =>
+        val rfId = (key >> 20).toInt; val lsId = (key & 0xFFFFF).toInt
+        val v = acc.values
+        out += ((if (rfId == NullId) null else rf.name(rfId),
+          if (lsId == NullId) null else ls.name(lsId), v(base), v(base + 1), v(base + 2)))
+      }
+      out.result().iterator
+    }
+    val cells = new java.util.HashMap[(String, String), Array[Long]]()
+    partials.collect().foreach { case (a, bK, c, f, h) =>
+      val m = cells.computeIfAbsent((a, bK), _ => new Array[Long](3))
+      m(0) += c; m(1) += f; m(2) |= h
+    }
+    // roll the lattice up from the finest cells
+    val rollup = new java.util.LinkedHashMap[(String, String), Array[Long]]()
+    def add(k: (String, String), v: Array[Long]): Unit = {
+      val m = rollup.computeIfAbsent(k, _ => new Array[Long](3))
+      m(0) += v(0); m(1) += v(1); m(2) |= v(2)
+    }
+    cells.forEach { (k, v) => add(k, v); add((k._1, null), v); add((null, null), v) }
+    // rollup's own NULL level markers coincide with data-null flag values
+    // in the OUTPUT (same as the declarative form and the oracle — both
+    // render them identically; the corpus carries no null flags)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[((String, String), Row)]
+    rollup.forEach { (k, v) =>
+      val s =
+        if (v(2) == 0L) null
+        else java.lang.Double.valueOf(java.math.BigDecimal.valueOf(v(1).toDouble / 10000.0)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+      rows += ((k, Row(k._1, k._2, v(0), s)))
+    }
+    def lt(a: String, b: String): Boolean =
+      if (a == null || b == null) a == null && b != null
+      else UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val sorted = rows.sortWith { case (((ra, la), _), ((rb, lb), _)) =>
+      if (ra != rb) lt(ra, rb) else lt(la, lb)
+    }.map(_._2)
+    val outSchema = StructType(Seq(
+      StructField("l_returnflag", StringType, nullable = true),
+      StructField("l_linestatus", StringType, nullable = true),
+      StructField("c", LongType, nullable = false),
+      StructField("s", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(sorted.asJava, outSchema)
+  }
+
+  /** [[q4]] semi+anti on the columnar seam (driver-gated as q109 on q4's
+    * oracle): the distinct ordering-customer set built by one primitive
+    * orders pass (per-partition key sets, union on the driver — the same
+    * broadcast-regime boundedness q4's stats-gated hint asserts), then
+    * one customer pass counting membership both ways. Null semantics as
+    * the left-outer-vs-distinct form: a null o_custkey never matches
+    * (never enters the set), a null c_custkey probes as a miss.
+    */
+  def q4ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val (oB, oSch) = graft.operators.ColumnarScan.batches(o)
+    val ocIdx = oSch.fieldIndex("o_custkey")
+    val members = new graft.operators.LongAccMap(1, initCap = 1 << 16)
+    oB.mapPartitions { it =>
+      val set = new graft.operators.LongAccMap(1, initCap = 1 << 14)
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val v = b.column(ocIdx)
+        val anyNull = v.hasNull
+        var i = 0
+        while (i < n) {
+          if (!(anyNull && v.isNullAt(i))) set.slot(v.getLong(i))
+          i += 1
+        }
+      }
+      val keys = new Array[Long](set.size)
+      var k = 0
+      set.foreachEntry { (key, _) => keys(k) = key; k += 1 }
+      Iterator.single(keys)
+    }.collect().foreach(_.foreach(members.slot(_)))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val (cB, cSch) = graft.operators.ColumnarScan.batches(c)
+    val ccIdx = cSch.fieldIndex("c_custkey")
+    val mB = spark.sparkContext.broadcast(members)
+    val counts = cB.mapPartitions { it =>
+      val m = mB.value
+      var has = 0L; var not = 0L
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val v = b.column(ccIdx)
+        val anyNull = v.hasNull
+        var i = 0
+        while (i < n) {
+          if (anyNull && v.isNullAt(i)) not += 1L
+          else if (m.getSlot(v.getLong(i)) >= 0) has += 1L
+          else not += 1L
+          i += 1
+        }
+      }
+      Iterator.single((has, not))
+    }.collect()
+    var has = 0L; var not = 0L
+    counts.foreach { case (h, n0) => has += h; not += n0 }
+    // sum() over zero rows is NULL — match the declarative aggregate on an
+    // empty customer table
+    val row =
+      if (has + not == 0L) Row(null, null)
+      else Row(java.lang.Long.valueOf(has), java.lang.Long.valueOf(not))
+    val outSchema = StructType(Seq(
+      StructField("has_orders", LongType, nullable = true),
+      StructField("no_orders", LongType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(row).asJava, outSchema)
+  }
+
   /** Q2 revenue by nation: 4-way join, selective side first.
     *
     * Join order matters and Catalyst does NOT reorder user joins without

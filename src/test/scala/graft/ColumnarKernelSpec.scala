@@ -90,6 +90,20 @@ class ColumnarKernelSpec extends SparkSpec {
     }
   }
 
+  test("q7/q4/q10 columnar kernels == declarative twins (2 SFs)") {
+    import graft.queries.{Events, Relational}
+    for (dir <- Seq(sf0001, sf001)) {
+      for ((name, want, got) <- Seq(
+        ("q7", Relational.q7(spark, dir), Relational.q7ColumnarKernel(spark, dir)),
+        ("q4", Relational.q4(spark, dir), Relational.q4ColumnarKernel(spark, dir)),
+        ("q10", Events.q10(spark, dir), Events.q10ColumnarKernel(spark, dir)))) {
+        assert(got.schema.map(f => (f.name, f.dataType)) ===
+          want.schema.map(f => (f.name, f.dataType)), s"$name schema at $dir")
+        assert(rowsOf(got) === rowsOf(want), s"$name rows at $dir")
+      }
+    }
+  }
+
   test("q5 columnar kernel survives adversarial partitioning (per-partition top-k merge)") {
     // the smallest-100-custkeys-per-partition bound must stay lossless
     // when one customer's orders scatter across every partition: write a

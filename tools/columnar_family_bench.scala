@@ -67,6 +67,12 @@ val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
   ("q106_sf01", () => graft.queries.Relational.q2ColumnarKernel(spark, sf01)),
   ("q5_sf01", () => graft.queries.Relational.q5(spark, sf01)),
   ("q107_sf01", () => graft.queries.Relational.q5ColumnarKernel(spark, sf01)),
+  ("q7_sf01", () => graft.queries.Relational.q7(spark, sf01)),
+  ("q108_sf01", () => graft.queries.Relational.q7ColumnarKernel(spark, sf01)),
+  ("q4_sf01", () => graft.queries.Relational.q4(spark, sf01)),
+  ("q109_sf01", () => graft.queries.Relational.q4ColumnarKernel(spark, sf01)),
+  ("q10_sf01", () => graft.queries.Events.q10(spark, sf01)),
+  ("q110_sf01", () => graft.queries.Events.q10ColumnarKernel(spark, sf01)),
   ("q6_x20", () => {
     val li = spark.read.parquet(bigLi + "/lineitem.parquet")
     li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
