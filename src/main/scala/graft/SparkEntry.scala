@@ -166,6 +166,9 @@ object SparkEntry {
     "q108_columnar_rollup"    -> (Relational.q7ColumnarKernel _),
     "q109_columnar_semianti"  -> (Relational.q4ColumnarKernel _),
     "q110_columnar_json"      -> (Events.q10ColumnarKernel _),
+    // q111: the seam's first ARRAY-column kernel — q16's cosine top-5 with
+    // the embedding vectors read straight from the nested column vectors.
+    "q111_columnar_cosine"    -> (TextVec.q16ColumnarKernel _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -244,7 +247,8 @@ object SparkEntry {
       "q107_columnar_custtopk"  -> base("q5_rank_window"),
       "q108_columnar_rollup"    -> base("q7_rollup"),
       "q109_columnar_semianti"  -> base("q4_semi_anti"),
-      "q110_columnar_json"      -> base("q10_json"))
+      "q110_columnar_json"      -> base("q10_json"),
+      "q111_columnar_cosine"    -> base("q16_cosine_topk"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

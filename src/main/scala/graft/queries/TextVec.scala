@@ -154,6 +154,168 @@ object TextVec {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** [[q16]] on the columnar seam (driver-gated as q111 on q16's oracle)
+    * — the seam's first ARRAY-column kernel: Spark 4's vectorized parquet
+    * reader keeps `array<float>` columnar, and `ColumnVector.getArray`
+    * exposes the elements without row materialization. Per embedding row
+    * the kernel computes the dot against each of the ≤10 broadcast query
+    * vectors ([[graft.expressions.TextVecExprs.floatVecDot]]'s exact
+    * double-accumulation order), rounds to 6dp FIRST (q16's rank
+    * stability contract, HALF_UP like Spark's round; NaN/Inf pass through
+    * as RoundBase does), and keeps a per-query (sim DESC, vec_id ASC)
+    * top-5 — `java.lang.Double.compare` replicating Spark's double
+    * ordering incl. NaN-greatest. Null-embedding rows produce NULL sims,
+    * which rank LAST under DESC: a smallest-vec_id filler tier per query
+    * preserves them exactly for corpora with fewer than 5 scorable
+    * candidates. Bounded everywhere: 10 queries × (5 + 5) per partition.
+    */
+  def q16ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val k = 5
+    // query side: same rows q16 broadcasts, collected with their norms
+    // computed in the kernel's own double order (== FloatVecNorm's)
+    val qRows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs: Array[Array[Float]] = qRows.map { r =>
+      if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray
+    }
+    val qnorms: Array[Double] = qvecs.map { v =>
+      if (v == null) Double.NaN
+      else {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+        math.sqrt(s)
+      }
+    }
+    val qNull: Array[Boolean] = qvecs.map(_ == null)
+    val nq = qids.length
+    val proj = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(proj)
+    val idIdx = schema.fieldIndex("vec_id")
+    val embIdx = schema.fieldIndex("embedding")
+    val partials = batches.mapPartitions { it =>
+      // per query: parallel arrays of the top-k (sim, vec_id), sorted
+      // best-first, plus a smallest-vec_id null-sim filler tier
+      val sims = Array.fill(nq)(new Array[Double](k))
+      val vids = Array.fill(nq)(new Array[Long](k))
+      val sizes = new Array[Int](nq)
+      val nullTier = Array.fill(nq)(new Array[Long](k))
+      val nullSizes = new Array[Int](nq)
+      def beats(sa: Double, va: Long, sb: Double, vb: Long): Boolean = {
+        val c = java.lang.Double.compare(sa, sb) // NaN greatest, like Spark
+        if (c != 0) c > 0 else va < vb
+      }
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val idV = b.column(idIdx); val eV = b.column(embIdx)
+        val anyNull = idV.hasNull || eV.hasNull
+        var i = 0
+        while (i < n) {
+          if (!(anyNull && idV.isNullAt(i))) { // null vec_id never joins
+            val vid = idV.getLong(i)
+            val arr = if (anyNull && eV.isNullAt(i)) null else eV.getArray(i)
+            var qi = 0
+            while (qi < nq) {
+              if (vid != qids(qi)) { // the =!= self-pair exclusion
+                if (arr == null || qNull(qi)) {
+                  // NULL sim → desc-last tier, kept smallest-vec_id-first
+                  val t = nullTier(qi)
+                  val sz = nullSizes(qi)
+                  if (sz < k || vid < t(sz - 1)) {
+                    var p = 0
+                    while (p < sz && t(p) < vid) p += 1
+                    if (p < k) {
+                      var j = Math.min(sz, k - 1)
+                      while (j > p) { t(j) = t(j - 1); j -= 1 }
+                      t(p) = vid
+                      if (sz < k) nullSizes(qi) = sz + 1
+                    }
+                  }
+                } else {
+                  val q = qvecs(qi)
+                  val m = Math.min(q.length, arr.numElements())
+                  var s = 0.0
+                  var j = 0
+                  while (j < m) { s += q(j).toDouble * arr.getFloat(j).toDouble; j += 1 }
+                  // norm of THIS row, FloatVecNorm's order
+                  var nn = 0.0
+                  val ne = arr.numElements()
+                  j = 0
+                  while (j < ne) { val x = arr.getFloat(j).toDouble; nn += x * x; j += 1 }
+                  val raw = s / (qnorms(qi) * math.sqrt(nn))
+                  val sim =
+                    if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+                    else java.math.BigDecimal.valueOf(raw)
+                      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                  val ss = sims(qi); val vv = vids(qi)
+                  val sz = sizes(qi)
+                  if (sz < k || beats(sim, vid, ss(sz - 1), vv(sz - 1))) {
+                    var p = 0
+                    while (p < sz && !beats(sim, vid, ss(p), vv(p))) p += 1
+                    if (p < k) {
+                      var j2 = Math.min(sz, k - 1)
+                      while (j2 > p) { ss(j2) = ss(j2 - 1); vv(j2) = vv(j2 - 1); j2 -= 1 }
+                      ss(p) = sim; vv(p) = vid
+                      if (sz < k) sizes(qi) = sz + 1
+                    }
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+          i += 1
+        }
+      }
+      val out = Vector.newBuilder[(Long, Int, Array[Double], Array[Long], Array[Long])]
+      var qi = 0
+      while (qi < nq) {
+        out += ((qids(qi), sizes(qi),
+          java.util.Arrays.copyOf(sims(qi), sizes(qi)),
+          java.util.Arrays.copyOf(vids(qi), sizes(qi)),
+          java.util.Arrays.copyOf(nullTier(qi), nullSizes(qi))))
+        qi += 1
+      }
+      out.result().iterator
+    }
+    // driver merge per query: top-k of non-null sims, then null fillers
+    case class Acc(sims: scala.collection.mutable.ArrayBuffer[(Double, Long)],
+      nulls: scala.collection.mutable.ArrayBuffer[Long])
+    val byQ = new java.util.LinkedHashMap[Long, Acc]()
+    partials.collect().foreach { case (qid, sz, ss, vv, nt) =>
+      val a = byQ.computeIfAbsent(qid,
+        _ => Acc(scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
+      var i = 0
+      while (i < sz) { a.sims += ((ss(i), vv(i))); i += 1 }
+      nt.foreach(a.nulls += _)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    qids.sorted.foreach { qid =>
+      val a = byQ.get(qid)
+      if (a != null) {
+        val ranked = a.sims.sortWith { case ((sa, va), (sb, vb)) =>
+          val c = java.lang.Double.compare(sa, sb)
+          if (c != 0) c > 0 else va < vb
+        }
+        val fill = a.nulls.sorted
+        val top = (ranked.map(p => (java.lang.Double.valueOf(p._1), p._2)) ++
+          fill.map(v => (null: java.lang.Double, v))).take(k)
+        top.foreach { case (s, v) => rows += Row(qid, v, s) }
+      }
+    }
+    val outSchema = StructType(Seq(
+      StructField("qid", LongType, nullable = true),
+      StructField("vec_id", LongType, nullable = true),
+      StructField("sim", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, outSchema)
+  }
+
   /** Q17 top-20 token frequencies: explode → partial+final count agg →
     * global top-k (TakeOrderedAndProject; no full sort).
     */

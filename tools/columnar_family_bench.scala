@@ -73,6 +73,8 @@ val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
   ("q109_sf01", () => graft.queries.Relational.q4ColumnarKernel(spark, sf01)),
   ("q10_sf01", () => graft.queries.Events.q10(spark, sf01)),
   ("q110_sf01", () => graft.queries.Events.q10ColumnarKernel(spark, sf01)),
+  ("q16_sf01", () => graft.queries.TextVec.q16(spark, sf01)),
+  ("q111_sf01", () => graft.queries.TextVec.q16ColumnarKernel(spark, sf01)),
   ("q6_x20", () => {
     val li = spark.read.parquet(bigLi + "/lineitem.parquet")
     li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
