@@ -169,6 +169,9 @@ object SparkEntry {
     // q111: the seam's first ARRAY-column kernel — q16's cosine top-5 with
     // the embedding vectors read straight from the nested column vectors.
     "q111_columnar_cosine"    -> (TextVec.q16ColumnarKernel _),
+    // q112: token top-20 without the explode — the byte-level space split
+    // replaces the ~120x row inflation; vocab partials merge bounded.
+    "q112_columnar_tokens"    -> (TextVec.q17ColumnarKernel _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -248,7 +251,8 @@ object SparkEntry {
       "q108_columnar_rollup"    -> base("q7_rollup"),
       "q109_columnar_semianti"  -> base("q4_semi_anti"),
       "q110_columnar_json"      -> base("q10_json"),
-      "q111_columnar_cosine"    -> base("q16_cosine_topk"))
+      "q111_columnar_cosine"    -> base("q16_cosine_topk"),
+      "q112_columnar_tokens"    -> base("q17_tokens"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -327,6 +327,77 @@ object TextVec {
       .orderBy(col("c").desc, col("tok"))
       .limit(20)
 
+  /** [[q17]] on the columnar seam (driver-gated as q112 on q17's oracle):
+    * token counting without the explode. The declarative form splits each
+    * document into a token ROW apiece (~120× row inflation through the
+    * row machinery) before the count agg; the kernel walks each text's
+    * UTF-8 bytes once, splitting on the literal 0x20 — exactly
+    * `split(text, " ")` + the non-empty filter, and safe on multibyte
+    * text because 0x20 never occurs inside a UTF-8 sequence — and counts
+    * tokens in a per-partition content-hash map. Partial vocab maps merge
+    * on the driver and the (count DESC, token ASC) top-20 is taken there;
+    * vocabulary ≪ corpus (Heaps' law) makes that exact and cheap at bench
+    * scale, and the declarative form remains the unbounded-vocabulary
+    * at-scale path (same division of labor as the q105/q106 build maps).
+    */
+  def q17ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.documents(spark, dir).select(col("text"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(docs)
+    val txtIdx = schema.fieldIndex("text")
+    val partials = batches.mapPartitions { it =>
+      val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val tV = b.column(txtIdx)
+        val anyNull = tV.hasNull
+        var i = 0
+        while (i < n) {
+          if (!(anyNull && tV.isNullAt(i))) {
+            val s = tV.getUTF8String(i)
+            val bytes = s.getBytes
+            var start = 0
+            var p = 0
+            while (p <= bytes.length) {
+              if (p == bytes.length || bytes(p) == ' ') {
+                if (p > start) { // the =!= "" filter
+                  val tok = UTF8String.fromBytes(bytes, start, p - start)
+                  var c = counts.get(tok)
+                  if (c == null) { c = new Array[Long](1); counts.put(tok.clone(), c) }
+                  c(0) += 1L
+                }
+                start = p + 1
+              }
+              p += 1
+            }
+          }
+          i += 1
+        }
+      }
+      val out = Vector.newBuilder[(String, Long)]
+      counts.forEach((k, v) => out += ((k.toString, v(0))))
+      out.result().iterator
+    }
+    val merged = new java.util.HashMap[String, Array[Long]]()
+    partials.collect().foreach { case (tok, c) =>
+      merged.computeIfAbsent(tok, _ => new Array[Long](1))(0) += c
+    }
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    merged.forEach((k, v) => all += ((k, v(0))))
+    val top = all.sortWith { case ((ta, ca), (tb, cb)) =>
+      if (ca != cb) ca > cb
+      else UTF8String.fromString(ta).compareTo(UTF8String.fromString(tb)) < 0
+    }.take(20).map { case (t, c) => Row(t, c) }
+    val outSchema = StructType(Seq(
+      StructField("tok", StringType, nullable = true),
+      StructField("c", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(top.asJava, outSchema)
+  }
+
   /** Q20 per-label embedding stats: dim + mean L2 norm.
     * Norms are per-row JVM folds (bit-identical across engines); the MEAN
     * goes through a 1e-8 fixed-point long sum so the only remaining

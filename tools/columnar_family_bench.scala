@@ -75,6 +75,8 @@ val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
   ("q110_sf01", () => graft.queries.Events.q10ColumnarKernel(spark, sf01)),
   ("q16_sf01", () => graft.queries.TextVec.q16(spark, sf01)),
   ("q111_sf01", () => graft.queries.TextVec.q16ColumnarKernel(spark, sf01)),
+  ("q17_sf01", () => graft.queries.TextVec.q17(spark, sf01)),
+  ("q112_sf01", () => graft.queries.TextVec.q17ColumnarKernel(spark, sf01)),
   ("q6_x20", () => {
     val li = spark.read.parquet(bigLi + "/lineitem.parquet")
     li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
