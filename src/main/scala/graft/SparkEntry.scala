@@ -172,6 +172,9 @@ object SparkEntry {
     // q112: token top-20 without the explode — the byte-level space split
     // replaces the ~120x row inflation; vocab partials merge bounded.
     "q112_columnar_tokens"    -> (TextVec.q17ColumnarKernel _),
+    // q113: exact-dedup census as one single-stage pass (the declarative
+    // two-stage distinct is ~2 dispatch floors on a 5k-row corpus).
+    "q113_columnar_dedup"     -> (TextVec.q14ColumnarKernel _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -252,7 +255,8 @@ object SparkEntry {
       "q109_columnar_semianti"  -> base("q4_semi_anti"),
       "q110_columnar_json"      -> base("q10_json"),
       "q111_columnar_cosine"    -> base("q16_cosine_topk"),
-      "q112_columnar_tokens"    -> base("q17_tokens"))
+      "q112_columnar_tokens"    -> base("q17_tokens"),
+      "q113_columnar_dedup"     -> base("q14_exact_dedup"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -39,6 +39,55 @@ object TextVec {
     Tables.documents(spark, dir)
       .agg(countDistinct(lower(trim(col("text")))).as("n"))
 
+  /** [[q14]] on the columnar seam (driver-gated as q113 on q14's oracle):
+    * exact dedup census as one single-stage pass. Per row the kernel
+    * applies the SAME canonicalization as q14 — `UTF8String.trim()` then
+    * `.toLowerCase()` (the exact methods Spark's trim/lower call) — and
+    * MD5s the resulting bytes (MessageDigest, what Spark's md5 wraps);
+    * each partition keeps a set of 128-bit digests and the driver unions
+    * them (distinct docs ≪ rows at bench scale; the declarative
+    * partial-distinct + exchange form remains the at-scale path). The
+    * declarative q14's two-stage distinct costs ~2 dispatch floors for a
+    * 5 000-row corpus whose hashing is milliseconds — this is the
+    * job-count fix, not a hashing fix.
+    */
+  def q14ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Tables.documents(spark, dir).select(col("text"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(docs)
+    val txtIdx = schema.fieldIndex("text")
+    val partials = batches.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = new java.util.HashSet[(Long, Long)]()
+      while (it.hasNext) {
+        val b = it.next()
+        val n = b.numRows()
+        val tV = b.column(txtIdx)
+        val anyNull = tV.hasNull
+        var i = 0
+        while (i < n) {
+          // countDistinct skips NULL inputs (md5(null) is null)
+          if (!(anyNull && tV.isNullAt(i))) {
+            val canon = tV.getUTF8String(i).trim().toLowerCase()
+            md.reset()
+            val d = md.digest(canon.getBytes)
+            val bb = java.nio.ByteBuffer.wrap(d)
+            seen.add((bb.getLong(), bb.getLong()))
+          }
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      Iterator.single(seen.asScala.toArray)
+    }
+    val all = new java.util.HashSet[(Long, Long)]()
+    partials.collect().foreach(_.foreach(all.add))
+    val outSchema = StructType(Seq(StructField("n", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(Row(all.size.toLong)).asJava, outSchema)
+  }
+
   // LSH parameters for q15: 16 hashes = 8 bands x 2 rows. At the Jaccard
   // threshold 0.6 a pair is banded with p = 1-(1-0.6^2)^8 = 0.97; the
   // corpus's true dups are all J >= 0.83 (measured) => banding + the 6/16

@@ -98,7 +98,8 @@ class ColumnarKernelSpec extends SparkSpec {
         ("q4", Relational.q4(spark, dir), Relational.q4ColumnarKernel(spark, dir)),
         ("q10", Events.q10(spark, dir), Events.q10ColumnarKernel(spark, dir)),
         ("q16", graft.queries.TextVec.q16(spark, dir), graft.queries.TextVec.q16ColumnarKernel(spark, dir)),
-        ("q17", graft.queries.TextVec.q17(spark, dir), graft.queries.TextVec.q17ColumnarKernel(spark, dir)))) {
+        ("q17", graft.queries.TextVec.q17(spark, dir), graft.queries.TextVec.q17ColumnarKernel(spark, dir)),
+        ("q14", graft.queries.TextVec.q14(spark, dir), graft.queries.TextVec.q14ColumnarKernel(spark, dir)))) {
         assert(got.schema.map(f => (f.name, f.dataType)) ===
           want.schema.map(f => (f.name, f.dataType)), s"$name schema at $dir")
         assert(rowsOf(got) === rowsOf(want), s"$name rows at $dir")

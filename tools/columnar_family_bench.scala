@@ -77,6 +77,8 @@ val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
   ("q111_sf01", () => graft.queries.TextVec.q16ColumnarKernel(spark, sf01)),
   ("q17_sf01", () => graft.queries.TextVec.q17(spark, sf01)),
   ("q112_sf01", () => graft.queries.TextVec.q17ColumnarKernel(spark, sf01)),
+  ("q14_sf01", () => graft.queries.TextVec.q14(spark, sf01)),
+  ("q113_sf01", () => graft.queries.TextVec.q14ColumnarKernel(spark, sf01)),
   ("q6_x20", () => {
     val li = spark.read.parquet(bigLi + "/lineitem.parquet")
     li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
