@@ -794,9 +794,15 @@ object Bench {
             (m, resid)
           }
           val rows = scala.collection.mutable.LinkedHashMap[String, String]()
+          // the columnar twins ride the same slope sweep: their data terms
+          // are the floor-free evidence the scaled A/Bs measure one-off
+          // (engine-side fits only make sense where a kernel exists)
+          val slopeSet = bset ++ ordered.collect {
+            case (n, _) if n.startsWith("q1") && n.contains("_columnar_") => n
+          }
           // per-query isolation, same fail-soft discipline as the main
           // loop: one failing query loses its row, not the whole phase
-          for (name <- bset; fn <- ordered.find(_._1 == name).map(_._2)) try {
+          for (name <- slopeSet; fn <- ordered.find(_._1 == name).map(_._2)) try {
             val sql = SparkEntry.oracleSql.get(name)
             // all points back-to-back, ascending sf, engine+oracle paired
             val meas = points.map { case (sf, dir, sc) =>
