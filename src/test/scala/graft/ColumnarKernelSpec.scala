@@ -107,6 +107,72 @@ class ColumnarKernelSpec extends SparkSpec {
     }
   }
 
+  test("q1 kernel: per-sum NULL semantics on a crafted lineitem with nulls everywhere") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("q1col").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = ts("1995-01-01 00:00:00"); val out = ts("1999-01-01 00:00:00")
+    val rows = Seq(
+      Row(1L, 1L, 1L, 1, 10.0, 100.0, 0.1, 0.0, "A", "F", in),
+      Row(2L, 1L, 1L, 1, null, 200.0, 0.2, 0.0, "A", "F", in),   // null qty: counted, qty-sum skips
+      Row(3L, 1L, 1L, 1, 5.0, null, 0.1, 0.0, "A", "F", in),     // null price: base+disc skip
+      Row(4L, 1L, 1L, 1, 5.0, 300.0, null, 0.0, "A", "F", in),   // null discount: disc-sum skips
+      Row(5L, 1L, 1L, 1, 1.0, 50.0, 0.0, 0.0, null, "F", in),    // null flag group
+      Row(6L, 1L, 1L, 1, 2.0, 60.0, 0.0, 0.0, "R", null, in),    // null status group
+      Row(7L, 1L, 1L, 1, null, null, null, 0.0, "N", "O", in),   // all-null sums group
+      Row(8L, 1L, 1L, 1, 9.0, 900.0, 0.1, 0.0, "A", "F", out),   // filtered out
+      Row(9L, 1L, 1L, 1, 9.0, 900.0, 0.1, 0.0, "A", "F", null))  // null shipdate: dropped
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val want = rowsOf(graft.queries.Relational.q1(spark, tmp))
+    val got = rowsOf(graft.queries.Relational.q1ColumnarKernel(spark, tmp))
+    assert(got === want)
+    // the crafted corpus really exercised the all-NULL path
+    assert(want.exists(r => r.getString(0) == "N" && r.get(2) == null))
+  }
+
+  test("q10 kernel: null props / null event_type / all-null-probe groups") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("q10col").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2024-01-01 00:00:00")
+    val rows = Seq(
+      Row(1L, t0, 1L, "click", 1.0, """{"k": 7}"""),
+      Row(2L, t0, 1L, "click", 1.0, null),                    // null props
+      Row(3L, t0, 1L, null, 1.0, """{"k": 5}"""),             // null type group
+      Row(4L, t0, 1L, "view", 1.0, """{"x": 1}"""),           // key missing -> all-null group
+      Row(5L, t0, 1L, "view", 1.0, """{"k": "oops"}"""),      // non-numeric -> null
+      Row(6L, t0, 1L, "buy", 1.0, """{"k": -2147483649}"""))  // out of int range -> null group
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val want = rowsOf(graft.queries.Events.q10(spark, tmp))
+    val got = rowsOf(graft.queries.Events.q10ColumnarKernel(spark, tmp))
+    assert(got === want)
+    assert(want.exists(r => r.getString(0) == "view" && r.get(1) == null))
+    assert(want.exists(r => r.get(0) == null))
+  }
+
+  test("q102/q103 columnar scans stay bucket-aligned (one partition per bucket)") {
+    val staged = Layouts.eventsByUserCached(spark, sf0001, buckets = 8)
+    val (rdd, _) = ColumnarScan.batches(
+      staged.select(col("user_id"), col("ts"), col("event_type")))
+    assert(rdd.getNumPartitions === 8,
+      "size-based splits crept back into the bucketed kernel scan")
+  }
+
   test("q5 columnar kernel survives adversarial partitioning (per-partition top-k merge)") {
     // the smallest-100-custkeys-per-partition bound must stay lossless
     // when one customer's orders scatter across every partition: write a
