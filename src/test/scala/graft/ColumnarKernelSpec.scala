@@ -165,6 +165,43 @@ class ColumnarKernelSpec extends SparkSpec {
     assert(want.exists(r => r.get(0) == null))
   }
 
+  test("q5/q6 kernels: null custkey group and null ordering tiers on a crafted corpus") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("nullorders").toString
+    val oschema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val orows = Seq(
+      Row(1L, null, 500.0),  // null custkey -> its own FIRST group (ASC NULLS FIRST)
+      Row(2L, null, 600.0),
+      Row(3L, 1L, 100.0), Row(4L, 1L, null), // null price skipped by TopKPriceRows
+      Row(5L, 2L, 100.0), Row(null, 2L, 999.0)) // null orderkey skipped
+    spark.createDataFrame(orows.asJava, oschema)
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val plain = spark.read.parquet(s"$tmp/orders.parquet")
+    assert(rowsOf(graft.queries.Relational.q5ColumnarKernelFrom(plain)) ===
+      rowsOf(graft.queries.Relational.q5From(plain)))
+
+    val lschema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_extendedprice", DoubleType)))
+    // fewer than 10 rows, with nulls in every ordering column: the
+    // candidate comparator's null tiers (price DESC NULLS LAST,
+    // okey/lineno ASC NULLS FIRST) all surface in the answer
+    val lrows = Seq(
+      Row(1L, 1, 100.0), Row(1L, 2, null), Row(null, 1, 50.0),
+      Row(2L, null, 100.0), Row(null, null, null), Row(3L, 3, 100.0))
+    val tmp2 = java.nio.file.Files.createTempDirectory("nullli").toString
+    spark.createDataFrame(lrows.asJava, lschema)
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp2/lineitem.parquet")
+    val li = spark.read.parquet(s"$tmp2/lineitem.parquet")
+    val want = li.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10).collect().toSeq
+    val got = rowsOf(graft.queries.Relational.q6ColumnarKernel(spark, tmp2))
+    assert(got === want)
+  }
+
   test("q102/q103 columnar scans stay bucket-aligned (one partition per bucket)") {
     val staged = Layouts.eventsByUserCached(spark, sf0001, buckets = 8)
     val (rdd, _) = ColumnarScan.batches(
