@@ -114,8 +114,16 @@ object ColumnarScan {
   *
   * Usage per batch: [[bind]] the column vector, then [[idAt]] for each
   * row the CALLER has already null-checked.
+  *
+  * Id space is capped at `maxIds` (default 0xFFFFF = 2^20 − 1): the packed
+  * group keys in the q1/q7/q11 kernels give each interned column 20 bits
+  * and reserve 0xFFFFF as the NULL sentinel, so an interner silently
+  * handing out id 0xFFFFF (or wider) would alias real groups into the
+  * null group / corrupt neighboring key bits. [[internAt]] throws at the
+  * cap instead (the seam's loud-failure discipline) — a genuinely
+  * high-cardinality string column belongs on the declarative path.
   */
-final class StringIdInterner {
+final class StringIdInterner(maxIds: Int = 0xFFFFF) {
   private val ids = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
   private val names = scala.collection.mutable.ArrayBuffer.empty[String]
   private var vec: org.apache.spark.sql.vectorized.ColumnVector = null
@@ -152,6 +160,10 @@ final class StringIdInterner {
     val s = vec.getUTF8String(i)
     var boxed = ids.get(s)
     if (boxed == null) {
+      if (names.length >= maxIds) throw new IllegalStateException(
+        s"StringIdInterner: distinct-value count reached the id cap $maxIds " +
+        "(the packed-key kernels reserve this id as the NULL sentinel) — " +
+        "this column's cardinality needs the declarative path.")
       boxed = Integer.valueOf(names.length)
       ids.put(s.clone(), boxed)
       names += s.toString
@@ -171,7 +183,8 @@ final class StringIdInterner {
   * using this is tiny (days × event types), so the table stays L1/L2
   * resident; the growth path exists for safety, not for the hot case.
   */
-final class LongAccMap(slots: Int, initCap: Int = 1024) extends Serializable {
+final class LongAccMap(slots: Int, initCap: Int = 1024,
+    private[graft] val maxCap: Int = 1 << 28) extends Serializable {
   require(Integer.bitCount(initCap) == 1, "capacity must be a power of two")
   private var cap = initCap
   private var mask = cap - 1
@@ -215,6 +228,14 @@ final class LongAccMap(slots: Int, initCap: Int = 1024) extends Serializable {
   }
 
   private def grow(): Unit = {
+    // Hard ceiling (2^28 entries ≈ 2+ GiB of key/value arrays at slots=1):
+    // a kernel whose per-partition group space reaches this is being run
+    // far outside its design regime — fail loudly before the allocator
+    // does, pointing at the declarative twin (same discipline as the
+    // interner's id cap).
+    if (cap >= maxCap) throw new IllegalStateException(
+      s"LongAccMap: key count exceeded ${cap / 2} — per-partition kernel " +
+      "state is no longer bounded; use the declarative form for this input.")
     val ok = keys; val ou = used; val ov = vals; val ocap = cap
     cap *= 2; mask = cap - 1; n = 0
     keys = new Array[Long](cap); used = new Array[Boolean](cap)

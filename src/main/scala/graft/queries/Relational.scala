@@ -310,6 +310,7 @@ object Relational {
           "kernel alongside Tables/probeSchemas (same drift contract).")
       }
       val band = new graft.operators.LongAccMap(2, initCap = 1 << 18)
+      var pairCount = 0L
       oBatches.mapPartitions { it =>
         val buf = new scala.collection.mutable.ArrayBuilder.ofLong
         while (it.hasNext) {
@@ -335,8 +336,17 @@ object Relational {
           band.values(base) = arr(i + 1)
           band.values(base + 1) = arr(i + 1) + ninetyDaysMicros
           i += 2
+          pairCount += 1L
         }
       }
+      // o_orderkey is assumed unique (orders PK): the map keeps ONE band per
+      // key, so a duplicate key would silently under-count vs the
+      // declarative join's fan-out. Validate the assumption loudly (the
+      // badLayout discipline) — a duplicate makes insertions outnumber keys.
+      if (pairCount != band.size.toLong) throw new IllegalStateException(
+        s"q3ColumnarKernel: ${pairCount - band.size} duplicate o_orderkey " +
+        "value(s) in the build — the kernel's one-band-per-key map would " +
+        "under-count; use the declarative q3 (which fans out) instead.")
       spark.sparkContext.broadcast(band)
     }
     val li = Tables.lineitem(spark, dir)
@@ -345,6 +355,15 @@ object Relational {
     val okIdx = schema.fieldIndex("l_orderkey")
     val sdIdx = schema.fieldIndex("l_shipdate")
     val epIdx = schema.fieldIndex("l_extendedprice")
+    // same drift-contract guard as the build side's o_orderdate (and q1's
+    // l_shipdate): a LongType NANOS probe column would silently compare
+    // nanos against micros band bounds instead of failing loudly
+    schema(sdIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalStateException(
+        s"q3ColumnarKernel: l_shipdate scanned as ${other.sql} — extend the " +
+        "kernel alongside Tables/probeSchemas (same drift contract).")
+    }
     val partials = batches.mapPartitions { it =>
       val m = bandB.value
       var cnt = 0L; var fix = 0L; var has = 0L
@@ -407,7 +426,12 @@ object Relational {
   private def buildQ2OkToNation(spark: SparkSession, dir: String)
       : (org.apache.spark.broadcast.Broadcast[graft.operators.LongAccMap], Array[String]) = {
     import org.apache.spark.sql.types.LongType
+    // nid is keyed by NATION NAME, not nationkey: the declarative q2 groups
+    // by n_name, so two nationkeys sharing a name must land in ONE group
+    // (and a null name is its own single group) — keying ids by nationkey
+    // split such groups (r12 ADVICE). HashMap accepts the null-name key.
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val nameToNid = new java.util.HashMap[String, Integer]()
     val nationToNid = new graft.operators.LongAccMap(1)
     Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
@@ -415,9 +439,15 @@ object Relational {
       .select(col("n_nationkey").cast("long"), col("n_name"))
       .collect().foreach { r =>
         if (!r.isNullAt(0)) {
+          val nm = if (r.isNullAt(1)) null else r.getString(1)
+          var nid = nameToNid.get(nm)
+          if (nid == null) {
+            nid = Integer.valueOf(names.length)
+            nameToNid.put(nm, nid)
+            names += nm
+          }
           val base = nationToNid.slot(r.getLong(0))
-          nationToNid.values(base) = names.length.toLong
-          names += (if (r.isNullAt(1)) null else r.getString(1))
+          nationToNid.values(base) = nid.longValue()
         }
       }
     def probePairs(df: org.apache.spark.sql.DataFrame, keyCol: String, probeCol: String,
@@ -543,11 +573,15 @@ object Relational {
       }
       i += 1
     }
-    // rev DESC NULLS LAST, then n_name ASC (binary)
+    // rev DESC NULLS LAST, then n_name ASC NULLS FIRST (binary; null-guarded
+    // like the q1/q7 kernels' lt() — a null nation name must not NPE here)
+    def nameLt(a: String, b: String): Boolean =
+      if (a == null || b == null) a == null && b != null
+      else UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
     val sorted = rows.sortWith { case ((na, ra), (nb, rb)) =>
       if ((ra == null) != (rb == null)) rb == null
       else if (ra != null && ra.doubleValue() != rb.doubleValue()) ra.doubleValue() > rb.doubleValue()
-      else UTF8String.fromString(na).compareTo(UTF8String.fromString(nb)) < 0
+      else nameLt(na, nb)
     }.map { case (n2, r2) => Row(n2, r2) }
     val outSchema = StructType(Seq(
       StructField("n_name", StringType, nullable = true),
@@ -779,29 +813,43 @@ object Relational {
       val m = cells.computeIfAbsent((a, bK), _ => new Array[Long](3))
       m(0) += c; m(1) += f; m(2) |= h
     }
-    // roll the lattice up from the finest cells
-    val rollup = new java.util.LinkedHashMap[(String, String), Array[Long]]()
-    def add(k: (String, String), v: Array[Long]): Unit = {
+    // Roll the lattice up from the finest cells, with the GROUPING LEVEL in
+    // the key: a data-null flag value and a subtotal's null marker render
+    // identically in the output but are DIFFERENT cells (Spark and DuckDB
+    // distinguish them by grouping id and emit both rows). Keying by level
+    // keeps an ('A', null-data) detail cell separate from the ('A',
+    // <subtotal>) marker cell instead of double-counting both into one row
+    // (the r12 ADVICE failure mode on corpora with null flag values).
+    val rollup = new java.util.LinkedHashMap[(Int, String, String), Array[Long]]()
+    def add(k: (Int, String, String), v: Array[Long]): Unit = {
       val m = rollup.computeIfAbsent(k, _ => new Array[Long](3))
       m(0) += v(0); m(1) += v(1); m(2) |= v(2)
     }
-    cells.forEach { (k, v) => add(k, v); add((k._1, null), v); add((null, null), v) }
-    // rollup's own NULL level markers coincide with data-null flag values
-    // in the OUTPUT (same as the declarative form and the oracle — both
-    // render them identically; the corpus carries no null flags)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[((String, String), Row)]
+    cells.forEach { (k, v) =>
+      add((0, k._1, k._2), v)    // detail row (flag values as scanned, nulls included)
+      add((1, k._1, null), v)    // per-flag subtotal: linestatus is the marker
+      add((2, null, null), v)    // grand total: both columns are markers
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[((Int, String, String), Row)]
     rollup.forEach { (k, v) =>
       val s =
         if (v(2) == 0L) null
         else java.lang.Double.valueOf(java.math.BigDecimal.valueOf(v(1).toDouble / 10000.0)
           .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
-      rows += ((k, Row(k._1, k._2, v(0), s)))
+      rows += ((k, Row(k._2, k._3, v(0), s)))
     }
     def lt(a: String, b: String): Boolean =
       if (a == null || b == null) a == null && b != null
       else UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
-    val sorted = rows.sortWith { case (((ra, la), _), ((rb, lb), _)) =>
-      if (ra != rb) lt(ra, rb) else lt(la, lb)
+    // ASC NULLS FIRST on both rendered columns (marker and data nulls sort
+    // identically — as in Spark's plan); rows tying on both (a data-null
+    // detail cell vs its enclosing subtotal) are ordered by level, which is
+    // deterministic here and canonicalized away by the driver's row-sorted
+    // hash (Spark's own sort leaves their relative order unspecified too).
+    val sorted = rows.sortWith { case (((lva, ra, la), _), ((lvb, rb, lb), _)) =>
+      if (ra != rb) lt(ra, rb)
+      else if (la != lb) lt(la, lb)
+      else lva < lvb
     }.map(_._2)
     val outSchema = StructType(Seq(
       StructField("l_returnflag", StringType, nullable = true),

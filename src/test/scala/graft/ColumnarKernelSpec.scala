@@ -275,6 +275,121 @@ class ColumnarKernelSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly one scan leaf"))
   }
 
+  test("q7 kernel: data-null flag values vs rollup subtotal markers stay distinct cells") {
+    // the r12 ADVICE failure mode: a detail cell ('A', null-data) and the
+    // per-flag subtotal ('A', <marker>) render identically but are separate
+    // ROLLUP output rows — conflating them double-counts the detail into
+    // one merged row and loses a row vs Spark/DuckDB
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("q7col").toString
+    val schema = StructType(Seq(
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_extendedprice", DoubleType)))
+    val rows = Seq(
+      Row("A", "F", 100.0), Row("A", "F", 200.0),
+      Row("A", null, 10.0),              // data-null status inside flag A
+      Row("A", null, 20.0),
+      Row(null, "F", 5.0),               // data-null flag
+      Row(null, null, 1.0),              // both data-null
+      Row("R", "O", 50.0))
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val want = rowsOf(graft.queries.Relational.q7(spark, tmp))
+    val got = rowsOf(graft.queries.Relational.q7ColumnarKernel(spark, tmp))
+    // compare as multisets: rows tying on BOTH sort keys (a data-null
+    // detail cell and its enclosing subtotal) have engine-unspecified
+    // relative order — the driver's hash canonicalizes the same way
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+      want.groupBy(identity).view.mapValues(_.size).toMap)
+    // the corpus really produced two distinct ('A', NULL) rows:
+    // the detail cell (2 rows) and the subtotal over all 4 'A' rows
+    val aNull = want.filter(r => r.get(0) == "A" && r.get(1) == null)
+    assert(aNull.map(_.getLong(2)).sorted === Seq(2L, 4L))
+  }
+
+  test("q2 kernel: duplicate nation names merge into one group; null name never NPEs") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("q2col").toString
+    def write(name: String, schema: StructType, rows: Seq[Row]): Unit =
+      spark.createDataFrame(rows.asJava, schema)
+        .repartition(2).write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+    write("region", StructType(Seq(
+      StructField("r_regionkey", LongType), StructField("r_name", StringType))),
+      Seq(Row(1L, "ASIA"), Row(2L, "EUROPE")))
+    write("nation", StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_regionkey", LongType),
+      StructField("n_name", StringType))),
+      // two nationkeys SHARING a name, plus a null-name nation, all in ASIA
+      Seq(Row(1L, 1L, "ALIKE"), Row(2L, 1L, "ALIKE"), Row(3L, 1L, null)))
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_nationkey", LongType))),
+      Seq(Row(10L, 1L), Row(20L, 2L), Row(30L, 3L)))
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType))),
+      Seq(Row(100L, 10L), Row(200L, 20L), Row(300L, 30L)))
+    // revenues: ALIKE = 100 + 50 (merged across its two nationkeys);
+    // null-name = 150 — a TIE, so the final comparator must compare a null
+    // name (the exact line that NPE'd pre-fix)
+    write("lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType))),
+      Seq(Row(100L, 100.0, 0.0), Row(200L, 50.0, 0.0), Row(300L, 150.0, 0.0)))
+    val want = rowsOf(graft.queries.Relational.q2(spark, tmp))
+    val got = rowsOf(graft.queries.Relational.q2ColumnarKernel(spark, tmp))
+    assert(got === want)
+    assert(want.size === 2, s"duplicate names must merge: $want")
+    assert(want.exists(_.get(0) == null), "null-name group must survive")
+  }
+
+  test("q3 kernel rejects duplicate o_orderkey loudly (one-band-per-key map)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("q3dup").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    spark.createDataFrame(Seq(
+      Row(1L, ts("1995-01-01 00:00:00")),
+      Row(1L, ts("1995-06-01 00:00:00")),  // duplicate PK
+      Row(2L, ts("1995-01-01 00:00:00"))).asJava,
+      StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderdate", TimestampType))))
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    spark.createDataFrame(Seq(
+      Row(1L, ts("1995-01-02 00:00:00"), 10.0)).asJava,
+      StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_shipdate", TimestampType),
+        StructField("l_extendedprice", DoubleType))))
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.queries.Relational.q3ColumnarKernel(spark, tmp).collect()
+    }
+    assert(e.getMessage.contains("duplicate o_orderkey"))
+  }
+
+  test("StringIdInterner throws at the packed-key id cap instead of aliasing the NULL sentinel") {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.types.StringType
+    val v = new OnHeapColumnVector(3, StringType)
+    Seq("a", "b", "c").zipWithIndex.foreach { case (s, i) =>
+      val bytes = s.getBytes("UTF-8"); v.putByteArray(i, bytes, 0, bytes.length)
+    }
+    val in = new graft.operators.StringIdInterner(maxIds = 2)
+    in.bind(v)
+    assert(in.idAt(0) === 0)
+    assert(in.idAt(1) === 1)
+    val e = intercept[IllegalStateException] { in.idAt(2) }
+    assert(e.getMessage.contains("id cap"))
+  }
+
+  test("LongAccMap fails loudly at its growth ceiling instead of allocating unbounded state") {
+    val m = new LongAccMap(1, initCap = 8, maxCap = 16)
+    val e = intercept[IllegalStateException] {
+      (1L to 32L).foreach(m.slot(_))
+    }
+    assert(e.getMessage.contains("no longer bounded"))
+  }
+
   test("LongAccMap matches a reference HashMap across growth, incl. key 0 and negatives") {
     val rnd = new scala.util.Random(42)
     val m = new LongAccMap(2, initCap = 8)
