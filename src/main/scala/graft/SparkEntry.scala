@@ -175,6 +175,11 @@ object SparkEntry {
     // q113: exact-dedup census as one single-stage pass (the declarative
     // two-stage distinct is ~2 dispatch floors on a 5k-row corpus).
     "q113_columnar_dedup"     -> (TextVec.q14ColumnarKernel _),
+    // q114: q9a's exact distinct-user census on the columnar seam — the
+    // q113 digest-set pattern on a long column (single-stage scan,
+    // executor-side tree-merge, distributed distinct().count() fallback
+    // past the broadcast regime). Shares q9a's oracle.
+    "q114_columnar_distinct"  -> (Events.q9aColumnarKernel _),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -256,7 +261,8 @@ object SparkEntry {
       "q110_columnar_json"      -> base("q10_json"),
       "q111_columnar_cosine"    -> base("q16_cosine_topk"),
       "q112_columnar_tokens"    -> base("q17_tokens"),
-      "q113_columnar_dedup"     -> base("q14_exact_dedup"))
+      "q113_columnar_dedup"     -> base("q14_exact_dedup"),
+      "q114_columnar_distinct"  -> base("q9a_distinct"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

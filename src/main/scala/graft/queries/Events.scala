@@ -28,6 +28,65 @@ object Events {
   def q9b(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).agg(approx_count_distinct(col("user_id")).as("adu"))
 
+  /** [[q9a]] on the columnar seam (driver-gated as q114 on q9a's oracle):
+    * exact distinct-user census as one single-stage pass — the q113
+    * digest-set pattern on a long column, closing the r12 verdict's one
+    * B-set query with no fast physical form (the declarative two-stage
+    * distinct pays ~2 dispatch floors against a ~5 ms oracle). Each
+    * partition folds its batches into a primitive open-addressing id set;
+    * sets tree-merge ON EXECUTORS and the driver receives one merged
+    * set's size, bounded by the broadcast-regime gate on the pruned scan
+    * ([[graft.queries.Relational.withinBroadcastBound]]). Past the gate
+    * the kernel counts DISTRIBUTED — per-partition-distinct ids shuffle
+    * through `distinct().count()` — so driver state never scales with the
+    * user population. countDistinct skips NULL inputs; both paths do too.
+    */
+  def q9aColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val (batches, schema) = graft.operators.ColumnarScan.batches(ev)
+    val uIdx = schema.fieldIndex("user_id")
+    val isLong = schema(uIdx).dataType match {
+      case LongType => true
+      case IntegerType => false
+      case other => throw new IllegalStateException(
+        s"q9aColumnarKernel: user_id scanned as ${other.sql} — extend the " +
+        "kernel alongside Tables/probeSchemas (same drift contract).")
+    }
+    def foldInto(set: graft.operators.LongAccMap,
+        b: org.apache.spark.sql.vectorized.ColumnarBatch): graft.operators.LongAccMap = {
+      val n = b.numRows()
+      val v = b.column(uIdx)
+      val anyNull = v.hasNull
+      var i = 0
+      while (i < n) {
+        if (!(anyNull && v.isNullAt(i)))
+          set.slot(if (isLong) v.getLong(i) else v.getInt(i).toLong)
+        i += 1
+      }
+      set
+    }
+    val du: Long =
+      if (graft.queries.Relational.withinBroadcastBound(ev)) {
+        batches.treeAggregate(new graft.operators.LongAccMap(1))(
+          seqOp = foldInto,
+          combOp = { (a, b2) => b2.foreachEntry((k, _) => a.slot(k)); a },
+          depth = 2).size.toLong
+      } else {
+        batches.mapPartitions { it =>
+          val set = it.foldLeft(new graft.operators.LongAccMap(1))(foldInto)
+          val keys = new Array[Long](set.size)
+          var k = 0
+          set.foreachEntry { (key, _) => keys(k) = key; k += 1 }
+          keys.iterator
+        }.distinct().count()
+      }
+    val outSchema = StructType(Seq(StructField("du", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(Row(du)).asJava, outSchema)
+  }
+
   /** Q10 JSON path extraction + aggregate. The path probe is
     * [[graft.expressions.PipelineExprs.jsonIntProbe]] — a single byte-scan
     * with zero parser allocation that extracts the int directly

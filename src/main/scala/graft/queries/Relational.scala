@@ -300,6 +300,7 @@ object Relational {
     val bandB = cachedBuild[org.apache.spark.broadcast.Broadcast[graft.operators.LongAccMap]](
         spark, dir, "q3band") {
       val oScan = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+      requireBuildBounded(oScan, "q3ColumnarKernel")
       val (oBatches, oSchema) = graft.operators.ColumnarScan.batches(oScan)
       val bOkIdx = oSchema.fieldIndex("o_orderkey")
       val bOdIdx = oSchema.fieldIndex("o_orderdate")
@@ -309,42 +310,48 @@ object Relational {
           s"q3ColumnarKernel: o_orderdate scanned as ${other.sql} — extend the " +
           "kernel alongside Tables/probeSchemas (same drift contract).")
       }
-      val band = new graft.operators.LongAccMap(2, initCap = 1 << 18)
-      var pairCount = 0L
-      oBatches.mapPartitions { it =>
-        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
-        while (it.hasNext) {
-          val b = it.next()
+      // EXECUTOR-SIDE build (r12 verdict: no fact-sized driver collect):
+      // each partition folds its batches straight into a LongAccMap, the
+      // maps merge in a tree ON EXECUTORS, and the driver receives one
+      // final map to broadcast — its work is a bounded last-level merge,
+      // never a partition-count collect; requireBuildBounded (above)
+      // bounds the map itself to the broadcast regime.
+      val zero = (new graft.operators.LongAccMap(2), 0L)
+      val (band, rowCount) = oBatches.treeAggregate(zero)(
+        seqOp = { case ((m, cnt), b) =>
           val n = b.numRows()
           val okV = b.column(bOkIdx); val odV = b.column(bOdIdx)
           val anyNull = okV.hasNull || odV.hasNull
+          var c = cnt
           var i = 0
           while (i < n) {
             // null key never equi-matches; a null date makes BETWEEN null →
             // the filter drops every joined row → equivalent to absent
             if (!(anyNull && (okV.isNullAt(i) || odV.isNullAt(i)))) {
-              buf += okV.getLong(i); buf += odV.getLong(i)
+              val base = m.slot(okV.getLong(i))
+              val od = odV.getLong(i)
+              m.values(base) = od
+              m.values(base + 1) = od + ninetyDaysMicros
+              c += 1L
             }
             i += 1
           }
-        }
-        Iterator.single(buf.result())
-      }.collect().foreach { arr =>
-        var i = 0
-        while (i < arr.length) {
-          val base = band.slot(arr(i))
-          band.values(base) = arr(i + 1)
-          band.values(base + 1) = arr(i + 1) + ninetyDaysMicros
-          i += 2
-          pairCount += 1L
-        }
-      }
+          (m, c)
+        },
+        combOp = { case ((a, ca), (b2, cb)) =>
+          b2.foreachEntry { (k, ob) =>
+            val base = a.slot(k)
+            a.values(base) = b2.values(ob)
+            a.values(base + 1) = b2.values(ob + 1)
+          }
+          (a, ca + cb)
+        }, depth = 2)
       // o_orderkey is assumed unique (orders PK): the map keeps ONE band per
       // key, so a duplicate key would silently under-count vs the
       // declarative join's fan-out. Validate the assumption loudly (the
       // badLayout discipline) — a duplicate makes insertions outnumber keys.
-      if (pairCount != band.size.toLong) throw new IllegalStateException(
-        s"q3ColumnarKernel: ${pairCount - band.size} duplicate o_orderkey " +
+      if (rowCount != band.size.toLong) throw new IllegalStateException(
+        s"q3ColumnarKernel: ${rowCount - band.size} duplicate o_orderkey " +
         "value(s) in the build — the kernel's one-band-per-key map would " +
         "under-count; use the declarative q3 (which fans out) instead.")
       spark.sparkContext.broadcast(band)
@@ -452,6 +459,7 @@ object Relational {
       }
     def probePairs(df: org.apache.spark.sql.DataFrame, keyCol: String, probeCol: String,
         probeMap: graft.operators.LongAccMap): graft.operators.LongAccMap = {
+      requireBuildBounded(df, "q2ColumnarKernel")
       val (bs, sch) = graft.operators.ColumnarScan.batches(df)
       val kIdx = sch.fieldIndex(keyCol)
       val pIdx = sch.fieldIndex(probeCol)
@@ -461,38 +469,46 @@ object Relational {
       val kIsLong = sch(kIdx).dataType == LongType
       val pIsLong = sch(pIdx).dataType == LongType
       val mapB = df.sparkSession.sparkContext.broadcast(probeMap)
-      val out = new graft.operators.LongAccMap(1, initCap = 1 << 18)
-      bs.mapPartitions { it =>
-        val m = mapB.value
-        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
-        while (it.hasNext) {
-          val b = it.next()
+      // executor-side build, tree-merged (r12 verdict: no driver collect of
+      // fact-sized probe outputs); uniqueness of the build key (a PK at
+      // every level of the chain) validated by insert-vs-size accounting,
+      // as in the q3 band build — a duplicate would silently drop the
+      // declarative join's fan-out
+      val (out, matched) = bs.treeAggregate((new graft.operators.LongAccMap(1), 0L))(
+        seqOp = { case ((m, cnt), b) =>
+          val pm = mapB.value
           val n = b.numRows()
           val kV = b.column(kIdx); val pV = b.column(pIdx)
           val anyNull = kV.hasNull || pV.hasNull
+          var c = cnt
           var i = 0
           while (i < n) {
             if (!(anyNull && (kV.isNullAt(i) || pV.isNullAt(i)))) {
               val p = if (pIsLong) pV.getLong(i) else pV.getInt(i).toLong
-              val base = m.getSlot(p)
+              val base = pm.getSlot(p)
               if (base >= 0) {
-                buf += (if (kIsLong) kV.getLong(i) else kV.getInt(i).toLong)
-                buf += m.values(base)
+                val kb = m.slot(if (kIsLong) kV.getLong(i) else kV.getInt(i).toLong)
+                m.values(kb) = pm.values(base)
+                c += 1L
               }
             }
             i += 1
           }
-        }
-        Iterator.single(buf.result())
-      }.collect().foreach { arr =>
-        var i = 0
-        while (i < arr.length) {
-          val base = out.slot(arr(i))
-          out.values(base) = arr(i + 1)
-          i += 2
-        }
-      }
+          (m, c)
+        },
+        combOp = { case ((a, ca), (b2, cb)) =>
+          b2.foreachEntry { (k, ob) =>
+            // slot() BEFORE reading a.values — it can grow/replace the array
+            val base = a.slot(k)
+            a.values(base) = b2.values(ob)
+          }
+          (a, ca + cb)
+        }, depth = 2)
       mapB.destroy()
+      if (matched != out.size.toLong) throw new IllegalStateException(
+        s"q2ColumnarKernel: ${matched - out.size} duplicate $keyCol value(s) " +
+        "in the build — the one-entry-per-key map would drop the declarative " +
+        "join's fan-out; use the declarative q2 instead.")
       out
     }
     val custToNid = probePairs(
@@ -874,13 +890,14 @@ object Relational {
     val mB = cachedBuild[org.apache.spark.broadcast.Broadcast[graft.operators.LongAccMap]](
         spark, dir, "q4members") {
       val o = Tables.orders(spark, dir).select(col("o_custkey"))
+      requireBuildBounded(o, "q4ColumnarKernel")
       val (oB, oSch) = graft.operators.ColumnarScan.batches(o)
       val ocIdx = oSch.fieldIndex("o_custkey")
-      val members = new graft.operators.LongAccMap(1, initCap = 1 << 16)
-      oB.mapPartitions { it =>
-        val set = new graft.operators.LongAccMap(1, initCap = 1 << 14)
-        while (it.hasNext) {
-          val b = it.next()
+      // executor-side distinct-set build, tree-merged (r12 verdict: the
+      // driver never unions partition key arrays — it receives ONE merged
+      // set to broadcast, bounded by the gate above)
+      val members = oB.treeAggregate(new graft.operators.LongAccMap(1))(
+        seqOp = { (set, b) =>
           val n = b.numRows()
           val v = b.column(ocIdx)
           val anyNull = v.hasNull
@@ -889,12 +906,10 @@ object Relational {
             if (!(anyNull && v.isNullAt(i))) set.slot(v.getLong(i))
             i += 1
           }
-        }
-        val keys = new Array[Long](set.size)
-        var k = 0
-        set.foreachEntry { (key, _) => keys(k) = key; k += 1 }
-        Iterator.single(keys)
-      }.collect().foreach(_.foreach(members.slot(_)))
+          set
+        },
+        combOp = { (a, b2) => b2.foreachEntry((k, _) => a.slot(k)); a },
+        depth = 2)
       spark.sparkContext.broadcast(members)
     }
     val c = Tables.customer(spark, dir).select(col("c_custkey"))
@@ -1033,11 +1048,34 @@ object Relational {
     * the bound is too big — any genuinely large input — NO hint is
     * emitted, so a forced broadcast can never OOM at scale.
     */
-  def broadcastIfBounded(df: DataFrame, bound: DataFrame): DataFrame = {
-    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+  /** The broadcast-regime predicate shared by [[broadcastIfBounded]] and
+    * the join kernels' build gates: `bound`'s optimized-plan size estimate,
+    * expanded 8× for decompression/width, fits both the session broadcast
+    * threshold and a threshold-independent 256 MB cap.
+    */
+  private[graft] def withinBroadcastBound(bound: DataFrame): Boolean = {
+    val threshold = bound.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val expanded = bound.queryExecution.optimizedPlan.stats.sizeInBytes * 8
     val absCap = BigInt(256L * 1024 * 1024)
-    if (threshold > 0 && expanded <= threshold && expanded <= absCap) broadcast(df) else df
+    threshold > 0 && expanded <= threshold && expanded <= absCap
+  }
+
+  /** Loud validity gate for a columnar join-kernel build: the build
+    * materializes one map entry per `bound` row (executor-built, tree-merged,
+    * finally broadcast — so both the driver and every executor hold it), so
+    * past the broadcast regime the kernel must refuse rather than OOM. The
+    * [[graft.Exec]] dispatcher pre-checks the same predicate and routes to
+    * the declarative twin instead of tripping this.
+    */
+  private[graft] def requireBuildBounded(bound: DataFrame, kernel: String): Unit =
+    if (!withinBroadcastBound(bound)) throw new IllegalStateException(
+      s"$kernel: build side exceeds the broadcast regime " +
+      "(autoBroadcastJoinThreshold / 256 MB cap) — the kernel's broadcast " +
+      "map would not be bounded; use the declarative twin, which degrades " +
+      "to a shuffled join.")
+
+  def broadcastIfBounded(df: DataFrame, bound: DataFrame): DataFrame = {
+    if (withinBroadcastBound(bound)) broadcast(df) else df
   }
 
   /** Q3 range/theta join: equi on orderkey + 90-day date band.

@@ -44,17 +44,25 @@ object TextVec {
     * applies the SAME canonicalization as q14 — `UTF8String.trim()` then
     * `.toLowerCase()` (the exact methods Spark's trim/lower call) — and
     * MD5s the resulting bytes (MessageDigest, what Spark's md5 wraps);
-    * each partition keeps a set of 128-bit digests and the driver unions
-    * them (distinct docs ≪ rows at bench scale; the declarative
-    * partial-distinct + exchange form remains the at-scale path). The
-    * declarative q14's two-stage distinct costs ~2 dispatch floors for a
-    * 5 000-row corpus whose hashing is milliseconds — this is the
-    * job-count fix, not a hashing fix.
+    * each partition keeps a set of 128-bit digests. The declarative q14's
+    * two-stage distinct costs ~2 dispatch floors for a 5 000-row corpus
+    * whose hashing is milliseconds — this is the job-count fix, not a
+    * hashing fix.
+    *
+    * Driver boundedness (r12 verdict): the single-stage driver-union
+    * finale runs ONLY when the documents scan sits inside the broadcast
+    * regime ([[Relational.withinBroadcastBound]] — distinct digests ≤
+    * 16 B · rows ≤ text bytes, so the gate bounds the union). Past the
+    * gate the kernel keeps its canonicalize+hash scan but counts
+    * DISTRIBUTED: per-partition-distinct digests (16 B apiece — never the
+    * corpus) shuffle through `distinct().count()` and the driver receives
+    * one long.
     */
   def q14ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val docs = Tables.documents(spark, dir).select(col("text"))
+    val driverFinaleOk = graft.queries.Relational.withinBroadcastBound(docs)
     val (batches, schema) = graft.operators.ColumnarScan.batches(docs)
     val txtIdx = schema.fieldIndex("text")
     val partials = batches.mapPartitions { it =>
@@ -81,11 +89,16 @@ object TextVec {
       import scala.jdk.CollectionConverters._
       Iterator.single(seen.asScala.toArray)
     }
-    val all = new java.util.HashSet[(Long, Long)]()
-    partials.collect().foreach(_.foreach(all.add))
+    val n: Long = if (driverFinaleOk) {
+      val all = new java.util.HashSet[(Long, Long)]()
+      partials.collect().foreach(_.foreach(all.add))
+      all.size.toLong
+    } else {
+      partials.flatMap(_.iterator).distinct().count()
+    }
     val outSchema = StructType(Seq(StructField("n", LongType, nullable = false)))
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(Seq(Row(all.size.toLong)).asJava, outSchema)
+    spark.createDataFrame(Seq(Row(n)).asJava, outSchema)
   }
 
   // LSH parameters for q15: 16 hashes = 8 bands x 2 rows. At the Jaccard
@@ -395,14 +408,23 @@ object TextVec {
     * tokens in a per-partition content-hash map. Partial vocab maps merge
     * on the driver and the (count DESC, token ASC) top-20 is taken there;
     * vocabulary ≪ corpus (Heaps' law) makes that exact and cheap at bench
-    * scale, and the declarative form remains the unbounded-vocabulary
-    * at-scale path (same division of labor as the q105/q106 build maps).
+    * scale.
+    *
+    * Driver boundedness (r12 verdict): the driver-merge finale runs ONLY
+    * when the documents scan itself sits inside the broadcast regime
+    * ([[Relational.withinBroadcastBound]] — vocab bytes ≤ text bytes, so
+    * the gate bounds the merged map too). Past the gate the kernel keeps
+    * its single explode-free scan but merges DISTRIBUTED: the per-partition
+    * vocab partials reduceByKey (a vocab-sized shuffle, not a corpus-sized
+    * one) and a lossless `takeOrdered(20)` under the exact output ordering
+    * hands the driver exactly 20 rows — O(k) driver state at any scale.
     */
   def q17ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.unsafe.types.UTF8String
     val docs = Tables.documents(spark, dir).select(col("text"))
+    val driverFinaleOk = graft.queries.Relational.withinBroadcastBound(docs)
     val (batches, schema) = graft.operators.ColumnarScan.batches(docs)
     val txtIdx = schema.fieldIndex("text")
     val partials = batches.mapPartitions { it =>
@@ -439,16 +461,29 @@ object TextVec {
       counts.forEach((k, v) => out += ((k.toString, v(0))))
       out.result().iterator
     }
-    val merged = new java.util.HashMap[String, Array[Long]]()
-    partials.collect().foreach { case (tok, c) =>
-      merged.computeIfAbsent(tok, _ => new Array[Long](1))(0) += c
+    val top: Seq[Row] = if (driverFinaleOk) {
+      val merged = new java.util.HashMap[String, Array[Long]]()
+      partials.collect().foreach { case (tok, c) =>
+        merged.computeIfAbsent(tok, _ => new Array[Long](1))(0) += c
+      }
+      val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      merged.forEach((k, v) => all += ((k, v(0))))
+      all.sortWith { case ((ta, ca), (tb, cb)) =>
+        if (ca != cb) ca > cb
+        else UTF8String.fromString(ta).compareTo(UTF8String.fromString(tb)) < 0
+      }.take(20).map { case (t, c) => Row(t, c) }.toSeq
+    } else {
+      // distributed finale: exact global counts via one vocab-sized
+      // shuffle, then a lossless per-partition top-20 merge — the driver
+      // sees exactly 20 rows (count DESC, token binary ASC, as the output)
+      val ord = new Ordering[(String, Long)] with Serializable {
+        def compare(x: (String, Long), y: (String, Long)): Int =
+          if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+          else UTF8String.fromString(x._1).compareTo(UTF8String.fromString(y._1))
+      }
+      partials.reduceByKey(_ + _).takeOrdered(20)(ord)
+        .map { case (t, c) => Row(t, c) }.toSeq
     }
-    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    merged.forEach((k, v) => all += ((k, v(0))))
-    val top = all.sortWith { case ((ta, ca), (tb, cb)) =>
-      if (ca != cb) ca > cb
-      else UTF8String.fromString(ta).compareTo(UTF8String.fromString(tb)) < 0
-    }.take(20).map { case (t, c) => Row(t, c) }
     val outSchema = StructType(Seq(
       StructField("tok", StringType, nullable = true),
       StructField("c", LongType, nullable = false)))

@@ -390,6 +390,68 @@ class ColumnarKernelSpec extends SparkSpec {
     assert(e.getMessage.contains("no longer bounded"))
   }
 
+  test("q114 (q9a distinct-users kernel) == declarative q9a (2 SFs)") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val want = rowsOf(Events.q9a(spark, dir))
+      val got = rowsOf(Events.q9aColumnarKernel(spark, dir))
+      assert(got === want, s"at $dir")
+    }
+  }
+
+  test("q112/q113/q114 distributed finales (forced past the broadcast gate) == declarative twins") {
+    // shrink the broadcast threshold so withinBroadcastBound fails and the
+    // kernels take their distributed (reduceByKey / distinct().count())
+    // finale — the at-scale path must produce the identical answer
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key, "10485760")
+    spark.conf.set(key, "1")
+    try {
+      assert(rowsOf(graft.queries.TextVec.q17ColumnarKernel(spark, sf001)) ===
+        rowsOf(graft.queries.TextVec.q17(spark, sf001)), "q112 distributed finale")
+      assert(rowsOf(graft.queries.TextVec.q14ColumnarKernel(spark, sf001)) ===
+        rowsOf(graft.queries.TextVec.q14(spark, sf001)), "q113 distributed finale")
+      assert(rowsOf(Events.q9aColumnarKernel(spark, sf001)) ===
+        rowsOf(Events.q9a(spark, sf001)), "q114 distributed finale")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("join-kernel builds refuse loudly past the broadcast regime") {
+    // fresh crafted dir (the per-(session,dir) build caches would otherwise
+    // satisfy the call before the gate runs)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("overregime").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    spark.createDataFrame(Seq(
+      Row(1L, 10L, ts("1995-01-01 00:00:00"))).asJava,
+      StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderdate", TimestampType))))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    spark.createDataFrame(Seq(
+      Row(1L, ts("1995-01-02 00:00:00"), 10.0)).asJava,
+      StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_shipdate", TimestampType),
+        StructField("l_extendedprice", DoubleType))))
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    spark.createDataFrame(Seq(Row(10L)).asJava,
+      StructType(Seq(StructField("c_custkey", LongType))))
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key, "10485760")
+    spark.conf.set(key, "1")
+    try {
+      val e3 = intercept[IllegalStateException] {
+        graft.queries.Relational.q3ColumnarKernel(spark, tmp).collect()
+      }
+      assert(e3.getMessage.contains("broadcast regime"))
+      val e4 = intercept[IllegalStateException] {
+        graft.queries.Relational.q4ColumnarKernel(spark, tmp).collect()
+      }
+      assert(e4.getMessage.contains("broadcast regime"))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("LongAccMap matches a reference HashMap across growth, incl. key 0 and negatives") {
     val rnd = new scala.util.Random(42)
     val m = new LongAccMap(2, initCap = 8)
