@@ -173,6 +173,17 @@ object Layouts {
   private val stagedFacts =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), (DataFrame, DataFrame)]()
 
+  /** Cache probes for [[graft.Exec]]'s layout-form validity bounds: the
+    * dispatcher runs a layout kernel only when this session has ALREADY
+    * paid the staging (it never stages implicitly).
+    */
+  def isEventsLayoutStaged(spark: SparkSession, dir: String, buckets: Int = 32): Boolean =
+    stagedEvents.containsKey((spark, dir, buckets))
+  def isOrdersLayoutStaged(spark: SparkSession, dir: String, buckets: Int = 32): Boolean =
+    stagedOrders.containsKey((spark, dir, buckets))
+  def isFactsLayoutStaged(spark: SparkSession, dir: String, buckets: Int = 32): Boolean =
+    stagedFacts.containsKey((spark, dir, buckets))
+
   /** The co-located fact-join layout (q2's shape at the scale where
     * nothing broadcasts): lineitem and orders each bucketed + sorted on
     * the orderkey, so the fact join runs as a zero-exchange co-located

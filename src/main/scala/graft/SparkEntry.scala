@@ -180,6 +180,29 @@ object SparkEntry {
     // executor-side tree-merge, distributed distinct().count() fallback
     // past the broadcast regime). Shares q9a's oracle.
     "q114_columnar_distinct"  -> (Events.q9aColumnarKernel _),
+    // q115–q131: the Exec dispatch surface (one entry per logical query
+    // with multiple physical forms) — each routes through graft.Exec.run,
+    // which picks kernel vs staged-layout vs declarative by validity
+    // bound and falls back loudly-logged, never loudly-failed. Each
+    // shares its target's oracle, so WHATEVER form the dispatcher picks
+    // on the driver's session must hash-match DuckDB.
+    "q115_dispatch_pricing"   -> ((s, d) => Exec.run(s, d, "q1")),
+    "q116_dispatch_factjoin"  -> ((s, d) => Exec.run(s, d, "q2")),
+    "q117_dispatch_rangejoin" -> ((s, d) => Exec.run(s, d, "q3")),
+    "q118_dispatch_semianti"  -> ((s, d) => Exec.run(s, d, "q4")),
+    "q119_dispatch_custtopk"  -> ((s, d) => Exec.run(s, d, "q5")),
+    "q120_dispatch_topk"      -> ((s, d) => Exec.run(s, d, "q6")),
+    "q121_dispatch_rollup"    -> ((s, d) => Exec.run(s, d, "q7")),
+    "q122_dispatch_distinct"  -> ((s, d) => Exec.run(s, d, "q9a")),
+    "q123_dispatch_json"      -> ((s, d) => Exec.run(s, d, "q10")),
+    "q124_dispatch_tumbling"  -> ((s, d) => Exec.run(s, d, "q11")),
+    "q125_dispatch_session"   -> ((s, d) => Exec.run(s, d, "q12")),
+    "q126_dispatch_lag"       -> ((s, d) => Exec.run(s, d, "q13")),
+    "q127_dispatch_dedup"     -> ((s, d) => Exec.run(s, d, "q14")),
+    "q128_dispatch_cosine"    -> ((s, d) => Exec.run(s, d, "q16")),
+    "q129_dispatch_tokens"    -> ((s, d) => Exec.run(s, d, "q17")),
+    "q130_dispatch_asof"      -> ((s, d) => Exec.run(s, d, "q21")),
+    "q131_dispatch_funnel"    -> ((s, d) => Exec.run(s, d, "q51")),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -262,7 +285,25 @@ object SparkEntry {
       "q111_columnar_cosine"    -> base("q16_cosine_topk"),
       "q112_columnar_tokens"    -> base("q17_tokens"),
       "q113_columnar_dedup"     -> base("q14_exact_dedup"),
-      "q114_columnar_distinct"  -> base("q9a_distinct"))
+      "q114_columnar_distinct"  -> base("q9a_distinct"),
+      // the dispatch surface shares its targets' oracles verbatim
+      "q115_dispatch_pricing"   -> base("q1_pricing_agg"),
+      "q116_dispatch_factjoin"  -> base("q2_join_broadcast"),
+      "q117_dispatch_rangejoin" -> base("q3_range_join"),
+      "q118_dispatch_semianti"  -> base("q4_semi_anti"),
+      "q119_dispatch_custtopk"  -> base("q5_rank_window"),
+      "q120_dispatch_topk"      -> base("q6_topk"),
+      "q121_dispatch_rollup"    -> base("q7_rollup"),
+      "q122_dispatch_distinct"  -> base("q9a_distinct"),
+      "q123_dispatch_json"      -> base("q10_json"),
+      "q124_dispatch_tumbling"  -> base("q11_tumbling"),
+      "q125_dispatch_session"   -> base("q12_session"),
+      "q126_dispatch_lag"       -> base("q13_lag"),
+      "q127_dispatch_dedup"     -> base("q14_exact_dedup"),
+      "q128_dispatch_cosine"    -> base("q16_cosine_topk"),
+      "q129_dispatch_tokens"    -> base("q17_tokens"),
+      "q130_dispatch_asof"      -> base("q21_asof_join"),
+      "q131_dispatch_funnel"    -> base("q51_funnel"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

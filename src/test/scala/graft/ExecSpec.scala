@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The Exec dispatcher (r12 verdict item 1): every registered logical
+  * query must produce its declarative twin's exact rows through the
+  * dispatcher — when bounds hold (fast form chosen), when forced past
+  * them (fallback chosen), and when a kernel refuses only at runtime.
+  */
+class ExecSpec extends SparkSpec {
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.collect().toSeq
+
+  test("dispatcher == declarative twin for every registered query") {
+    for ((query, forms) <- Exec.registry.toSeq.sortBy(_._1)) {
+      val (chosen, got) = Exec.runNamed(spark, sf0001, query)
+      val want = rowsOf(forms.last.run(spark, sf0001))
+      assert(rowsOf(got) === want, s"$query via $chosen")
+    }
+  }
+
+  test("columnar-kernel forms are actually chosen when bounds hold") {
+    // the layout-dependent families (q12/q13/q21/q51) may legitimately
+    // fall back when no layout is staged; the pure columnar kernels must
+    // NOT fall back on healthy testdata
+    for (query <- Seq("q1", "q2", "q3", "q4", "q5", "q6", "q7", "q9a",
+        "q10", "q11", "q14", "q16", "q17")) {
+      val (chosen, _) = Exec.runNamed(spark, sf0001, query)
+      assert(chosen.contains("Kernel"), s"$query dispatched to $chosen")
+    }
+  }
+
+  test("forced past the broadcast bound, the gated kernels fall back — same answer") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key, "10485760")
+    spark.conf.set(key, "1")
+    try {
+      for (query <- Seq("q2", "q3", "q4", "q16")) {
+        val (chosen, got) = Exec.runNamed(spark, sf0001, query)
+        assert(!chosen.contains("Kernel"), s"$query must skip its gated kernel, got $chosen")
+        assert(rowsOf(got) ===
+          rowsOf(Exec.registry(query).last.run(spark, sf0001)), s"$query via $chosen")
+      }
+      // the self-tiering kernels stay valid (their FINALE switches to the
+      // distributed path under the same bound) and still match
+      for (query <- Seq("q9a", "q14", "q17")) {
+        val (chosen, got) = Exec.runNamed(spark, sf0001, query)
+        assert(chosen.contains("Kernel"), s"$query dispatched to $chosen")
+        assert(rowsOf(got) ===
+          rowsOf(Exec.registry(query).last.run(spark, sf0001)), s"$query via $chosen")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("staged-layout form is chosen once the session staged it") {
+    Layouts.eventsByUserCached(spark, sf0001) // pay the staging explicitly
+    val (chosen, got) = Exec.runNamed(spark, sf0001, "q12")
+    assert(chosen.contains("SortedKernel"), s"got $chosen")
+    assert(rowsOf(got) === rowsOf(graft.queries.Events.q12(spark, sf0001)))
+  }
+
+  test("a kernel's runtime refusal falls through to the declarative twin") {
+    // plan-time bounds hold for this corpus, but the q3 kernel's build
+    // detects a duplicate o_orderkey only while RUNNING — the dispatcher
+    // must catch the loud guard and return the declarative (fan-out) answer
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("execdup").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    spark.createDataFrame(Seq(
+      Row(1L, ts("1995-01-01 00:00:00")),
+      Row(1L, ts("1994-12-01 00:00:00")),   // duplicate PK, both bands match
+      Row(2L, ts("1995-01-01 00:00:00"))).asJava,
+      StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderdate", TimestampType))))
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    spark.createDataFrame(Seq(
+      Row(1L, ts("1995-01-02 00:00:00"), 10.0)).asJava,
+      StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_shipdate", TimestampType),
+        StructField("l_extendedprice", DoubleType))))
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val (chosen, got) = Exec.runNamed(spark, tmp, "q3")
+    assert(chosen === "q3", s"got $chosen")
+    val want = rowsOf(graft.queries.Relational.q3(spark, tmp))
+    assert(rowsOf(got) === want)
+    // the declarative answer really is the fan-out one: both duplicate
+    // orders band-match the single lineitem row
+    assert(want.head.getLong(0) === 2L)
+  }
+
+  test("unknown query names fail loudly") {
+    val e = intercept[IllegalArgumentException] { Exec.run(spark, sf0001, "q999") }
+    assert(e.getMessage.contains("unknown query"))
+  }
+}
