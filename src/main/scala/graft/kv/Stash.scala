@@ -84,12 +84,23 @@ final class Stash private (val entities: Dataset[Entity]) {
   /** Persist. With buckets > 0, lay out hash-bucketed-by-key files so a
     * reopened stash co-locates each key range (the biggie hex-address
     * fanout, done by Spark's hash partitioner).
+    *
+    * Every file carries a parquet BLOOM FILTER on `key` (r12 verdict: the
+    * point-lookup index footer min/max stats cannot be): keys hash-scatter
+    * across the key space, so row-group min/max ranges overlap and prune
+    * nothing — the bloom filter rejects a non-matching row group in O(1),
+    * which is what makes `get` on a 100 TB store "one bucket file, skip
+    * every row group but the hit's". ndv is per ROW GROUP (not per store);
+    * 100k ≈ 120 KB of filter per group at the format's default fpp —
+    * negligible next to the group itself, cheap even for small stashes.
     */
   def save(path: String, buckets: Int = 0): Unit = {
     val w = if (buckets > 0)
       entities.repartition(buckets, col("key")).write
     else entities.write
-    w.mode(SaveMode.Overwrite).parquet(path)
+    w.option("parquet.bloom.filter.enabled#key", "true")
+      .option("parquet.bloom.filter.expected.ndv#key", "100000")
+      .mode(SaveMode.Overwrite).parquet(path)
   }
 }
 

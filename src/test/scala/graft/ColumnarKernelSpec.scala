@@ -452,6 +452,71 @@ class ColumnarKernelSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("interner survives parquet dictionary fallback (tiny dict page) == declarative") {
+    // force the writer to abandon dictionary encoding: a 64-byte dictionary
+    // page cap overflows after a handful of distinct strings, so the
+    // column arrives PLAIN-encoded and StringIdInterner's content-hash
+    // path (not the dictionary-id fast path) carries the whole batch —
+    // the explicit fallback coverage the r12 verdict asked for
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("dictfall").toString
+    val schema = StructType(Seq(
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_extendedprice", DoubleType)))
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      Row(s"flag-${rnd.nextInt(300)}", s"st-${rnd.nextInt(200)}", (i % 97).toDouble)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(2).write
+      .option("parquet.dictionary.page.size", "64")
+      .mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    // confirm the corpus really defeated dictionary encoding: at least one
+    // batch must report no dictionary for the flag column
+    val (bs, sch) = ColumnarScan.batches(
+      spark.read.parquet(s"$tmp/lineitem.parquet").select(col("l_returnflag")))
+    val rfIdx = sch.fieldIndex("l_returnflag")
+    val sawPlain = bs.map { b =>
+      b.column(rfIdx) match {
+        case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector => !w.hasDictionary
+        case _ => true
+      }
+    }.collect().exists(identity)
+    assert(sawPlain, "corpus failed to defeat dictionary encoding; test is vacuous")
+    val want = rowsOf(graft.queries.Relational.q7(spark, tmp))
+    val got = rowsOf(graft.queries.Relational.q7ColumnarKernel(spark, tmp))
+    assert(got === want)
+  }
+
+  test("kernels handle ALL-null columns (flag, measure, date) == declarative") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("allnull").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = ts("1995-01-01 00:00:00")
+    // l_returnflag and l_quantity are null in EVERY row: the per-batch
+    // anyNull short-circuit must not mask the all-null vector case
+    val rows = (1L to 50L).map { i =>
+      Row(i, 1L, 1L, 1, null, (i * 10).toDouble, 0.1, 0.0, null, "F", in)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(3).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    assert(rowsOf(graft.queries.Relational.q1ColumnarKernel(spark, tmp)) ===
+      rowsOf(graft.queries.Relational.q1(spark, tmp)), "q1 kernel")
+    val got7 = rowsOf(graft.queries.Relational.q7ColumnarKernel(spark, tmp))
+    val want7 = rowsOf(graft.queries.Relational.q7(spark, tmp))
+    assert(got7.groupBy(identity).view.mapValues(_.size).toMap ===
+      want7.groupBy(identity).view.mapValues(_.size).toMap, "q7 kernel")
+  }
+
   test("LongAccMap matches a reference HashMap across growth, incl. key 0 and negatives") {
     val rnd = new scala.util.Random(42)
     val m = new LongAccMap(2, initCap = 8)

@@ -56,6 +56,50 @@ class StashSpec extends SparkSpec {
     assert(got.scalars("n") == 2.0)
   }
 
+  test("saved files carry a key bloom filter; point lookups hit and miss correctly") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("stash-bloom").toString
+    val es = (1 to 200).map(i => e(s"k$i", i.toDouble))
+    Stash.fromEntities(spark, es).save(dir, buckets = 4)
+    // every data file's footer must expose a bloom filter for `key` — the
+    // point-lookup index that prunes row groups where min/max stats can't
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    var hitGroups = 0    // row groups whose filter admits the written key
+    var missGroups = 0   // row groups whose filter rejects the absent key
+    var groups = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          groups += 1
+          val keyCol = block.getColumns.asScala
+            .find(_.getPath.toDotString == "key")
+            .getOrElse(fail(s"no key column chunk in ${f.getName}"))
+          val bf = reader.getBloomFilterDataReader(block).readBloomFilter(keyCol)
+          assert(bf != null, s"no bloom filter on key in ${f.getName}")
+          def probes(s: String): Boolean =
+            bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+          if (probes("k17")) hitGroups += 1
+          if (!probes("definitely-never-written")) missGroups += 1
+        }
+      } finally reader.close()
+    }
+    // the written key probes positive SOMEWHERE (its bucket's group) but
+    // the filters are selective: a miss lookup skips every row group, and
+    // the hit key's hash-bucketed layout means most groups reject it too
+    assert(hitGroups >= 1, "written key must probe positive in its bucket")
+    assert(hitGroups < groups, "filters must be selective across buckets")
+    assert(missGroups === groups, "an absent key must be rejected by every row group")
+    val st = Stash.open(spark, dir)
+    assert(st.get("k17").map(_.tensors("x").toSeq) === Some(Seq(17.0)))
+    assert(st.get("nope") === None)
+  }
+
   test("dynamic per-entity fields: heterogeneous maps coexist") {
     val a = Entity("a", tensors = Map("cqt" -> Array(1.0)), shapes = Map("cqt" -> Array(1)))
     val b = Entity("b", scalars = Map("tempo" -> 120.0))
