@@ -380,7 +380,17 @@ object Bench {
     // optional arg: comma-separated query subset (local dev; driver passes none)
     val subset: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // The q115+ dispatch entries are CORRECTNESS surface (Verify hash-gates
+    // whichever form Exec picks), not new physical forms: every form they
+    // can route to is already timed under its own name (q10x kernels,
+    // q92+ layouts, the declarative bases), so timing the dispatch layer
+    // again spends ~18 slots of the fixed deadline on duplicates — which
+    // pushed the r13 tail into flagged deadline-skips. Excluded by default;
+    // set SPARK_GRAFT_BENCH_INCLUDE_DISPATCH=1 to measure dispatch
+    // overhead explicitly (it is the validity checks, ~ms).
+    val includeDispatch = sys.env.contains("SPARK_GRAFT_BENCH_INCLUDE_DISPATCH")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => includeDispatch || !n.contains("_dispatch_") }
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     // Incremental result sinks + at-most-once JSON emission. The shutdown

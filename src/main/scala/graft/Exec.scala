@@ -185,7 +185,17 @@ object Exec {
       Form("q51FromSortedKernel",
         (s, d) => Events.q51FromSortedKernel(Layouts.eventsByUserCached(s, d)),
         eventsLayoutStaged),
-      Form("q51", Events.q51, always)))
+      Form("q51", Events.q51, always)),
+    "q70" -> Seq(
+      Form("q70FromSortedKernel",
+        (s, d) => Events.q70FromSortedKernel(Layouts.eventsByUserCached(s, d)),
+        eventsLayoutStaged),
+      Form("q70", Events.q70, always)),
+    "q71" -> Seq(
+      Form("q71FromSortedKernel",
+        (s, d) => Events.q71FromSortedKernel(Layouts.eventsByUserCached(s, d)),
+        eventsLayoutStaged),
+      Form("q71", Events.q71, always)))
 
   /** True when `t` or anything in its cause chain is the seam's loud-guard
     * type (kernels throw IllegalStateException directly on the driver and

@@ -203,6 +203,8 @@ object SparkEntry {
     "q129_dispatch_tokens"    -> ((s, d) => Exec.run(s, d, "q17")),
     "q130_dispatch_asof"      -> ((s, d) => Exec.run(s, d, "q21")),
     "q131_dispatch_funnel"    -> ((s, d) => Exec.run(s, d, "q51")),
+    "q132_dispatch_retention" -> ((s, d) => Exec.run(s, d, "q70")),
+    "q133_dispatch_transitions" -> ((s, d) => Exec.run(s, d, "q71")),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -303,7 +305,9 @@ object SparkEntry {
       "q128_dispatch_cosine"    -> base("q16_cosine_topk"),
       "q129_dispatch_tokens"    -> base("q17_tokens"),
       "q130_dispatch_asof"      -> base("q21_asof_join"),
-      "q131_dispatch_funnel"    -> base("q51_funnel"))
+      "q131_dispatch_funnel"    -> base("q51_funnel"),
+      "q132_dispatch_retention" -> base("q70_retention"),
+      "q133_dispatch_transitions" -> base("q71_transitions"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
