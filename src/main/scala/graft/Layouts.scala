@@ -173,6 +173,13 @@ object Layouts {
   private val stagedFacts =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), (DataFrame, DataFrame)]()
 
+  // NOTE (r13): memoizing a full QUERY frame (not just its scans) was
+  // tried for q98/q99 and reverted — re-collecting one Dataset object
+  // lets AQE reuse its materialized shuffle stages, so repeated "runs"
+  // replay only the final stage (0.04 s readings for a 0.6 s join).
+  // Scans (Tables.load) and staging (the caches above) stay memoized;
+  // query frames must be rebuilt per call so every timed run recomputes.
+
   /** Cache probes for [[graft.Exec]]'s layout-form validity bounds: the
     * dispatcher runs a layout kernel only when this session has ALREADY
     * paid the staging (it never stages implicitly).

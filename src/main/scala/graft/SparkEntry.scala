@@ -134,6 +134,12 @@ object SparkEntry {
     // lineitem+orders — the zero-exchange co-located SortMergeJoin that
     // survives 100 TB where no fact side broadcasts; q99 runs q5's heap
     // top-k over o_custkey-bucketed orders — one exchange-free stage.
+    // Deliberately NOT frame-memoized: re-collecting one Dataset object
+    // lets AQE reuse its materialized shuffle stages, so a "timed run"
+    // would replay only the final tiny agg stage (measured: 0.04 s vs the
+    // ~0.6 s honest probe) — fresh frames per call keep every timed run a
+    // full recomputation. Only the SCANS (Tables.load) and the staging
+    // (factsByOrderkeyCached) are memoized.
     "q98_layout_factjoin" -> ((s, d) => {
       val (li, o) = Layouts.factsByOrderkeyCached(s, d)
       Relational.q2FromFacts(li, o, s, d)
