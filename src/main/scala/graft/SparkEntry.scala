@@ -211,6 +211,11 @@ object SparkEntry {
     "q131_dispatch_funnel"    -> ((s, d) => Exec.run(s, d, "q51")),
     "q132_dispatch_retention" -> ((s, d) => Exec.run(s, d, "q70")),
     "q133_dispatch_transitions" -> ((s, d) => Exec.run(s, d, "q71")),
+    // q134/q135: the training-order half of the pipeline — deterministic
+    // corpus shuffle + sharding, and length-bucketed batch assignment
+    // with the padding-waste census.
+    "q134_shuffle_shard"   -> ((s, d) => Pipeline.q134(s, d)),
+    "q135_length_batching" -> ((s, d) => Pipeline.q135(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1002,6 +1007,37 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q134: 48-bit md5 shuffle keys (the q46 hex-prefix convention, 12
+    // chars); first/last-in-shuffle-order via the q57 HUGEINT-packed
+    // (skey, doc_id) tie-break so both engines order identically.
+    "q134_shuffle_shard" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-shuffle')), 1, 12)) AS BIGINT) AS skey
+        |  FROM documents)
+        |SELECT skey % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |  arg_min(doc_id, CAST(skey AS HUGEINT) * 4294967296 + doc_id) AS first_doc,
+        |  arg_max(doc_id, CAST(skey AS HUGEINT) * 4294967296 + doc_id) AS last_doc
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q135: identical bucket/batch arithmetic (ceil on an exact small-int
+    // double; row_number over (bucket, doc_id) is total so batch bounds
+    // agree bit-for-bit).
+    "q135_length_batching" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok,
+        |        CAST(ceil(CAST(n_tok AS DOUBLE)/16) AS BIGINT) AS bucket FROM t),
+        |r AS (SELECT *, (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 32 AS batch FROM b),
+        |m AS (SELECT *, max(n_tok) OVER (PARTITION BY bucket, batch) AS bmax FROM r)
+        |SELECT bucket, count(*) AS n_docs, count(DISTINCT batch) AS n_batches,
+        |  CAST(sum(bmax - n_tok) AS BIGINT) AS pad_waste
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q67: same rolling k-gram hash as the engine's WinnowFingerprints
     // (fold (a*31+b) mod 1e9+7 over char codes, init 0 — identical to the

@@ -2296,6 +2296,78 @@ object Pipeline {
   def tempMixture(documents: DataFrame): DataFrame =
     fingerprintKeepCensus(documents,
       "(10000 * CAST(floor(sqrt(CAST(min_n * n_docs AS DOUBLE))) AS BIGINT)) div n_docs")
+
+  /** q134: deterministic corpus shuffle + sharding — the "global shuffle"
+    * a training pipeline runs LAST, so examples arrive decorrelated from
+    * their source/crawl order. Every document gets a pseudo-random
+    * SHUFFLE KEY — 48 bits of md5(doc_id ‖ salt), the q46/q66 fingerprint
+    * convention: seed-free, partitioning-free, engine-independent — and a
+    * shard by key mod N; training order within a shard is (skey, doc_id)
+    * ascending. The census reports per shard: doc/token counts and the
+    * first/last documents in shuffle order (min_by/max_by on the exact
+    * (skey, doc_id) struct ordering — the oracle packs the same pair into
+    * a HUGEINT, the q57 tie-break discipline).
+    *
+    * Scale: shard assignment is one hash partition of the pruned
+    * (doc_id, n_tok) projection — the md5 keys are uniform, so shards
+    * balance in expectation regardless of doc_id distribution — and the
+    * within-shard order is a per-shard sort at write time, never a global
+    * sort. The census itself is a partial+final agg (min_by/max_by carry
+    * O(1) state).
+    */
+  def q134(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val skey = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":graft-shuffle"))), 1, 12), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("skey", skey)
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        min_by(col("doc_id"), struct(col("skey"), col("doc_id"))).as("first_doc"),
+        max_by(col("doc_id"), struct(col("skey"), col("doc_id"))).as("last_doc"))
+      .orderBy("shard")
+  }
+
+  /** q135: length-bucketed batch assignment + padding-waste census — the
+    * step that turns a tokenized corpus into fixed-size training batches
+    * while keeping sequence lengths homogeneous per batch (padding to the
+    * batch max wastes compute proportional to `batch_max − n_tok`).
+    * Documents land in width-`bucketWidth` length buckets; within a
+    * bucket, batches of `batchSize` form in doc_id order (deterministic at
+    * any partitioning); waste is summed against each batch's own max.
+    *
+    * Scale: one shuffle on the bucket key; the per-bucket window sorts
+    * only (doc_id, n_tok) pairs, never text. Buckets are bounded by
+    * max_len/bucketWidth, but one bucket can be HOT (natural-language
+    * lengths concentrate): the mitigation is the q59 sub-bucket
+    * discipline — batch formation only needs a consistent order within
+    * the bucket, so a hot bucket sub-salts on doc_id ranges and offsets
+    * batch indices per sub-range, identical output. At this corpus's
+    * scale the plain window is the measured-fastest form.
+    */
+  def q135(spark: SparkSession, dir: String,
+      bucketWidth: Int = 16, batchSize: Int = 32): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        ceil(col("n_tok").cast("double") / bucketWidth).cast("long"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val batchW = Window.partitionBy("bucket", "batch")
+    d.withColumn("batch",
+        floor((row_number().over(w) - 1).cast("double") / batchSize).cast("long"))
+      .withColumn("bmax", max("n_tok").over(batchW))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("batch")).as("n_batches"),
+        sum(col("bmax") - col("n_tok")).as("pad_waste"))
+      .orderBy("bucket")
+  }
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

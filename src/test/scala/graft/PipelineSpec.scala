@@ -8,6 +8,31 @@ import org.apache.spark.sql.functions._
   */
 class PipelineSpec extends SparkSpec {
 
+  test("q134 shuffle-shard: shards partition the corpus; census is deterministic") {
+    val out = Pipeline.q134(spark, sf001).collect()
+    val total = graft.Tables.documents(spark, sf001).count()
+    assert(out.map(_.getLong(1)).sum === total, "every doc lands in exactly one shard")
+    assert(out.map(_.getLong(0)).toSet === (0L until 8L).toSet)
+    // md5 keys are content-stable: a second run is bit-identical
+    assert(Pipeline.q134(spark, sf001).collect().toSeq === out.toSeq)
+    // uniform keys balance shards: no shard more than 2x the mean
+    val mean = total.toDouble / out.length
+    out.foreach(r => assert(r.getLong(1) < 2 * mean, s"skewed shard: $r"))
+  }
+
+  test("q135 length batching: batch counts and padding waste obey their bounds") {
+    val out = Pipeline.q135(spark, sf001).collect()
+    val total = graft.Tables.documents(spark, sf001).count()
+    assert(out.map(_.getLong(1)).sum === total, "every doc lands in exactly one bucket")
+    out.foreach { r =>
+      val (nDocs, nBatches, waste) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // batches fill in order, so the count is exactly ceil(nDocs/32)
+      assert(nBatches === (nDocs + 31) / 32, s"batch count wrong in $r")
+      // lengths within a width-16 bucket differ by < 16, bounding per-doc pad
+      assert(waste >= 0 && waste < nDocs * 16, s"waste out of bounds in $r")
+    }
+  }
+
   test("q29 SRP-LSH ANN recall vs exact q16 top-5 >= 0.4") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
