@@ -349,28 +349,6 @@ object Bench {
     // with drifted physical types — see Tables.probeSchemas and VERDICT r8.
     Tables.probeSchemas(spark, runDir)
 
-    // Pre-stage the pay-once layouts OUTSIDE the per-query protocol (r12
-    // verdict: q98 reported 2.3 s — staging bleed — vs its 0.42 s steady
-    // state; a watchdog-cancelled warm run can leave the layout cache
-    // unpopulated so the FIRST TIMED run re-pays staging). Staged here,
-    // uncapped, with the cost reported once on stderr; the q92+/q98/q99
-    // per-query numbers then measure the post-staging steady state by
-    // construction (the stage+probe split lives in BenchBucketed's
-    // artifact).
-    locally {
-      val t = System.nanoTime()
-      try {
-        Layouts.eventsByUserCached(spark, runDir)
-        Layouts.ordersByCustkeyCached(spark, runDir)
-        Layouts.factsByOrderkeyCached(spark, runDir)
-        System.err.println(
-          f"[bench] layouts pre-staged in ${(System.nanoTime() - t) / 1e9}%.1f s (outside all timed regions)")
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] layout pre-staging failed (${e.getMessage}); " +
-          "layout queries will stage lazily inside their warm runs")
-      }
-    }
-
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -390,8 +368,41 @@ object Bench {
     // overhead explicitly (it is the validity checks, ~ms).
     val includeDispatch = sys.env.contains("SPARK_GRAFT_BENCH_INCLUDE_DISPATCH")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => includeDispatch || !n.contains("_dispatch_") }
-      .filter { case (n, _) => subset.forall(_.contains(n)) }
+      .filter { case (n, _) =>
+        subset match {
+          // an explicit subset names exactly what to run — it overrides
+          // the default dispatch exclusion (a dev asking for a dispatch
+          // query by name must get it, not an empty run)
+          case Some(s) => s.contains(n)
+          case None    => includeDispatch || !n.contains("_dispatch_")
+        }
+      }
+
+    // Pre-stage the pay-once layouts OUTSIDE the per-query protocol (r12
+    // verdict: q98 reported 2.3 s — staging bleed — vs its 0.42 s steady
+    // state; a watchdog-cancelled warm run can leave the layout cache
+    // unpopulated so the FIRST TIMED run re-pays staging). Staged here,
+    // uncapped, with the cost reported once on stderr; the q92+/q98/q99
+    // per-query numbers then measure the post-staging steady state by
+    // construction (the stage+probe split lives in BenchBucketed's
+    // artifact). Skipped when nothing in this run can touch a layout
+    // (a plain-kernel subset run must not pay three staging jobs).
+    val needsLayouts = ordered.exists { case (n, _) =>
+      n.contains("_kernel_") || n.contains("_layout_") || n.contains("_dispatch_")
+    }
+    if (needsLayouts) {
+      val t = System.nanoTime()
+      try {
+        Layouts.eventsByUserCached(spark, runDir)
+        Layouts.ordersByCustkeyCached(spark, runDir)
+        Layouts.factsByOrderkeyCached(spark, runDir)
+        System.err.println(
+          f"[bench] layouts pre-staged in ${(System.nanoTime() - t) / 1e9}%.1f s (outside all timed regions)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] layout pre-staging failed (${e.getMessage}); " +
+          "layout queries will stage lazily inside their warm runs")
+      }
+    }
 
     // Incremental result sinks + at-most-once JSON emission. The shutdown
     // hook fires on SIGTERM (driver timeout) and prints whatever has been

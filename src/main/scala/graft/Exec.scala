@@ -83,33 +83,22 @@ object Exec {
     (s, d) => if (Layouts.isFactsLayoutStaged(s, d)) None
       else Some("fact layout not staged in this session")
 
-  import org.apache.spark.sql.functions.col
-
-  // pruned kernel inputs, for the plan-time columnar check
-  private def liPruned(cols: String*): (SparkSession, String) => DataFrame =
-    (s, d) => Tables.lineitem(s, d).select(cols.map(col): _*)
-  private def ordersPruned(cols: String*): (SparkSession, String) => DataFrame =
-    (s, d) => Tables.orders(s, d).select(cols.map(col): _*)
-  private def docsText: (SparkSession, String) => DataFrame =
-    (s, d) => Tables.documents(s, d).select(col("text"))
-  private def eventsPruned(cols: String*): (SparkSession, String) => DataFrame =
-    (s, d) => Tables.events(s, d).select(cols.map(col): _*)
-  private def embPruned: (SparkSession, String) => DataFrame =
-    (s, d) => Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-
   /** The registry: per logical query, forms ordered fastest-first; the
-    * last form is always the declarative twin (always valid).
+    * last form is always the declarative twin (always valid). Every
+    * validity bound checks the kernel's OWN exported input/build frame
+    * (`*KernelInput`/`*KernelProbe`/`*KernelBuild` in the query objects)
+    * — one definition for what the kernel scans and what the dispatcher
+    * validates, so the two cannot drift (r13 review).
     */
   val registry: Map[String, Seq[Form]] = Map(
     "q1" -> Seq(
       Form("q1ColumnarKernel", Relational.q1ColumnarKernel,
-        columnarScanOf(liPruned("l_returnflag", "l_linestatus", "l_quantity",
-          "l_extendedprice", "l_discount", "l_shipdate"))),
+        columnarScanOf(Relational.q1KernelInput)),
       Form("q1", Relational.q1, always)),
     "q2" -> Seq(
       Form("q2ColumnarKernel", Relational.q2ColumnarKernel,
-        both(columnarScanOf(liPruned("l_orderkey", "l_extendedprice", "l_discount")),
-          bounded(ordersPruned("o_orderkey", "o_custkey"), "orders build"))),
+        both(columnarScanOf(Relational.q2KernelProbe),
+          bounded(Relational.q2KernelBuildBound, "orders build"))),
       Form("q2FromFacts(bucketed)", (s, d) => {
         val (li, o) = Layouts.factsByOrderkeyCached(s, d)
         Relational.q2FromFacts(li, o, s, d)
@@ -117,42 +106,42 @@ object Exec {
       Form("q2", Relational.q2, always)),
     "q3" -> Seq(
       Form("q3ColumnarKernel", Relational.q3ColumnarKernel,
-        both(columnarScanOf(liPruned("l_orderkey", "l_shipdate", "l_extendedprice")),
-          bounded(ordersPruned("o_orderkey", "o_orderdate"), "orders build"))),
+        both(columnarScanOf(Relational.q3KernelProbe),
+          bounded(Relational.q3KernelBuild, "orders build"))),
       Form("q3", Relational.q3, always)),
     "q4" -> Seq(
       Form("q4ColumnarKernel", Relational.q4ColumnarKernel,
-        both(columnarScanOf((s, d) => Tables.customer(s, d).select(col("c_custkey"))),
-          bounded(ordersPruned("o_custkey"), "orders build"))),
+        both(columnarScanOf(Relational.q4KernelProbe),
+          bounded(Relational.q4KernelBuild, "orders build"))),
       Form("q4", Relational.q4, always)),
     "q5" -> Seq(
       Form("q5ColumnarKernel", Relational.q5ColumnarKernel,
-        columnarScanOf(ordersPruned("o_custkey", "o_orderkey", "o_totalprice"))),
+        columnarScanOf(Relational.q5KernelInput)),
       Form("q5From(bucketed)",
         (s, d) => Relational.q5From(Layouts.ordersByCustkeyCached(s, d)),
         ordersLayoutStaged),
       Form("q5", Relational.q5, always)),
     "q6" -> Seq(
       Form("q6ColumnarKernel", Relational.q6ColumnarKernel,
-        columnarScanOf(liPruned("l_orderkey", "l_linenumber", "l_extendedprice"))),
+        columnarScanOf(Relational.q6KernelInput)),
       Form("q6", Relational.q6, always)),
     "q7" -> Seq(
       Form("q7ColumnarKernel", Relational.q7ColumnarKernel,
-        columnarScanOf(liPruned("l_returnflag", "l_linestatus", "l_extendedprice"))),
+        columnarScanOf(Relational.q7KernelInput)),
       Form("q7", Relational.q7, always)),
     "q9a" -> Seq(
       // the kernel self-tiers its finale (tree-merge vs distributed
       // distinct) on the same bound, so it is valid whenever the scan is
       Form("q9aColumnarKernel", Events.q9aColumnarKernel,
-        columnarScanOf(eventsPruned("user_id"))),
+        columnarScanOf(Events.q9aKernelInput)),
       Form("q9a", Events.q9a, always)),
     "q10" -> Seq(
       Form("q10ColumnarKernel", Events.q10ColumnarKernel,
-        columnarScanOf(eventsPruned("event_type", "props"))),
+        columnarScanOf(Events.q10KernelInput)),
       Form("q10", Events.q10, always)),
     "q11" -> Seq(
       Form("q11ColumnarKernel", Events.q11ColumnarKernel,
-        columnarScanOf(eventsPruned("ts", "event_type", "value"))),
+        columnarScanOf(Events.q11KernelInput)),
       Form("q11", Events.q11, always)),
     "q12" -> Seq(
       Form("q12FromColumnarSortedKernel",
@@ -165,16 +154,17 @@ object Exec {
         eventsLayoutStaged),
       Form("q13", Events.q13, always)),
     "q14" -> Seq(
-      Form("q14ColumnarKernel", TextVec.q14ColumnarKernel, columnarScanOf(docsText)),
+      Form("q14ColumnarKernel", TextVec.q14ColumnarKernel,
+        columnarScanOf(TextVec.docsTextInput)),
       Form("q14", TextVec.q14, always)),
     "q16" -> Seq(
       Form("q16ColumnarKernel", TextVec.q16ColumnarKernel,
-        both(columnarScanOf(embPruned),
-          bounded((s, d) => Tables.embeddings(s, d).filter(col("vec_id") < 10),
-            "query-vector side"))),
+        both(columnarScanOf(TextVec.q16KernelInput),
+          bounded(TextVec.q16QueryFrame, "query-vector side"))),
       Form("q16", TextVec.q16, always)),
     "q17" -> Seq(
-      Form("q17ColumnarKernel", TextVec.q17ColumnarKernel, columnarScanOf(docsText)),
+      Form("q17ColumnarKernel", TextVec.q17ColumnarKernel,
+        columnarScanOf(TextVec.docsTextInput)),
       Form("q17", TextVec.q17, always)),
     "q21" -> Seq(
       Form("q21FromSortedKernel",

@@ -90,16 +90,22 @@ final class Stash private (val entities: Dataset[Entity]) {
     * across the key space, so row-group min/max ranges overlap and prune
     * nothing — the bloom filter rejects a non-matching row group in O(1),
     * which is what makes `get` on a 100 TB store "one bucket file, skip
-    * every row group but the hit's". ndv is per ROW GROUP (not per store);
-    * 100k ≈ 120 KB of filter per group at the format's default fpp —
-    * negligible next to the group itself, cheap even for small stashes.
+    * every row group but the hit's". `bloomNdv` is per ROW GROUP (not per
+    * store); the 100k default ≈ 120 KB of filter per group at the
+    * format's default fpp — negligible next to the group itself. SIZE IT
+    * to your expected distinct keys per row group: a filter sized for
+    * 100k holding millions of tiny-entity keys saturates (fpp → 1) and
+    * stops pruning. The format also caps one filter at
+    * `parquet.bloom.filter.max.bytes` (1 MB ≈ 1M ndv), so row groups
+    * denser than that need smaller groups, more buckets, or fatter
+    * entities — not a bigger ndv.
     */
-  def save(path: String, buckets: Int = 0): Unit = {
+  def save(path: String, buckets: Int = 0, bloomNdv: Long = 100000L): Unit = {
     val w = if (buckets > 0)
       entities.repartition(buckets, col("key")).write
     else entities.write
     w.option("parquet.bloom.filter.enabled#key", "true")
-      .option("parquet.bloom.filter.expected.ndv#key", "100000")
+      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv.toString)
       .mode(SaveMode.Overwrite).parquet(path)
   }
 }

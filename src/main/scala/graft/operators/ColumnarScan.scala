@@ -228,8 +228,9 @@ final class LongAccMap(slots: Int, initCap: Int = 1024,
   }
 
   private def grow(): Unit = {
-    // Hard ceiling (2^28 entries ≈ 2+ GiB of key/value arrays at slots=1):
-    // a kernel whose per-partition group space reaches this is being run
+    // Hard ceiling (maxCap/2 = 2^27 entries at the ≤0.5 load factor —
+    // ≈ 2+ GiB of key/value arrays at slots=1): a kernel whose
+    // per-partition group space reaches this is being run
     // far outside its design regime — fail loudly before the allocator
     // does, pointing at the declarative twin (same discipline as the
     // interner's id cap).

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** The columnar kernels' pruned input frames, exported as the ONE
+    * definition each kernel scans — [[graft.Exec]]'s validity bounds
+    * check THESE (drift-proofing, r13 review).
+    */
+  private[graft] def q9aKernelInput(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id"))
+  private[graft] def q10KernelInput(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_type"), col("props"))
+  private[graft] def q11KernelInput(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
+
   /** Q9a exact distinct users: shuffles only the (pruned) user_id column;
     * partial distinct per partition before the exchange.
     */
@@ -44,7 +55,7 @@ object Events {
   def q9aColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val ev = q9aKernelInput(spark, dir)
     val (batches, schema) = graft.operators.ColumnarScan.batches(ev)
     val uIdx = schema.fieldIndex("user_id")
     val isLong = schema(uIdx).dataType match {
@@ -118,7 +129,7 @@ object Events {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.unsafe.types.UTF8String
-    val ev = Tables.events(spark, dir).select(col("event_type"), col("props"))
+    val ev = q10KernelInput(spark, dir)
     val (batches, schema) = graft.operators.ColumnarScan.batches(ev)
     val etIdx = schema.fieldIndex("event_type")
     val prIdx = schema.fieldIndex("props")
@@ -300,7 +311,7 @@ object Events {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DateType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
     import org.apache.spark.unsafe.types.UTF8String
-    val ev = Tables.events(spark, dir).select(col("ts"), col("event_type"), col("value"))
+    val ev = q11KernelInput(spark, dir)
     val (batches, schema) = graft.operators.ColumnarScan.batches(ev)
     val tsIdx = schema.fieldIndex("ts")
     val etIdx = schema.fieldIndex("event_type")

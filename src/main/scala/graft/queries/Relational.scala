@@ -18,6 +18,37 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** The columnar kernels' pruned input/build frames, exported as the ONE
+    * definition each kernel scans — [[graft.Exec]]'s plan-time validity
+    * bounds check THESE, so the dispatcher can never validate a frame
+    * that drifted from what the kernel actually reads (r13 review).
+    */
+  private[graft] def q1KernelInput(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+  private[graft] def q2KernelProbe(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+  /** The dominant build of q2's chain (orders ≫ customer ≫ nation). */
+  private[graft] def q2KernelBuildBound(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+  private[graft] def q3KernelProbe(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+  private[graft] def q3KernelBuild(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+  private[graft] def q4KernelProbe(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+  private[graft] def q4KernelBuild(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey"))
+  private[graft] val Q5KernelCols = Seq("o_custkey", "o_orderkey", "o_totalprice")
+  private[graft] def q5KernelInput(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(Q5KernelCols.map(col): _*)
+  private[graft] def q6KernelInput(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  private[graft] def q7KernelInput(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+
   /** Q1 pricing summary: scan → pushed filter → partial+final hash agg.
     * At 100 TB: map-side combine reduces shuffle to (#groups × #tasks) rows;
     * the date filter prunes at the scan via parquet min/max stats.
@@ -66,10 +97,7 @@ object Relational {
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
     val cutoffMicros = java.time.LocalDate.of(1998, 9, 2).toEpochDay * 86400000000L
-    val li = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
-      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
-        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+    val li = q1KernelInput(spark, dir)
     val (batches, schema) = graft.operators.ColumnarScan.batches(li)
     val rfIdx = schema.fieldIndex("l_returnflag")
     val lsIdx = schema.fieldIndex("l_linestatus")
@@ -204,8 +232,7 @@ object Relational {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val k = 10
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val li = q6KernelInput(spark, dir)
     val (batches, schema) = graft.operators.ColumnarScan.batches(li)
     val okIdx = schema.fieldIndex("l_orderkey")
     val lnIdx = schema.fieldIndex("l_linenumber")
@@ -299,7 +326,7 @@ object Relational {
     val ninetyDaysMicros = 90L * 86400000000L
     val bandB = cachedBuild[org.apache.spark.broadcast.Broadcast[graft.operators.LongAccMap]](
         spark, dir, "q3band") {
-      val oScan = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+      val oScan = q3KernelBuild(spark, dir)
       requireBuildBounded(oScan, "q3ColumnarKernel")
       val (oBatches, oSchema) = graft.operators.ColumnarScan.batches(oScan)
       val bOkIdx = oSchema.fieldIndex("o_orderkey")
@@ -356,8 +383,7 @@ object Relational {
         "under-count; use the declarative q3 (which fans out) instead.")
       spark.sparkContext.broadcast(band)
     }
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    val li = q3KernelProbe(spark, dir)
     val (batches, schema) = graft.operators.ColumnarScan.batches(li)
     val okIdx = schema.fieldIndex("l_orderkey")
     val sdIdx = schema.fieldIndex("l_shipdate")
@@ -453,6 +479,13 @@ object Relational {
             nameToNid.put(nm, nid)
             names += nm
           }
+          // same loud PK validation as every other level of the chain: a
+          // duplicate n_nationkey would silently last-write-win here while
+          // the declarative join fans out
+          if (nationToNid.getSlot(r.getLong(0)) >= 0) throw new IllegalStateException(
+            s"q2ColumnarKernel: duplicate n_nationkey ${r.getLong(0)} in the " +
+            "nation build — the one-entry-per-key map would drop the " +
+            "declarative join's fan-out; use the declarative q2 instead.")
           val base = nationToNid.slot(r.getLong(0))
           nationToNid.values(base) = nid.longValue()
         }
@@ -515,8 +548,7 @@ object Relational {
       Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
       "c_custkey", "c_nationkey", nationToNid)
     val okToNation = probePairs(
-      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-      "o_orderkey", "o_custkey", custToNid)
+      q2KernelBuildBound(spark, dir), "o_orderkey", "o_custkey", custToNid)
     (spark.sparkContext.broadcast(okToNation), names.toArray)
   }
 
@@ -536,8 +568,7 @@ object Relational {
     val (mapB, names) = cachedBuild[(org.apache.spark.broadcast.Broadcast[graft.operators.LongAccMap], Array[String])](
         spark, dir, "q2oknation") { buildQ2OkToNation(spark, dir) }
     val nNations = names.length
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val li = q2KernelProbe(spark, dir)
     val (batches, schema) = graft.operators.ColumnarScan.batches(li)
     val okIdx = schema.fieldIndex("l_orderkey")
     val epIdx = schema.fieldIndex("l_extendedprice")
@@ -628,7 +659,7 @@ object Relational {
     import org.apache.spark.sql.types._
     val k = 3
     val limit = 100
-    val proj = o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val proj = o.select(Q5KernelCols.map(col): _*)
     val (batches, schema) = graft.operators.ColumnarScan.batches(proj)
     val ckIdx = schema.fieldIndex("o_custkey")
     val okIdx = schema.fieldIndex("o_orderkey")
@@ -889,7 +920,7 @@ object Relational {
     import org.apache.spark.sql.types._
     val mB = cachedBuild[org.apache.spark.broadcast.Broadcast[graft.operators.LongAccMap]](
         spark, dir, "q4members") {
-      val o = Tables.orders(spark, dir).select(col("o_custkey"))
+      val o = q4KernelBuild(spark, dir)
       requireBuildBounded(o, "q4ColumnarKernel")
       val (oB, oSch) = graft.operators.ColumnarScan.batches(o)
       val ocIdx = oSch.fieldIndex("o_custkey")
@@ -912,7 +943,7 @@ object Relational {
         depth = 2)
       spark.sparkContext.broadcast(members)
     }
-    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val c = q4KernelProbe(spark, dir)
     val (cB, cSch) = graft.operators.ColumnarScan.batches(c)
     val ccIdx = cSch.fieldIndex("c_custkey")
     val counts = cB.mapPartitions { it =>

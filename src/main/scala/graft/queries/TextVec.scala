@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object TextVec {
 
+  /** The columnar kernels' pruned input frames (drift-proofing for
+    * [[graft.Exec]]'s validity bounds, r13 review).
+    */
+  private[graft] def docsTextInput(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("text"))
+  private[graft] def q16KernelInput(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  private[graft] def q16QueryFrame(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+
   /** Q14 exact dedup count on normalized text — distinct over the 128-BIT
     * MD5 of the normalized string, not the string itself: count(DISTINCT)
     * plans as a two-stage partial/final hash aggregate whose exchange
@@ -61,7 +72,7 @@ object TextVec {
   def q14ColumnarKernel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val docs = Tables.documents(spark, dir).select(col("text"))
+    val docs = docsTextInput(spark, dir)
     val driverFinaleOk = graft.queries.Relational.withinBroadcastBound(docs)
     val (batches, schema) = graft.operators.ColumnarScan.batches(docs)
     val txtIdx = schema.fieldIndex("text")
@@ -244,10 +255,7 @@ object TextVec {
     // Layouts discipline (testdata dirs are immutable, sessions
     // process-lived; correctness gates hash-check every call regardless)
     val (qids, qvecs, qnorms) = q16QueryCache.computeIfAbsent((spark, dir), { _ =>
-      val qRows = Tables.embeddings(spark, dir)
-        .filter(col("vec_id") < 10)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
+      val qRows = q16QueryFrame(spark, dir).collect()
       val ids = qRows.map(_.getLong(0))
       val vecs: Array[Array[Float]] = qRows.map { r =>
         if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray
@@ -264,7 +272,7 @@ object TextVec {
     })
     val qNull: Array[Boolean] = qvecs.map(_ == null)
     val nq = qids.length
-    val proj = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val proj = q16KernelInput(spark, dir)
     val (batches, schema) = graft.operators.ColumnarScan.batches(proj)
     val idIdx = schema.fieldIndex("vec_id")
     val embIdx = schema.fieldIndex("embedding")
@@ -423,7 +431,7 @@ object TextVec {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.unsafe.types.UTF8String
-    val docs = Tables.documents(spark, dir).select(col("text"))
+    val docs = docsTextInput(spark, dir)
     val driverFinaleOk = graft.queries.Relational.withinBroadcastBound(docs)
     val (batches, schema) = graft.operators.ColumnarScan.batches(docs)
     val txtIdx = schema.fieldIndex("text")

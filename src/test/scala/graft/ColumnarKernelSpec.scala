@@ -343,6 +343,36 @@ class ColumnarKernelSpec extends SparkSpec {
     assert(want.exists(_.get(0) == null), "null-name group must survive")
   }
 
+  test("q2 kernel rejects duplicate n_nationkey loudly (nation-level PK guard)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("q2dupnat").toString
+    def write(name: String, schema: StructType, rows: Seq[Row]): Unit =
+      spark.createDataFrame(rows.asJava, schema)
+        .write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+    write("region", StructType(Seq(
+      StructField("r_regionkey", LongType), StructField("r_name", StringType))),
+      Seq(Row(1L, "ASIA")))
+    write("nation", StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_regionkey", LongType),
+      StructField("n_name", StringType))),
+      Seq(Row(1L, 1L, "X"), Row(1L, 1L, "Y")))   // duplicate PK
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_nationkey", LongType))),
+      Seq(Row(10L, 1L)))
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType))),
+      Seq(Row(100L, 10L)))
+    write("lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType))),
+      Seq(Row(100L, 100.0, 0.0)))
+    val e = intercept[IllegalStateException] {
+      graft.queries.Relational.q2ColumnarKernel(spark, tmp).collect()
+    }
+    assert(e.getMessage.contains("duplicate n_nationkey"))
+  }
+
   test("q3 kernel rejects duplicate o_orderkey loudly (one-band-per-key map)") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
