@@ -433,12 +433,30 @@ object Bench {
       val osnap = snap.collect { case (n, _) if oracleSec.containsKey(n) => n -> oracleSec.get(n).doubleValue }
       val ratios = osnap.flatMap { case (n, o) =>
         snap.find(_._1 == n).collect { case (_, e) if e > 0 && o > 0 => n -> e / o } }
+      // best_ratio: per B-set query, the fastest HASH-GATED form this run
+      // measured — every SparkEntry entry sharing the query's oracle text
+      // (kernel twins, staged-layout twins, dispatch entries) answers the
+      // same question and is gated on the same DuckDB hash, so the honest
+      // engine-vs-oracle number is the min median over that family. The
+      // per-name medians stay in "queries"; this map just saves the reader
+      // the family join.
+      val bestRatios = osnap.flatMap { case (n, o) =>
+        if (o <= 0) None
+        else {
+          val oracleText = SparkEntry.oracleSql.get(n)
+          val family = SparkEntry.oracleSql.collect {
+            case (qn, sql) if oracleText.contains(sql) => qn
+          }.toSet
+          val best = snap.collect { case (qn, e) if family.contains(qn) && e > 0 => e }
+          if (best.isEmpty) None else Some(n -> best.min / o)
+        }
+      }
       import scala.jdk.CollectionConverters._
       val fl = floors.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + num(v) + "," }.mkString
       val estAll = estimated.asScala.toSeq
       val susAll = suspect.asScala.toSeq
-      val detail = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"queries":${qmap(snap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"est":${qarr(estAll)},"suspect":${qarr(susAll)},$fl"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"queries":${qmap(snap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"best_ratio":${qmap(bestRatios)},"est":${qarr(estAll)},"suspect":${qarr(susAll)},$fl"sf":"$sfDir"}"""
       val detailPath = "tools/bench_full_latest.json"
       scala.util.Try {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
@@ -446,7 +464,7 @@ object Bench {
       }
       println(detail)
       val bsnap = snap.filter(p => bset.contains(p._1))
-      val compact = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"bset_queries":${qmap(bsnap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"est_n":${estAll.size},"suspect_n":${susAll.size},"est_bset":${qarr(estAll.filter(bset.contains))},"suspect_bset":${qarr(susAll.filter(bset.contains))},$fl"detail":"$detailPath","sf":"$sfDir"}"""
+      val compact = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"bset_queries":${qmap(bsnap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"best_ratio":${qmap(bestRatios)},"est_n":${estAll.size},"suspect_n":${susAll.size},"est_bset":${qarr(estAll.filter(bset.contains))},"suspect_bset":${qarr(susAll.filter(bset.contains))},$fl"detail":"$detailPath","sf":"$sfDir"}"""
       println(compact)
       System.out.flush()
     }
