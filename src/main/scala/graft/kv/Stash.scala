@@ -210,11 +210,17 @@ object Stash {
     * write the same merged result) the compacted dir. Returns the new
     * version, or -1 when the root has no committed version.
     */
-  def compactLatest(spark: SparkSession, root: String, buckets: Int): Long = {
+  /** @param bloomNdv forwarded to [[Stash.save]] — compaction merges many
+    *   small files into few large row groups (MORE distinct keys per
+    *   group), so a store saved with a raised ndv must compact with one
+    *   too or its filters silently saturate (r13 review).
+    */
+  def compactLatest(spark: SparkSession, root: String, buckets: Int,
+      bloomNdv: Long = 100000L): Long = {
     val (stash, v) = openLatest(spark, root)
     if (v < 0) -1L
     else {
-      stash.save(s"$root/v${v + 1}", buckets)
+      stash.save(s"$root/v${v + 1}", buckets, bloomNdv)
       v + 1
     }
   }
