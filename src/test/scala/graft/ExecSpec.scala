@@ -90,6 +90,16 @@ class ExecSpec extends SparkSpec {
     assert(want.head.getLong(0) === 2L)
   }
 
+  test("registry invariants: last form always valid, form names unique") {
+    for ((q, forms) <- Exec.registry) {
+      assert(forms.nonEmpty, s"$q has no forms")
+      assert(forms.last.valid(spark, sf0001).isEmpty,
+        s"$q: the final (declarative) form must be unconditionally valid")
+      assert(forms.map(_.name).distinct.size === forms.size,
+        s"$q: duplicate form names")
+    }
+  }
+
   test("unknown query names fail loudly") {
     val e = intercept[IllegalArgumentException] { Exec.run(spark, sf0001, "q999") }
     assert(e.getMessage.contains("unknown query"))
