@@ -400,9 +400,17 @@ object Bench {
         Layouts.eventsByUserCached(spark, runDir)
         Layouts.ordersByCustkeyCached(spark, runDir)
         Layouts.factsByOrderkeyCached(spark, runDir)
+        // q136's staged-ANN codes follow the same pay-once discipline: its
+        // per-query number must measure the post-staging steady state, not
+        // an in-run quantizer training + codes write
+        if (ordered.exists(_._1 == "q136_layout_ann"))
+          graft.queries.Pipeline.stageAnnIndex(spark, runDir)
         System.err.println(
           f"[bench] layouts pre-staged in ${(System.nanoTime() - t) / 1e9}%.1f s (outside all timed regions)")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only (r13 advice): an OOM or other fatal VM error here
+        // must kill the run, not leave a wounded JVM producing misleading
+        // "stage lazily" timings
         System.err.println(s"[bench] layout pre-staging failed (${e.getMessage}); " +
           "layout queries will stage lazily inside their warm runs")
       }
@@ -448,11 +456,29 @@ object Bench {
       // pool — the "never silently reported clean" rule applies here too.
       val oracle = SparkEntry.oracleSql
       val familyOf: Map[String, Set[String]] = {
+        // A form entry (marker-named) belongs to exactly ONE base: the
+        // unique non-form entry sharing its oracle SQL, or the explicit
+        // override where several bases share one SQL (q10/q34/q41 all use
+        // q10's text — the kernels are q10's forms, and without the
+        // override q34/q41 would borrow q110's implementation time while
+        // SQL-membership alone can't say whose kernel it is; r13 advice).
+        // A form with no resolvable base stands alone — it never lends its
+        // time to an entry it doesn't implement.
+        val isForm: String => Boolean = n =>
+          Seq("_columnar_", "_kernel_", "_layout_", "_dispatch_").exists(n.contains)
         val bySql = oracle.groupBy(_._2).map { case (sql, m) => sql -> m.keySet }
-        oracle.map { case (n, sql) =>
-          n -> bySql(sql).filter(qn => qn == n ||
-            qn.contains("_columnar_") || qn.contains("_kernel_") ||
-            qn.contains("_layout_") || qn.contains("_dispatch_"))
+        val baseOverride = Map(
+          "q110_columnar_json" -> "q10_json",
+          "q123_dispatch_json" -> "q10_json")
+        val baseOf: Map[String, String] = oracle.keys.filter(isForm).map { m =>
+          m -> baseOverride.getOrElse(m, {
+            val bases = bySql(oracle(m)).filterNot(isForm)
+            if (bases.size == 1) bases.head else m
+          })
+        }.toMap
+        oracle.map { case (n, _) =>
+          n -> (Set(n) ++ (if (isForm(n)) Set.empty[String]
+            else baseOf.collect { case (m, b) if b == n => m }))
         }
       }
       val bestRatios = osnap.flatMap { case (n, o) =>

@@ -182,14 +182,52 @@ object Layouts {
 
   /** Cache probes for [[graft.Exec]]'s layout-form validity bounds: the
     * dispatcher runs a layout kernel only when this session has ALREADY
-    * paid the staging (it never stages implicitly).
+    * paid the staging (it never stages implicitly). The probe matches ANY
+    * bucket count staged for the (session, dir) pair — the kernels'
+    * correctness needs the clustering + within-bucket order, not a
+    * specific bucket count, and a 64-bucket staging that left the
+    * dispatcher on the declarative form would silently waste the staging
+    * cost (r13 advice). The *Cached accessors default-resolve the count,
+    * so probe and use agree: [[bucketsStagedFor]] feeds the dispatcher the
+    * count that is actually cached.
     */
-  def isEventsLayoutStaged(spark: SparkSession, dir: String, buckets: Int = 32): Boolean =
-    stagedEvents.containsKey((spark, dir, buckets))
-  def isOrdersLayoutStaged(spark: SparkSession, dir: String, buckets: Int = 32): Boolean =
-    stagedOrders.containsKey((spark, dir, buckets))
-  def isFactsLayoutStaged(spark: SparkSession, dir: String, buckets: Int = 32): Boolean =
-    stagedFacts.containsKey((spark, dir, buckets))
+  def isEventsLayoutStaged(spark: SparkSession, dir: String): Boolean =
+    bucketsStagedFor(stagedEvents, spark, dir).nonEmpty
+  def isOrdersLayoutStaged(spark: SparkSession, dir: String): Boolean =
+    bucketsStagedFor(stagedOrders, spark, dir).nonEmpty
+  def isFactsLayoutStaged(spark: SparkSession, dir: String): Boolean =
+    bucketsStagedFor(stagedFacts, spark, dir).nonEmpty
+
+  /** The bucket counts already staged for (session, dir) in `cache` —
+    * smallest first, so a dispatcher picking `.headOption` is
+    * deterministic when several counts were staged.
+    */
+  private def bucketsStagedFor[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), V],
+      spark: SparkSession, dir: String): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.collect {
+      case (s, d, b) if (s eq spark) && d == dir => b
+    }.toSeq.sorted
+  }
+
+  /** The staged events table for (session, dir) at WHICHEVER bucket count
+    * the session staged (smallest when several) — the dispatcher-side
+    * accessor that can never disagree with [[isEventsLayoutStaged]].
+    * Throws when nothing is staged: callers gate on the probe first.
+    */
+  def eventsByUserStaged(spark: SparkSession, dir: String): DataFrame =
+    eventsByUserCached(spark, dir,
+      bucketsStagedFor(stagedEvents, spark, dir).headOption.getOrElse(
+        throw new IllegalStateException(s"events layout not staged for $dir")))
+  def ordersByCustkeyStaged(spark: SparkSession, dir: String): DataFrame =
+    ordersByCustkeyCached(spark, dir,
+      bucketsStagedFor(stagedOrders, spark, dir).headOption.getOrElse(
+        throw new IllegalStateException(s"orders layout not staged for $dir")))
+  def factsByOrderkeyStaged(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    factsByOrderkeyCached(spark, dir,
+      bucketsStagedFor(stagedFacts, spark, dir).headOption.getOrElse(
+        throw new IllegalStateException(s"fact layout not staged for $dir")))
 
   /** The co-located fact-join layout (q2's shape at the scale where
     * nothing broadcasts): lineitem and orders each bucketed + sorted on

@@ -216,6 +216,16 @@ object SparkEntry {
     // with the padding-waste census.
     "q134_shuffle_shard"   -> ((s, d) => Pipeline.q134(s, d)),
     "q135_length_batching" -> ((s, d) => Pipeline.q135(s, d)),
+    // q136: the staged IVFADC deployment path at its exactness-pinned
+    // operating point (probe all cells, re-rank everything == exact q16) —
+    // hash-pins the cell-partitioned codes layout + staged probe against
+    // q16's oracle. Staging is memoized per session (the Layouts
+    // discipline); Bench pre-stages it outside all timed regions.
+    "q136_layout_ann" -> ((s, d) => Pipeline.q136(s, d)),
+    // q137: q135's hot-bucket form — distributed two-pass rank instead of
+    // one per-bucket window, identical output by construction (shares
+    // q135's oracle; the skew bound itself is asserted in PipelineSpec).
+    "q137_length_batching_salted" -> ((s, d) => Pipeline.q137(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -318,7 +328,11 @@ object SparkEntry {
       "q130_dispatch_asof"      -> base("q21_asof_join"),
       "q131_dispatch_funnel"    -> base("q51_funnel"),
       "q132_dispatch_retention" -> base("q70_retention"),
-      "q133_dispatch_transitions" -> base("q71_transitions"))
+      "q133_dispatch_transitions" -> base("q71_transitions"),
+      // the staged-ANN exactness pin and the salted batching form share
+      // their targets' oracles verbatim (see the queries entries)
+      "q136_layout_ann"             -> base("q16_cosine_topk"),
+      "q137_length_batching_salted" -> base("q135_length_batching"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -1010,7 +1024,14 @@ object SparkEntry {
 
     // q134: 48-bit md5 shuffle keys (the q46 hex-prefix convention, 12
     // chars); first/last-in-shuffle-order via the q57 HUGEINT-packed
-    // (skey, doc_id) tie-break so both engines order identically.
+    // (skey, doc_id) tie-break so both engines order identically. The pack
+    // multiplier is 2^64 so the packed order equals the engine's
+    // struct(skey, doc_id) lexicographic order for the FULL non-negative
+    // 64-bit doc_id space (48-bit skey × 2^64 + doc_id ≤ 2^112 fits
+    // HUGEINT; a 2^32 multiplier would collide fields for doc_id ≥ 2^32 —
+    // r13 advice). Remaining assumption, matching the corpus contract:
+    // doc_id ≥ 0 (a negative id would pack below its skey block while the
+    // struct order ranks it within it).
     "q134_shuffle_shard" ->
       """WITH k AS (
         |  SELECT doc_id,
@@ -1019,8 +1040,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT skey % 8 AS shard, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
-        |  arg_min(doc_id, CAST(skey AS HUGEINT) * 4294967296 + doc_id) AS first_doc,
-        |  arg_max(doc_id, CAST(skey AS HUGEINT) * 4294967296 + doc_id) AS last_doc
+        |  arg_min(doc_id, CAST(skey AS HUGEINT) * 18446744073709551616 + doc_id) AS first_doc,
+        |  arg_max(doc_id, CAST(skey AS HUGEINT) * 18446744073709551616 + doc_id) AS last_doc
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q135: identical bucket/batch arithmetic (ceil on an exact small-int

@@ -64,7 +64,7 @@ object ColumnarScan {
       case p => p
     }
     val leaves = plan.collectLeaves()
-    if (leaves.size != 1) throw new IllegalStateException(
+    if (leaves.size != 1) throw new KernelRefusal(
       s"ColumnarScan needs exactly one scan leaf, found ${leaves.size}:\n$plan")
     // A kernel consumes the SCAN's output and re-derives its semantics —
     // any plan node above the scan is advisory (it drives pruning and
@@ -80,13 +80,13 @@ object ColumnarScan {
          | _: org.apache.spark.sql.execution.FilterExec
          | _: org.apache.spark.sql.execution.ColumnarToRowExec => ()
       case p if p eq leaves.head => ()
-      case other => throw new IllegalStateException(
+      case other => throw new KernelRefusal(
         s"ColumnarScan: plan node ${other.nodeName} above the scan would be " +
         s"silently discarded by a columnar kernel — hand the kernel a pure " +
         s"scan (projections/filters only):\n$plan")
     }
     val scan = leaves.head
-    if (!scan.supportsColumnar) throw new IllegalStateException(
+    if (!scan.supportsColumnar) throw new KernelRefusal(
       "ColumnarScan: the scan does not produce ColumnarBatches (vectorized " +
       s"reader disabled, or unsupported schema/source):\n$scan")
     scan
@@ -160,7 +160,7 @@ final class StringIdInterner(maxIds: Int = 0xFFFFF) {
     val s = vec.getUTF8String(i)
     var boxed = ids.get(s)
     if (boxed == null) {
-      if (names.length >= maxIds) throw new IllegalStateException(
+      if (names.length >= maxIds) throw new KernelRefusal(
         s"StringIdInterner: distinct-value count reached the id cap $maxIds " +
         "(the packed-key kernels reserve this id as the NULL sentinel) — " +
         "this column's cardinality needs the declarative path.")
@@ -234,7 +234,7 @@ final class LongAccMap(slots: Int, initCap: Int = 1024,
     // far outside its design regime — fail loudly before the allocator
     // does, pointing at the declarative twin (same discipline as the
     // interner's id cap).
-    if (cap >= maxCap) throw new IllegalStateException(
+    if (cap >= maxCap) throw new KernelRefusal(
       s"LongAccMap: key count exceeded ${cap / 2} — per-partition kernel " +
       "state is no longer bounded; use the declarative form for this input.")
     val ok = keys; val ou = used; val ov = vals; val ocap = cap

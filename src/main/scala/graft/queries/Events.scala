@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.KernelRefusal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,7 +62,7 @@ object Events {
     val isLong = schema(uIdx).dataType match {
       case LongType => true
       case IntegerType => false
-      case other => throw new IllegalStateException(
+      case other => throw new KernelRefusal(
         s"q9aColumnarKernel: user_id scanned as ${other.sql} — extend the " +
         "kernel alongside Tables/probeSchemas (same drift contract).")
     }
@@ -321,7 +322,7 @@ object Events {
     val nanosDiv: Long = schema(tsIdx).dataType match {
       case LongType => 1000L
       case TimestampType | TimestampNTZType => 1L
-      case other => throw new IllegalStateException(
+      case other => throw new KernelRefusal(
         s"q11ColumnarKernel: events.ts scanned as ${other.sql} — extend " +
         "the kernel alongside Tables.events (same drift contract).")
     }
@@ -625,7 +626,7 @@ object Events {
     val eIdx = schema.fieldIndex("event_type")
     schema(tIdx).dataType match {
       case TimestampType | TimestampNTZType => ()
-      case other => throw new IllegalStateException(
+      case other => throw new KernelRefusal(
         s"q13FromColumnarSortedKernel: staged ts arrived as ${other.sql}; " +
         "stage through Layouts (Tables.events normalizes to TIMESTAMP).")
     }
@@ -714,7 +715,7 @@ object Events {
     val tIdx = schema.fieldIndex("ts")
     schema(tIdx).dataType match {
       case TimestampType | TimestampNTZType => ()
-      case other => throw new IllegalStateException(
+      case other => throw new KernelRefusal(
         s"q12FromColumnarSortedKernel: staged ts arrived as ${other.sql}; " +
         "stage through Layouts (Tables.events normalizes to TIMESTAMP).")
     }
@@ -1280,7 +1281,7 @@ object Events {
     * SortedKernelTieSpec).
     */
   private def badLayout(kernel: String): Nothing =
-    throw new IllegalStateException(
+    throw new KernelRefusal(
       s"$kernel: input is not the (user_id, ts)-sorted layout — a " +
       "descending (user_id, ts) pair arrived within a partition. Feed the " +
       "user_id-bucketed sortBy(user_id, ts, event_id) table (one file per " +

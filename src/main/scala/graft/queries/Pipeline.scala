@@ -2316,12 +2316,10 @@ object Pipeline {
     * O(1) state).
     */
   def q134(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
-    val skey = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":graft-shuffle"))), 1, 12), 16, 10).cast("long")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
-      .withColumn("skey", skey)
+      .withColumn("skey", shuffleKey(col("doc_id")))
       .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
       .groupBy("shard")
       .agg(
@@ -2343,19 +2341,17 @@ object Pipeline {
     * Scale: one shuffle on the bucket key; the per-bucket window sorts
     * only (doc_id, n_tok) pairs, never text. Buckets are bounded by
     * max_len/bucketWidth, but one bucket can be HOT (natural-language
-    * lengths concentrate): the mitigation is the q59 sub-bucket
-    * discipline — batch formation only needs a consistent order within
-    * the bucket, so a hot bucket sub-salts on doc_id ranges and offsets
-    * batch indices per sub-range, identical output. At this corpus's
-    * scale the plain window is the measured-fastest form.
+    * lengths concentrate): the mitigation is [[lengthBatchingSalted]] —
+    * batch formation only needs a consistent order within the bucket, so
+    * a hot bucket splits into doc_id-range sub-partitions whose exact
+    * rank offsets come from a tiny per-(bucket, sub) count, identical
+    * output by construction (hash-gated as q137 against THIS query's
+    * oracle, skew-bounded in PipelineSpec). At this corpus's scale the
+    * plain window is the measured-fastest form.
     */
   def q135(spark: SparkSession, dir: String,
       bucketWidth: Int = 16, batchSize: Int = 32): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
-      .withColumn("bucket",
-        ceil(col("n_tok").cast("double") / bucketWidth).cast("long"))
+    val d = lengthBuckets(spark, dir, bucketWidth)
     val w = Window.partitionBy("bucket").orderBy("doc_id")
     val batchW = Window.partitionBy("bucket", "batch")
     d.withColumn("batch",
@@ -2367,6 +2363,233 @@ object Pipeline {
         countDistinct(col("batch")).as("n_batches"),
         sum(col("bmax") - col("n_tok")).as("pad_waste"))
       .orderBy("bucket")
+  }
+
+  /** The deterministic 48-bit shuffle key — ONE definition shared by the
+    * q134 census and [[writeShuffledShards]] so the census can never
+    * describe a different order than the writer materializes. md5 hex
+    * prefix (the q46/q66 fingerprint convention): seed-free,
+    * partitioning-free, engine-independent.
+    */
+  private[graft] def shuffleKey(docId: Column): Column =
+    conv(substring(md5(concat(docId.cast("string"),
+      lit(":graft-shuffle"))), 1, 12), 16, 10).cast("long")
+
+  /** The (doc_id, n_tok, bucket) projection q135 and its salted twin both
+    * batch over — one definition so the two forms cannot drift on the
+    * bucket arithmetic.
+    */
+  private[graft] def lengthBuckets(spark: SparkSession, dir: String,
+      bucketWidth: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        ceil(col("n_tok").cast("double") / bucketWidth).cast("long"))
+
+  /** q137 (q135's HOT-BUCKET form, r13 verdict item 1): the same
+    * length-bucketed batch census with the single per-bucket window
+    * replaced by a distributed two-pass rank, so no task ever sorts more
+    * than ~`targetRows` rows even when natural-language length
+    * concentration puts 90%+ of the corpus in ONE bucket (where q135's
+    * `Window.partitionBy(bucket)` would sort that bucket's every
+    * (doc_id, n_tok) pair in a single task).
+    *
+    * How the output stays IDENTICAL (hash-gated against q135's oracle):
+    * batch assignment needs each doc's exact rank in (bucket, doc_id)
+    * order. A hot bucket splits into `nsub = ceil(n/targetRows)` sub-
+    * partitions by CONTIGUOUS doc_id range (any monotone-in-doc_id split
+    * preserves the order across sub-partitions — the double-precision
+    * range arithmetic only has to be monotone, not balanced, and
+    * correctly-rounded floor(x·n/D) is); each sub-partition's exact rank
+    * offset is the count of docs in the bucket's earlier sub-ranges,
+    * computed by a tiny (bucket, sub)-grain aggregate (≤ buckets×nsub
+    * rows — driver-free, broadcast back). Global rank = offset + local
+    * row_number within (bucket, sub); batches then form exactly as q135's.
+    * Per-batch padding (n·bmax − Σtok) sums per bucket through a hash agg
+    * — batches that straddle a sub-range boundary are handled by the
+    * grouping, never by the window.
+    *
+    * Scale: two shuffles ((bucket, sub) window + (bucket, batch) agg)
+    * instead of one window, in exchange for a hard per-task sort bound —
+    * the 100 TB trade. Row balance per sub-range tracks doc_id uniformity
+    * within the bucket (exact bound only for uniform ids); the rank
+    * offsets are exact counts regardless, so skew past the target only
+    * costs balance, never correctness. PipelineSpec drives a ≥90%-one-
+    * bucket corpus through both forms and asserts equality plus the
+    * sort-extent bound.
+    */
+  def q137(spark: SparkSession, dir: String, bucketWidth: Int = 16,
+      batchSize: Int = 32, targetRows: Long = 1L << 22): DataFrame =
+    lengthBatchingSalted(lengthBuckets(spark, dir, bucketWidth), batchSize, targetRows)
+
+  /** The contiguous doc_id-range sub-partition assignment behind
+    * [[lengthBatchingSalted]]: (bucket, sub, doc_id, n_tok) where
+    * `sub` splits buckets larger than `targetRows` into
+    * `nsub = ceil(n/targetRows)` monotone doc_id ranges. Factored out so
+    * the skew spec can assert the per-(bucket, sub) sort-extent bound on
+    * the EXACT grouping the window runs over.
+    */
+  private[graft] def saltedSubAssign(d: DataFrame, targetRows: Long): DataFrame = {
+    val stats = d.groupBy("bucket").agg(
+        count(lit(1)).as("bn"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .withColumn("nsub", greatest(lit(1L),
+        ceil(col("bn").cast("double") / targetRows).cast("long")))
+    // monotone contiguous-range sub assignment; least() clamps the one
+    // representable-boundary case where x→1⁻ rounds up to nsub
+    val subCol = when(col("nsub") === 1, lit(0L)).otherwise(least(
+      floor((col("doc_id") - col("lo")).cast("double")
+        / (col("hi").cast("double") - col("lo").cast("double") + 1.0)
+        * col("nsub").cast("double")).cast("long"),
+      col("nsub") - 1))
+    d.join(broadcast(stats.select("bucket", "lo", "hi", "nsub")), "bucket")
+      .withColumn("sub", subCol)
+      .select("bucket", "sub", "doc_id", "n_tok")
+  }
+
+  /** The salted census over any (doc_id, n_tok, bucket) frame — see
+    * [[q137]]. `targetRows` bounds the per-task sort extent.
+    */
+  def lengthBatchingSalted(d: DataFrame, batchSize: Int,
+      targetRows: Long): DataFrame = {
+    require(targetRows >= batchSize,
+      s"targetRows=$targetRows must be >= batchSize=$batchSize")
+    val dd = saltedSubAssign(d, targetRows)
+    // exact rank offsets: docs in the bucket's earlier sub-ranges. The
+    // window runs over the (bucket, sub)-grain AGGREGATE (tiny), not rows.
+    val wOff = Window.partitionBy("bucket").orderBy("sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = dd.groupBy("bucket", "sub").agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("bucket", "sub", "base")
+    val wLocal = Window.partitionBy("bucket", "sub").orderBy("doc_id")
+    val batched = dd.join(broadcast(offsets), Seq("bucket", "sub"))
+      .withColumn("rk", col("base") + row_number().over(wLocal))
+      .withColumn("batch",
+        floor((col("rk") - 1).cast("double") / batchSize).cast("long"))
+    batched.groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("nb"), max("n_tok").as("bmax"),
+        sum("n_tok").as("stok"))
+      .groupBy("bucket")
+      .agg(sum("nb").as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("nb") * col("bmax") - col("stok")).as("pad_waste"))
+      .orderBy("bucket")
+  }
+
+  /** Materialize the q134 training order (r13 verdict item 2 — the census
+    * computes the order; THIS writes the corpus in it): `docs` (any frame
+    * carrying a non-negative long `doc_id`; text and every other column
+    * ride along) lands under `root/v<version>/shard=<k>/` with each
+    * shard's rows in (skey, doc_id) ascending order — the exact order the
+    * q134 census describes, because both use [[shuffleKey]].
+    *
+    * Layout mechanics: one hash partition per shard (all rows of a shard
+    * key land in one task — md5 keys are uniform so shards balance), rows
+    * sorted within the task by (shard, skey, doc_id), then
+    * `partitionBy(shard)` → exactly one file per shard, internally in
+    * training order. At 100 TB the per-shard sort is the one q134's
+    * scaladoc promises: per-shard at write time, never a global sort.
+    *
+    * Exactly-once: the write targets a version directory and is a NO-OP
+    * when that version already carries the committer's `_SUCCESS` marker
+    * (the Stash.openLatest discipline) — a retried/duplicate call returns
+    * the committed path untouched; a crashed partial write (no marker) is
+    * overwritten whole. Returns the version directory.
+    */
+  def writeShuffledShards(docs: DataFrame, root: String, shards: Int,
+      version: Long = 0L): String = {
+    val spark = docs.sparkSession
+    val out = s"$root/v$version"
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) return out
+    docs.withColumn("skey", shuffleKey(col("doc_id")))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "skey", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    out
+  }
+
+  // ---- staged ANN deployment API (r13 verdict item 4: the docs/DEPLOY.md
+  // §3 layout, drivable as public API instead of private bench plumbing) --
+
+  /** A staged IVFADC index: the cell-partitioned PQ-codes relation on
+    * disk plus the trained quantizer/codebook that built it. `cells` is
+    * the coarse-quantizer arity — probing all of them (with full re-rank)
+    * reproduces exact q16, the exactness pin q136 rides.
+    */
+  final case class AnnIndex(codesPath: String, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]) {
+    def cells: Int = cents.length
+  }
+
+  private val stagedAnn =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnnIndex]()
+
+  /** Stage the IVFADC deployment layout for (session, dir), memoized like
+    * [[graft.Layouts]]' bucketed tables: train the coarse quantizer + PQ
+    * codebook (deterministic — fixed-pointed sums, rank-stride init), and
+    * write the (vec_id, bkt, codes) relation cell-partitioned under the
+    * session warehouse so a probe's scan extent is its probed cells'
+    * files. The write is idempotent (`_SUCCESS`-gated, same discipline as
+    * [[writeShuffledShards]]); training re-derives bit-identical params,
+    * so reusing a committed codes dir is sound.
+    */
+  def stageAnnIndex(spark: SparkSession, dir: String): AnnIndex =
+    stagedAnn.computeIfAbsent((spark, dir), { _ =>
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+      val cents = ivfTrain(emb)
+      val cb = pqTrain(emb)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = s"$wh/g_ann_codes_" +
+        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        ivfadcIndex(emb, cents, cb)
+          .write.partitionBy("bkt").mode("overwrite").parquet(path)
+      AnnIndex(path, cents, cb)
+    })
+
+  /** Dispatcher probe for [[graft.Exec]]'s q16 staged-ANN form: true only
+    * when THIS session already paid [[stageAnnIndex]].
+    */
+  def isAnnIndexStaged(spark: SparkSession, dir: String): Boolean =
+    stagedAnn.containsKey((spark, dir))
+
+  /** ANN search over the STAGED index — the deployment read path: the
+    * codes scan is partition-pruned to the probed cells and never
+    * exchanges ([[ivfadcCodesGateViolations]] is the plan gate,
+    * BucketedJoinSpec enforces it). Throws when nothing is staged: pay
+    * [[stageAnnIndex]] explicitly first (the Layouts discipline — no
+    * implicit staging).
+    */
+  def annSearchStaged(spark: SparkSession, dir: String, nprobe: Int,
+      rerank: Int): DataFrame = {
+    val idx = stagedAnn.get((spark, dir))
+    if (idx == null) throw new IllegalStateException(
+      s"ANN index not staged for $dir in this session — call " +
+      "Pipeline.stageAnnIndex(spark, dir) first (staging is always explicit)")
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    ivfadcStagedProbe(spark, idx.codesPath, emb, annQueries(emb),
+      idx.cents, idx.cb, nprobe, rerank)
+  }
+
+  /** q136: [[annSearchStaged]] at the exactness-pinned operating point —
+    * probe ALL cells, re-rank EVERYTHING — which reproduces exact q16
+    * verbatim (both approximation dials at their lossless limit), so the
+    * staged deployment path is driver-gated against q16's own DuckDB
+    * oracle. Deployment speed shows at (nprobe ≪ cells, rerank ≪ N) — the
+    * q88 operating point — where the pruned scan reads only the probed
+    * cells' files; THIS entry exists to hash-pin the staged machinery.
+    */
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    stageAnnIndex(spark, dir)
+    annSearchStaged(spark, dir,
+      nprobe = stagedAnn.get((spark, dir)).cells, rerank = Int.MaxValue)
   }
 }
 

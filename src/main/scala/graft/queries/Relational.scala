@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.KernelRefusal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -107,7 +108,7 @@ object Relational {
     val sdIdx = schema.fieldIndex("l_shipdate")
     schema(sdIdx).dataType match {
       case TimestampType | TimestampNTZType => ()
-      case other => throw new IllegalStateException(
+      case other => throw new KernelRefusal(
         s"q1ColumnarKernel: l_shipdate scanned as ${other.sql} — extend the " +
         "kernel alongside Tables/probeSchemas (same drift contract).")
     }
@@ -333,7 +334,7 @@ object Relational {
       val bOdIdx = oSchema.fieldIndex("o_orderdate")
       oSchema(bOdIdx).dataType match {
         case TimestampType | TimestampNTZType => ()
-        case other => throw new IllegalStateException(
+        case other => throw new KernelRefusal(
           s"q3ColumnarKernel: o_orderdate scanned as ${other.sql} — extend the " +
           "kernel alongside Tables/probeSchemas (same drift contract).")
       }
@@ -377,7 +378,7 @@ object Relational {
       // key, so a duplicate key would silently under-count vs the
       // declarative join's fan-out. Validate the assumption loudly (the
       // badLayout discipline) — a duplicate makes insertions outnumber keys.
-      if (rowCount != band.size.toLong) throw new IllegalStateException(
+      if (rowCount != band.size.toLong) throw new KernelRefusal(
         s"q3ColumnarKernel: ${rowCount - band.size} duplicate o_orderkey " +
         "value(s) in the build — the kernel's one-band-per-key map would " +
         "under-count; use the declarative q3 (which fans out) instead.")
@@ -393,7 +394,7 @@ object Relational {
     // nanos against micros band bounds instead of failing loudly
     schema(sdIdx).dataType match {
       case TimestampType | TimestampNTZType => ()
-      case other => throw new IllegalStateException(
+      case other => throw new KernelRefusal(
         s"q3ColumnarKernel: l_shipdate scanned as ${other.sql} — extend the " +
         "kernel alongside Tables/probeSchemas (same drift contract).")
     }
@@ -482,7 +483,7 @@ object Relational {
           // same loud PK validation as every other level of the chain: a
           // duplicate n_nationkey would silently last-write-win here while
           // the declarative join fans out
-          if (nationToNid.getSlot(r.getLong(0)) >= 0) throw new IllegalStateException(
+          if (nationToNid.getSlot(r.getLong(0)) >= 0) throw new KernelRefusal(
             s"q2ColumnarKernel: duplicate n_nationkey ${r.getLong(0)} in the " +
             "nation build — the one-entry-per-key map would drop the " +
             "declarative join's fan-out; use the declarative q2 instead.")
@@ -538,7 +539,7 @@ object Relational {
           (a, ca + cb)
         }, depth = 2)
       mapB.destroy()
-      if (matched != out.size.toLong) throw new IllegalStateException(
+      if (matched != out.size.toLong) throw new KernelRefusal(
         s"q2ColumnarKernel: ${matched - out.size} duplicate $keyCol value(s) " +
         "in the build — the one-entry-per-key map would drop the declarative " +
         "join's fan-out; use the declarative q2 instead.")
@@ -1099,7 +1100,7 @@ object Relational {
     * the declarative twin instead of tripping this.
     */
   private[graft] def requireBuildBounded(bound: DataFrame, kernel: String): Unit =
-    if (!withinBroadcastBound(bound)) throw new IllegalStateException(
+    if (!withinBroadcastBound(bound)) throw new KernelRefusal(
       s"$kernel: build side exceeds the broadcast regime " +
       "(autoBroadcastJoinThreshold / 256 MB cap) — the kernel's broadcast " +
       "map would not be bounded; use the declarative twin, which degrades " +

@@ -142,4 +142,24 @@ object IncrementalNearDup {
     // this frame goes out of scope (Dataset.unpersist would be a no-op —
     // checkpoint blocks are not CacheManager entries)
   }
+
+  /** Compact the three stores' accumulated `batch=<id>` deltas into one
+    * bucketed base each ([[BatchStore.compactStore]] — the
+    * Stash.compactLatest rewrite discipline, r13 verdict item 3): a
+    * long-running stream otherwise accumulates parallelism-many kilobyte
+    * files per batch forever, and footer planning time comes to dominate
+    * every store read. Each store buckets on its probe key (bands on the
+    * band key the per-batch join hits, docs on doc_id, pairs on ida), so
+    * the compacted layout co-locates exactly what later batches look up.
+    * MUST run on a QUIESCED stream (stop the query, compact, restart —
+    * same contract as Stash.compactLatest); ingestion after compaction
+    * continues normally, reading base + newer deltas. Returns the highest
+    * batch id compacted, or -1 for an empty store.
+    */
+  def compact(spark: SparkSession, root: String, buckets: Int): Long = {
+    val a = BatchStore.compactStore(spark, s"$root/bands", buckets, "bkey")
+    val b = BatchStore.compactStore(spark, s"$root/docs", buckets, "doc_id")
+    val c = BatchStore.compactStore(spark, s"$root/pairs", buckets, "ida")
+    math.max(a, math.max(b, c))
+  }
 }

@@ -126,4 +126,15 @@ object IncrementalSpanDup {
       .write.mode("overwrite").parquet(s"$root/hits/batch=$batchId")
     spans.write.mode("overwrite").parquet(s"$root/spans/batch=$batchId")
   }
+
+  /** Compact both stores' `batch=<id>` deltas into one bucketed base each
+    * — [[IncrementalNearDup.compact]]'s twin over the span store (spans
+    * bucket on the span hash the probe join hits, hits on doc_id). Same
+    * contract: quiesce the stream first; ingestion then resumes against
+    * base + newer deltas. Returns the highest batch id compacted.
+    */
+  def compact(spark: SparkSession, root: String, buckets: Int): Long =
+    math.max(
+      BatchStore.compactStore(spark, s"$root/spans", buckets, "sg"),
+      BatchStore.compactStore(spark, s"$root/hits", buckets, "doc_id"))
 }

@@ -90,6 +90,56 @@ class ExecSpec extends SparkSpec {
     assert(want.head.getLong(0) === 2L)
   }
 
+  test("registry forms are ordered by the recorded medians; declarative twin last") {
+    for ((q, forms) <- Exec.registry) {
+      val meds = forms.init.map(f =>
+        Exec.recordedMedianSec.getOrElse(f.name, Double.MaxValue))
+      assert(meds === meds.sorted, s"$q forms out of recorded-median order")
+      assert(forms.last.name === q,
+        s"$q: the declarative twin must stay last regardless of its median")
+    }
+  }
+
+  test("runFamily stages the shared layout once, then routes the whole family to kernels") {
+    val family = Seq("q12", "q13", "q21", "q51", "q70", "q71")
+    val res = Exec.runFamily(spark, sf0001, family)
+    assert(Layouts.isEventsLayoutStaged(spark, sf0001),
+      "the family call must have staged the events layout")
+    assert(res.map(_._1) === family, "results arrive in request order")
+    for ((q, form, df) <- res) {
+      assert(form.contains("SortedKernel"), s"$q routed to $form")
+      assert(rowsOf(df) === rowsOf(Exec.registry(q).last.run(spark, sf0001)),
+        s"$q via $form")
+    }
+  }
+
+  test("runFamily below the staging threshold stages nothing") {
+    // a single q16 request wants the 'ann' layout once — under the
+    // default threshold of 2 the family call must NOT pay that staging
+    val res = Exec.runFamily(spark, sf001, Seq("q16"))
+    assert(!graft.queries.Pipeline.isAnnIndexStaged(spark, sf001),
+      "one query must not trigger a staging job")
+    assert(res.head._2 === "q16ColumnarKernel")
+    val e = intercept[IllegalArgumentException] {
+      Exec.runFamily(spark, sf0001, Seq("q16", "q999"))
+    }
+    assert(e.getMessage.contains("unknown queries"))
+  }
+
+  test("staged-ANN form is dispatchable once staged — and is the exact answer") {
+    graft.queries.Pipeline.stageAnnIndex(spark, sf0001)
+    // the kernel still wins on recorded medians; force past its broadcast
+    // bound so dispatch falls to the staged deployment form
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key, "10485760")
+    spark.conf.set(key, "1")
+    try {
+      val (chosen, got) = Exec.runNamed(spark, sf0001, "q16")
+      assert(chosen === "q16AnnStagedExact", s"got $chosen")
+      assert(rowsOf(got) === rowsOf(Exec.registry("q16").last.run(spark, sf0001)))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("registry invariants: last form always valid, form names unique") {
     for ((q, forms) <- Exec.registry) {
       assert(forms.nonEmpty, s"$q has no forms")

@@ -33,6 +33,111 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q137 salted batching == q135 plain window on the real corpus") {
+    val plain = Pipeline.q135(spark, sf001).collect().toSeq
+    val salted = Pipeline.q137(spark, sf001).collect().toSeq
+    assert(salted === plain)
+    // and with a targetRows small enough to force real sub-splitting at
+    // this corpus size, the output is STILL identical (rank offsets exact)
+    val forced = Pipeline.q137(spark, sf001, targetRows = 64).collect().toSeq
+    assert(forced === plain)
+  }
+
+  test("q137 hot bucket: >=90%-one-bucket corpus — identical output, bounded sort extent") {
+    import spark.implicits._
+    // 9500 of 10000 docs land in bucket 1 (n_tok <= 16); doc_ids are
+    // shuffled into a non-contiguous space to exercise the range math
+    val d = (1 to 10000).map { i =>
+      val nTok = if (i <= 9500) (i % 16 + 1).toLong else (i % 200 + 17).toLong
+      (i.toLong * 7 + 13, nTok)
+    }.toDF("doc_id", "n_tok")
+      .withColumn("bucket", ceil(col("n_tok").cast("double") / 16).cast("long"))
+    // plain q135 arithmetic over the same frame (the hot-bucket window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    val batchW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket", "batch")
+    val plain = d.withColumn("batch",
+        floor((row_number().over(w) - 1).cast("double") / 32).cast("long"))
+      .withColumn("bmax", max("n_tok").over(batchW))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("batch")).as("n_batches"),
+        sum(col("bmax") - col("n_tok")).as("pad_waste"))
+      .orderBy("bucket").collect().toSeq
+    val salted = Pipeline.lengthBatchingSalted(d, batchSize = 32,
+      targetRows = 500).collect().toSeq
+    assert(salted === plain, "salted census must equal the single-window census")
+    // the bound the salting exists for: no (bucket, sub) window partition
+    // sorts more than ~targetRows rows (2x slack for range imbalance —
+    // doc_ids here are uniform over their range, so 2x is generous)
+    val maxGroup = Pipeline.saltedSubAssign(d, 500L)
+      .groupBy("bucket", "sub").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxGroup <= 1000, s"a sub-range holds $maxGroup rows (> 2x target)")
+    // while the UNSALTED grouping really is hot — the mitigation is live
+    val hot = d.groupBy("bucket").count().agg(max("count")).collect()(0).getLong(0)
+    assert(hot >= 9000, s"skew corpus lost its hot bucket ($hot)")
+  }
+
+  test("writeShuffledShards: files match the q134 census, in-order, idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val out = Pipeline.writeShuffledShards(docs, root, shards = 8)
+    assert(out === s"$root/v0")
+    val back = spark.read.parquet(out)
+      .withColumn("shard", col("shard").cast("long"))
+    // (a) the census the files imply == the q134 census (same shards,
+    // same counts, same first/last in (skey, doc_id) order)
+    val census = back
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        min_by(col("doc_id"), struct(col("skey"), col("doc_id"))).as("first_doc"),
+        max_by(col("doc_id"), struct(col("skey"), col("doc_id"))).as("last_doc"))
+      .orderBy("shard").collect().toSeq
+    val want = Pipeline.q134(spark, sf0001).collect().toSeq
+    assert(census === want, "shard files disagree with the q134 census")
+    // (b) within each shard file, rows are exactly (skey, doc_id) ascending
+    for (shard <- 0 until 8) {
+      val rows = spark.read.parquet(s"$out/shard=$shard")
+        .select("skey", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"shard $shard is not in (skey, doc_id) order")
+      // one file per shard: the partition never splits
+      val files = new java.io.File(s"$out/shard=$shard")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"shard $shard has $files files")
+    }
+    // (c) a re-run against the committed version is a no-op: same path,
+    // file set and mtimes untouched
+    def snapshot() = new java.io.File(out).listFiles().flatMap {
+      case d if d.isDirectory => d.listFiles().map(f => f.getPath -> f.lastModified)
+      case f => Array(f.getPath -> f.lastModified)
+    }.toMap
+    val before = snapshot()
+    val again = Pipeline.writeShuffledShards(docs, root, shards = 8)
+    assert(again === out)
+    assert(snapshot() === before, "re-run must not rewrite a committed version")
+  }
+
+  test("q136 staged-ANN exactness pin == exact q16; probe refuses unstaged") {
+    // staging is explicit: a probe against an unstaged (session, dir) throws
+    val e = intercept[IllegalStateException] {
+      Pipeline.annSearchStaged(spark, "/nonexistent-dir", nprobe = 4, rerank = 10)
+    }
+    assert(e.getMessage.contains("not staged"))
+    val exact = TextVec.q16(spark, sf0001).collect().toSeq
+    assert(Pipeline.q136(spark, sf0001).collect().toSeq === exact)
+    assert(Pipeline.isAnnIndexStaged(spark, sf0001))
+    // and at the deployment operating point the staged probe matches the
+    // inline q88 rows (same params, same trained index)
+    val inline = Pipeline.q88(spark, sf0001).collect().toSeq
+    val staged = Pipeline.annSearchStaged(spark, sf0001, nprobe = 4, rerank = 200)
+      .collect().toSeq
+    assert(staged === inline)
+  }
+
   test("q29 SRP-LSH ANN recall vs exact q16 top-5 >= 0.4") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -37,6 +37,51 @@ class IncrementalNearDupSpec extends SparkSpec {
     assert(canon(IncrementalNearDup.pairs(spark, root)) == batch)
   }
 
+  test("compaction: file count drops to the bucket count; pairs unchanged; later batches commit") {
+    val root = tmp()
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    // 3 batches in, then a quiesced compaction
+    (0 until 3).foreach { b =>
+      IncrementalNearDup.ingest(spark, docs.filter(pmod(col("doc_id"), lit(4)) === b),
+        root, b.toLong)
+    }
+    val beforePairs = canon(IncrementalNearDup.pairs(spark, root))
+    val through = IncrementalNearDup.compact(spark, root, buckets = 4)
+    assert(through === 2L, "compaction consumed batches 0..2")
+    // the delta dirs are gone; each store is exactly its bucketed base
+    def parquetFiles(path: String): Seq[java.io.File] = {
+      val d = new java.io.File(path)
+      if (!d.exists) Nil
+      else d.listFiles.toSeq.flatMap {
+        case f if f.isDirectory => parquetFiles(f.getPath)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Nil
+      }
+    }
+    for (store <- Seq("bands", "docs", "pairs")) {
+      val files = parquetFiles(s"$root/$store")
+      assert(files.size <= 4, s"$store has ${files.size} files after compacting to 4 buckets")
+      assert(files.forall(_.getPath.contains("/base/v2/")),
+        s"$store still holds non-base files: ${files.filterNot(_.getPath.contains("/base/"))}")
+    }
+    assert(canon(IncrementalNearDup.pairs(spark, root)) == beforePairs,
+      "compaction must not change the accumulated pair set")
+    // a post-compaction batch reads base + nothing and commits normally;
+    // the full 4-batch set must now equal batch q15 exactly
+    IncrementalNearDup.ingest(spark, docs.filter(pmod(col("doc_id"), lit(4)) === 3),
+      root, 3L)
+    assert(canon(IncrementalNearDup.pairs(spark, root)) == canon(TextVec.q15(spark, sf0001)))
+    // idempotent no-op re-compaction is safe, then compact the 4th batch in
+    assert(IncrementalNearDup.compact(spark, root, buckets = 4) === 3L)
+    assert(canon(IncrementalNearDup.pairs(spark, root)) == canon(TextVec.q15(spark, sf0001)))
+    // quiesce-violation guard: a reader bounded at or below the base's
+    // through must fail loudly (its exact input set no longer exists)
+    val e = intercept[IllegalStateException] {
+      BatchStore.visibleDirs(spark, s"$root/bands", ltBatch = 2L)
+    }
+    assert(e.getMessage.contains("non-quiesced"))
+  }
+
   test("streaming start(): foreachBatch wiring finds cross-batch pairs") {
     val root = tmp(); val in = tmp() + "/in"; val ckpt = tmp() + "/ckpt"
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))

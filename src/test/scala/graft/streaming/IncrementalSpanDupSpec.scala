@@ -42,6 +42,38 @@ class IncrementalSpanDupSpec extends SparkSpec {
     assert(incCensus(root) == batch)
   }
 
+  test("compaction mid-stream: census unchanged, stores collapse to buckets, ingest resumes") {
+    val root = tmp()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+    (0 until 2).foreach { b =>
+      IncrementalSpanDup.ingest(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), root, b.toLong)
+    }
+    val mid = incCensus(root)
+    assert(IncrementalSpanDup.compact(spark, root, buckets = 4) === 1L)
+    assert(incCensus(root) == mid, "compaction must not change the flag census")
+    def parquetFiles(path: String): Seq[java.io.File] = {
+      val d = new java.io.File(path)
+      if (!d.exists) Nil
+      else d.listFiles.toSeq.flatMap {
+        case f if f.isDirectory => parquetFiles(f.getPath)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Nil
+      }
+    }
+    for (store <- Seq("spans", "hits")) {
+      val files = parquetFiles(s"$root/$store")
+      assert(files.size <= 4 && files.forall(_.getPath.contains("/base/v1/")),
+        s"$store not compacted: ${files.map(_.getPath)}")
+    }
+    // the remaining third of the corpus ingests against the compacted base
+    // and the final census equals batch q78's exactly
+    IncrementalSpanDup.ingest(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), root, 2L)
+    assert(incCensus(root) == batchCensus())
+  }
+
   test("re-delivered document does not self-pair against its own stored spans") {
     val root = tmp()
     val docs = Tables.documents(spark, sf0001)
