@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Delivery guarantees (round-4 failure mode: the driver's timeout killed
   * the run before the single end-of-run JSON print, yielding NO numbers):
-  *  - a GLOBAL DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 330 s of
+  *  - a GLOBAL DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 480 s of
   *    bench time) bounds the whole measured phase; per-query run counts
   *    shrink (5 → 3 → 1 → warm-pass fallback) so every query still reports
   *    a number inside the budget;
@@ -297,7 +297,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "330").toDouble
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "480").toDouble
     val warmCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_CAP_SEC", "30").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -2511,6 +2511,26 @@ object Pipeline {
     out
   }
 
+  /** Read back a materialized shard corpus ([[writeShuffledShards]]'s
+    * counterpart): the committed `root/v<version>` relation with `shard`
+    * restored as a long column. A training loader consumes ONE `shard=<k>`
+    * directory sequentially (its file is already in (skey, doc_id) order);
+    * this entry point returns the whole relation for analytics and specs.
+    * Loud on an uncommitted/missing version — a partial write must never
+    * be read as a corpus.
+    */
+  def readShuffledShards(spark: SparkSession, root: String,
+      version: Long = 0L): DataFrame = {
+    val dir = s"$root/v$version"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      throw new IllegalStateException(
+        s"$dir is not a committed shard corpus (no _SUCCESS) — " +
+        "writeShuffledShards it first; a partial write must not be read")
+    spark.read.parquet(dir).withColumn("shard", col("shard").cast("long"))
+  }
+
   // ---- staged ANN deployment API (r13 verdict item 4: the docs/DEPLOY.md
   // §3 layout, drivable as public API instead of private bench plumbing) --
 

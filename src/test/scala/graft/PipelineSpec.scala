@@ -82,10 +82,14 @@ class PipelineSpec extends SparkSpec {
   test("writeShuffledShards: files match the q134 census, in-order, idempotent") {
     val root = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    // reading before any committed version is loud, never a partial corpus
+    val e = intercept[IllegalStateException] {
+      Pipeline.readShuffledShards(spark, root)
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
     val out = Pipeline.writeShuffledShards(docs, root, shards = 8)
     assert(out === s"$root/v0")
-    val back = spark.read.parquet(out)
-      .withColumn("shard", col("shard").cast("long"))
+    val back = Pipeline.readShuffledShards(spark, root)
     // (a) the census the files imply == the q134 census (same shards,
     // same counts, same first/last in (skey, doc_id) order)
     val census = back

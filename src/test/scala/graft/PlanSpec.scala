@@ -302,4 +302,31 @@ class PlanSpec extends SparkSpec {
     }
     assert(plan.toString.contains("md5"), s"digest projection missing:\n$plan")
   }
+
+  test("q137: corpus never joins through a shuffle — stats/offsets broadcast only") {
+    // the salted form's whole point is that the CORPUS side only moves for
+    // its own (bucket, sub) window and (bucket, batch) aggregate; the two
+    // tiny relations it joins (per-bucket stats, per-sub rank offsets) must
+    // arrive as broadcasts. A SortMergeJoin/ShuffledHashJoin here means a
+    // corpus-sized shuffle crept into what is sold as the bounded-extent
+    // 100 TB path.
+    val s = finalPlanString(graft.queries.Pipeline.q137(spark, sf0001, targetRows = 64))
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"q137 joins through a shuffle:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"q137 lost its broadcast joins:\n$s")
+  }
+
+  test("writeShuffledShards: read-back is partition-pruned per shard") {
+    val root = java.nio.file.Files.createTempDirectory("plan-shards").toString
+    val out = graft.queries.Pipeline.writeShuffledShards(
+      Tables.documents(spark, sf0001).select("doc_id", "text"), root, shards = 8)
+    val one = graft.queries.Pipeline.readShuffledShards(spark, root)
+      .filter(org.apache.spark.sql.functions.col("shard") === 3L)
+    val s = finalPlanString(one)
+    // the shard filter must prune at the directory level (training readers
+    // open ONE shard), never scan-then-filter the whole corpus
+    assert("""PartitionFilters: \[[^\]]*shard""".r.findFirstIn(s).isDefined,
+      s"shard read is not partition-pruned:\n$s")
+    assert(out === s"$root/v0")
+  }
 }
