@@ -275,7 +275,7 @@ object Exec {
     * errors), and swallowing those into a silent fallback would bury the
     * real failure under a slower re-run (r13 advice).
     */
-  private def isLoudRefusal(t: Throwable): Boolean = {
+  private[graft] def isLoudRefusal(t: Throwable): Boolean = {
     var c: Throwable = t
     var depth = 0
     while (c != null && depth < 16) {

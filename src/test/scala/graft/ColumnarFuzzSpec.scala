@@ -150,6 +150,49 @@ class ColumnarFuzzSpec extends SparkSpec {
     }
   }
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docsCorpus(pNull: Int): Gen[List[Row]] = {
+    // text mix: duplicates (the dedup path), whitespace/punct-heavy,
+    // unicode beyond the BMP, empty, and random prose-ish strings
+    val textGen: Gen[String] = Gen.frequency(
+      (3, Gen.const("the same duplicated document text")),
+      (1, Gen.const("")),
+      (1, Gen.const("   \t  ")),
+      (1, Gen.const("émoji 😀 and ünïcode—dashes…")),
+      (6, Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, Gen.frequency(
+        (6, Gen.alphaLowerChar), (2, Gen.const(' ')), (1, Gen.const(',')),
+        (1, Gen.numChar))).map(_.mkString))))
+    val row = for {
+      id <- Gen.chooseNum(1L, 1000000L)
+      t <- orNull(textGen, pNull)
+      lg <- orNull(Gen.oneOf("en", "de", "fr"), pNull)
+      src <- orNull(Gen.oneOf("web", "book"), pNull)
+      nc <- orNull(Gen.chooseNum(0L, 500L), pNull)
+    } yield Row(id, t, lg, src, nc)
+    Gen.chooseNum(1, 300).flatMap(n => Gen.listOfN(n, row))
+  }
+
+  test("q14/q17 kernels == declarative on generated text corpora (dups, unicode, nulls)") {
+    for (i <- 0 until 6) {
+      val regime = sample(regimeGen, 700L + i)
+      val rows = sample(docsCorpus(pNull = Seq(0, 1, 3)(i % 3)), 800L + i)
+      val tmp = java.nio.file.Files.createTempDirectory(s"fuzzdocs_$i").toString
+      writeParquet(spark.createDataFrame(rows.asJava, docsSchema), s"$tmp/documents.parquet", regime)
+      withBatchSize(regime.batchSize) {
+        assert(rowsOf(graft.queries.TextVec.q14ColumnarKernel(spark, tmp)) ===
+          rowsOf(graft.queries.TextVec.q14(spark, tmp)),
+          s"q14 iteration $i ($regime, ${rows.size} rows)")
+        assert(rowsOf(graft.queries.TextVec.q17ColumnarKernel(spark, tmp)) ===
+          rowsOf(graft.queries.TextVec.q17(spark, tmp)),
+          s"q17 iteration $i ($regime, ${rows.size} rows)")
+      }
+    }
+  }
+
   test("q11 kernel == declarative under generated nulls/encodings/batch splits") {
     for (i <- 0 until 6) {
       val regime = sample(regimeGen, 500L + i)

@@ -150,6 +150,19 @@ class ExecSpec extends SparkSpec {
     }
   }
 
+  test("only KernelRefusal counts as a loud refusal — Spark's own ISEs propagate") {
+    import graft.operators.KernelRefusal
+    assert(Exec.isLoudRefusal(new KernelRefusal("guard fired")))
+    // task-side throws arrive wrapped: anywhere in the cause chain counts
+    assert(Exec.isLoudRefusal(new RuntimeException("task failed",
+      new KernelRefusal("guard fired in task"))))
+    // a bare IllegalStateException (stopped SparkContext, codegen state,
+    // Graph non-convergence) must NOT be swallowed into a silent fallback
+    assert(!Exec.isLoudRefusal(new IllegalStateException("SparkContext stopped")))
+    assert(!Exec.isLoudRefusal(new RuntimeException("task failed",
+      new IllegalStateException("codegen state"))))
+  }
+
   test("unknown query names fail loudly") {
     val e = intercept[IllegalArgumentException] { Exec.run(spark, sf0001, "q999") }
     assert(e.getMessage.contains("unknown query"))
