@@ -464,8 +464,12 @@ object Bench {
         // SQL-membership alone can't say whose kernel it is; r13 advice).
         // A form with no resolvable base stands alone — it never lends its
         // time to an entry it doesn't implement.
+        // q137 is q135's physical form despite carrying no marker in its
+        // name (r14 review) — list such forms explicitly
+        val namedForms = Set("q137_length_batching_salted")
         val isForm: String => Boolean = n =>
-          Seq("_columnar_", "_kernel_", "_layout_", "_dispatch_").exists(n.contains)
+          namedForms(n) ||
+            Seq("_columnar_", "_kernel_", "_layout_", "_dispatch_").exists(n.contains)
         val bySql = oracle.groupBy(_._2).map { case (sql, m) => sql -> m.keySet }
         val baseOverride = Map(
           "q110_columnar_json" -> "q10_json",

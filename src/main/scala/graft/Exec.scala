@@ -168,6 +168,14 @@ object Exec {
       Form("q2ColumnarKernel", Relational.q2ColumnarKernel,
         both(columnarScanOf(Relational.q2KernelProbe),
           bounded(Relational.q2KernelBuildBound, "orders build"))),
+      // ordered ahead of the declarative twin DESPITE a slower sf0.1
+      // median (the bucketed SMJ's 0.4–1.0 s vs declarative 0.39 s): the
+      // two are only both reachable when the kernel's broadcast bound has
+      // failed, i.e. orders no longer broadcasts — exactly the regime
+      // where the declarative form degrades to a shuffled join and the
+      // pre-paid co-located layout is the fast path. The sf0.1 medians
+      // compare the layout against a broadcast join it never competes
+      // with at scale.
       Form("q2FromFacts(bucketed)", (s, d) => {
         val (li, o) = Layouts.factsByOrderkeyStaged(s, d)
         Relational.q2FromFacts(li, o, s, d)
@@ -339,8 +347,19 @@ object Exec {
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"Exec.runFamily: unknown queries ${unknown.mkString(", ")} " +
       s"(known: ${registry.keys.toSeq.sorted.mkString(", ")})")
+    // A query wants a layout only when that layout's form would actually
+    // be CHOSEN once staged — i.e. every form ordered ahead of it is
+    // currently invalid (plan-time checks only, no jobs). Without this,
+    // Seq("q16", "q16") would train and stage the whole ANN index for two
+    // queries the columnar kernel then answers anyway (r14 review).
     val wanted = queries
-      .flatMap(q => registry(q).flatMap(_.layout))
+      .flatMap { q =>
+        val forms = registry(q)
+        forms.zipWithIndex.collectFirst {
+          case (f, i) if f.layout.isDefined &&
+            forms.take(i).forall(_.valid(spark, dir).isDefined) => f.layout.get
+        }
+      }
       .groupBy(identity).view.mapValues(_.size).toMap
     for ((tag, n) <- wanted.toSeq.sortBy(_._1); if n >= stageThreshold) {
       val t = System.nanoTime()

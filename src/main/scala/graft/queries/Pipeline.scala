@@ -2552,9 +2552,13 @@ object Pipeline {
     * codebook (deterministic — fixed-pointed sums, rank-stride init), and
     * write the (vec_id, bkt, codes) relation cell-partitioned under the
     * session warehouse so a probe's scan extent is its probed cells'
-    * files. The write is idempotent (`_SUCCESS`-gated, same discipline as
-    * [[writeShuffledShards]]); training re-derives bit-identical params,
-    * so reusing a committed codes dir is sound.
+    * files. Pay-once is per PROCESS (the memo above), and the write
+    * always REWRITES — Layouts' discipline, not [[writeShuffledShards]]'
+    * committed-version no-op: the warehouse outlives the JVM while the
+    * source data may be regenerated in place, and a `_SUCCESS`-gated skip
+    * would silently pair freshly-trained centroids with a PREVIOUS
+    * corpus's codes (wrong neighbors, no error — r14 review; the same
+    * failure Tables.scala documents for regenerated testdata).
     */
   def stageAnnIndex(spark: SparkSession, dir: String): AnnIndex =
     stagedAnn.computeIfAbsent((spark, dir), { _ =>
@@ -2565,11 +2569,8 @@ object Pipeline {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val path = s"$wh/g_ann_codes_" +
         java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        ivfadcIndex(emb, cents, cb)
-          .write.partitionBy("bkt").mode("overwrite").parquet(path)
+      ivfadcIndex(emb, cents, cb)
+        .write.partitionBy("bkt").mode("overwrite").parquet(path)
       AnnIndex(path, cents, cb)
     })
 

@@ -66,17 +66,29 @@ private[streaming] object BatchStore {
 
   /** Everything a reader bounded by `ltBatch` may see: the newest
     * committed base (if any) plus the committed batch dirs above its
-    * `through` and below `ltBatch`. Throws when a base has consumed
-    * batches the reader's bound excludes — that means compaction ran on a
-    * non-quiesced store (its contract violation), and re-reading the base
-    * would hand the reader data from its own or later batches.
+    * `through` and below `ltBatch`.
+    *
+    * The one permitted overrun: `through == ltBatch` — a RETRY of the
+    * exact batch the base consumed. A stopped/crashed stream can leave
+    * its final batch store-committed but never checkpoint-committed; if a
+    * compaction then consumed it, the restarted stream retries that batch
+    * id against a base containing its own prior output. That read is
+    * SOUND for these stores by construction: both ingests are
+    * re-delivery-tolerant (the doc_id-inequality guards exclude
+    * self-pairing, and within-batch duplicates collapse under the final
+    * `distinct`), so the retry's candidate/flag set — and therefore its
+    * overwritten output — is byte-identical to the original attempt's
+    * (spec-pinned: "retry of a compaction-consumed batch"). Anything
+    * PAST the retrying batch (`through > ltBatch`) means later batches
+    * were merged in — a real quiesce violation the reader cannot unsee —
+    * and throws.
     */
   def visibleDirs(spark: SparkSession, path: String, ltBatch: Long): Seq[String] = {
     val bases = committedBases(spark, path)
     bases.lastOption match {
-      case Some((through, _)) if through >= ltBatch =>
+      case Some((through, _)) if through > ltBatch =>
         throw new IllegalStateException(
-          s"$path: base v$through has consumed batch ids >= the reader's bound " +
+          s"$path: base v$through has consumed batch ids > the reader's bound " +
           s"$ltBatch — compaction ran on a non-quiesced store; the reader's " +
           "exact input set no longer exists")
       case Some((through, dir)) =>
@@ -119,15 +131,23 @@ private[streaming] object BatchStore {
       }
     // GC everything the newest base makes invisible — including leftovers
     // from a prior compaction that crashed between commit and GC (the
-    // fresh.isEmpty no-op path still sweeps those)
+    // fresh.isEmpty no-op path still sweeps those). UNCOMMITTED dirs in
+    // range are swept too: with the store quiesced (the contract) a
+    // markerless dir can only be a crashed write — a retried batch would
+    // have overwritten-and-committed it, and a crashed base write the
+    // size of the whole store must not leak forever (r14 review).
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    committedBatches(spark, path, Long.MaxValue)
-      .filter(_._1 <= through)
-      .foreach { case (_, d) => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
-    committedBases(spark, path)
-      .filter(_._1 < through)
-      .foreach { case (_, d) => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+    def sweep(parent: org.apache.hadoop.fs.Path, pattern: String, drop: Int,
+        bound: Long => Boolean): Unit =
+      if (fs.exists(parent)) fs.listStatus(parent).toSeq.filter(_.isDirectory)
+        .foreach { d =>
+          val name = d.getPath.getName
+          if (name.matches(pattern) && bound(name.drop(drop).toLong))
+            fs.delete(d.getPath, true)
+        }
+    sweep(p, "batch=\\d+", 6, _ <= through)
+    sweep(new org.apache.hadoop.fs.Path(s"$path/base"), "v\\d+", 1, _ < through)
     through
   }
 }

@@ -9,6 +9,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+
+  /** Recursive *.parquet census under `path` — shared by the layout /
+    * compaction file-count assertions.
+    */
+  def parquetFiles(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(path)
+    if (!d.exists) Nil
+    else d.listFiles.toSeq.flatMap {
+      case f if f.isDirectory => parquetFiles(f.getPath)
+      case f if f.getName.endsWith(".parquet") => Seq(f)
+      case _ => Nil
+    }
+  }
 }
 
 object SparkSpec {

@@ -49,15 +49,6 @@ class IncrementalNearDupSpec extends SparkSpec {
     val through = IncrementalNearDup.compact(spark, root, buckets = 4)
     assert(through === 2L, "compaction consumed batches 0..2")
     // the delta dirs are gone; each store is exactly its bucketed base
-    def parquetFiles(path: String): Seq[java.io.File] = {
-      val d = new java.io.File(path)
-      if (!d.exists) Nil
-      else d.listFiles.toSeq.flatMap {
-        case f if f.isDirectory => parquetFiles(f.getPath)
-        case f if f.getName.endsWith(".parquet") => Seq(f)
-        case _ => Nil
-      }
-    }
     for (store <- Seq("bands", "docs", "pairs")) {
       val files = parquetFiles(s"$root/$store")
       assert(files.size <= 4, s"$store has ${files.size} files after compacting to 4 buckets")
@@ -80,6 +71,37 @@ class IncrementalNearDupSpec extends SparkSpec {
       BatchStore.visibleDirs(spark, s"$root/bands", ltBatch = 2L)
     }
     assert(e.getMessage.contains("non-quiesced"))
+  }
+
+  test("retry of a compaction-consumed batch is a no-op, not a wedge (r14 review)") {
+    // the operational gap the quiesce contract can't close: a stream stops
+    // (or crashes) AFTER its final batch committed to the store but BEFORE
+    // the checkpoint recorded it; the operator compacts; the restarted
+    // stream retries that batch id. The retry now reads a base containing
+    // its own prior output — which must (a) not throw, and (b) reproduce
+    // the original attempt's output exactly, because the ingest's
+    // self-pairing guards (doc_id inequality + distinct) make reading your
+    // own prior commit indistinguishable from not reading it.
+    val root = tmp()
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { b =>
+      IncrementalNearDup.ingest(spark, docs.filter(pmod(col("doc_id"), lit(4)) === b),
+        root, b.toLong)
+    }
+    val before = canon(IncrementalNearDup.pairs(spark, root))
+    val batch2Pairs = canon(spark.read.parquet(s"$root/pairs/batch=2")
+      .select("ida", "idb", "j"))
+    assert(IncrementalNearDup.compact(spark, root, buckets = 4) === 2L)
+    // the retry: same batch id the base consumed — must not throw
+    IncrementalNearDup.ingest(spark, docs.filter(pmod(col("doc_id"), lit(4)) === 2),
+      root, 2L)
+    // byte-identical re-derivation: the rewritten delta equals the
+    // original attempt's committed pairs exactly
+    assert(canon(spark.read.parquet(s"$root/pairs/batch=2")
+      .select("ida", "idb", "j")) == batch2Pairs)
+    // and the accumulated set is unchanged (the retried delta sits at an
+    // id the base already covers, so readers ignore it)
+    assert(canon(IncrementalNearDup.pairs(spark, root)) == before)
   }
 
   test("streaming start(): foreachBatch wiring finds cross-batch pairs") {

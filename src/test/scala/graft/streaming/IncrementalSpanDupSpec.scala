@@ -53,15 +53,6 @@ class IncrementalSpanDupSpec extends SparkSpec {
     val mid = incCensus(root)
     assert(IncrementalSpanDup.compact(spark, root, buckets = 4) === 1L)
     assert(incCensus(root) == mid, "compaction must not change the flag census")
-    def parquetFiles(path: String): Seq[java.io.File] = {
-      val d = new java.io.File(path)
-      if (!d.exists) Nil
-      else d.listFiles.toSeq.flatMap {
-        case f if f.isDirectory => parquetFiles(f.getPath)
-        case f if f.getName.endsWith(".parquet") => Seq(f)
-        case _ => Nil
-      }
-    }
     for (store <- Seq("spans", "hits")) {
       val files = parquetFiles(s"$root/$store")
       assert(files.size <= 4 && files.forall(_.getPath.contains("/base/v1/")),
