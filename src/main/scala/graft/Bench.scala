@@ -339,6 +339,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no embedded-Derby metastore — single-JVM lock, see Session.local
+      .config("spark.sql.catalogImplementation", "in-memory")
       // shuffle/spill scratch on tmpfs: bench shuffles are MBs, and the
       // container's virtio disk has bursty multi-second write stalls that
       // were landing inside timed runs (up to 20 s on a 0.5 s query)
@@ -496,8 +498,45 @@ object Bench {
           if (best.isEmpty) None else Some(n -> best.min / o)
         }
       }
+      // BASELINE.md:53–56's "record actuals and flag" rule, embedded in the
+      // artifact itself (r14 verdict item 2): for every B-set entry whose
+      // best hash-gated form still reads >2× the oracle, attach the
+      // slope-artifact-of-record's FLOOR-FREE verdict for that query's
+      // family — either "floor_bound" (the fitted e(sf) line is flat: the
+      // whole reading is the per-query dispatch constant a 1000-executor
+      // scale-up amortizes away) or the best data-proportional marginal
+      // m_e/m_o (the number actually comparable to the oracle at scale).
+      // Provenance, not fresh measurement: the verdicts come from
+      // tools/bench_slope3_latest.json (min-residual best fits across all
+      // committed 3-point slope windows, tools/merge_slopes.py).
+      val floorDecomp: String = {
+        val slopePath = java.nio.file.Paths.get("tools/bench_slope3_latest.json")
+        if (!java.nio.file.Files.exists(slopePath)) ""
+        else scala.util.Try {
+          val content = new String(java.nio.file.Files.readAllBytes(slopePath), "UTF-8")
+          def verdictOf(q: String): Option[String] =
+            ("\"" + java.util.regex.Pattern.quote(q) + "\":\\s*\\{\\s*\"verdict\":\\s*(\\{[^}]*\\})").r
+              .findFirstMatchIn(content).map(_.group(1))
+          val flagged = bestRatios.collect { case (n, r) if r > 2.0 =>
+            // the family's best floor-free verdict: a measured marginal on
+            // any hash-gated form beats "floor_bound" beats nothing
+            val fam = familyOf.getOrElse(n, Set(n)).toSeq.sorted
+            val verdicts = fam.flatMap(m => verdictOf(m).map(m -> _))
+            val best = verdicts.find(_._2.contains("best_marginal"))
+              .orElse(verdicts.find(_._2.contains("floor_bound")))
+            // the source file is pretty-printed; the bench line is ONE JSON
+            // line by contract. Verdict values are numbers/true/filenames
+            // (no spaces inside strings), so stripping whitespace is safe.
+            best.map { case (m, v) =>
+              "\"" + n + "\":{\"form\":\"" + m + "\",\"slope_verdict\":" +
+                v.replaceAll("\\s+", "") + "}" }
+          }.flatten
+          if (flagged.isEmpty) ""
+          else s""""floor_decomp":{${flagged.mkString(",")}},"floor_decomp_src":"tools/bench_slope3_latest.json","""
+        }.getOrElse("")
+      }
       import scala.jdk.CollectionConverters._
-      val fl = floors.asScala.toSeq.sortBy(_._1)
+      val fl = floorDecomp + floors.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + num(v) + "," }.mkString
       val estAll = estimated.asScala.toSeq
       val susAll = suspect.asScala.toSeq

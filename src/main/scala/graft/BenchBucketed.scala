@@ -60,6 +60,7 @@ object BenchBucketed {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalogImplementation", "in-memory")
       .config("spark.local.dir", scratch)
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .getOrCreate()

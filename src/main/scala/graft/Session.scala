@@ -52,6 +52,14 @@ object Session {
       // hash mode holds at realistic group counts; past it the sort
       // fallback remains as the memory safety valve.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // Pin the catalog to in-memory: with Hive jars on the classpath a
+      // hive catalog boots an embedded Derby metastore in user.dir, and
+      // Derby permits exactly ONE JVM — a second concurrent graft process
+      // (driver gate + bench, or a lingering shell) then dies in
+      // getOrCreate before running anything. The engine never uses
+      // persistent catalog state (all views are temp), so in-memory is
+      // both correct and removes the cross-process lock entirely.
+      .config("spark.sql.catalogImplementation", "in-memory")
     val s = (if (withExtensions) b.withExtensions(new GraftExtensions) else b)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

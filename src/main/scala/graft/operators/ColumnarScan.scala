@@ -39,6 +39,34 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   */
 object ColumnarScan {
 
+  /** Prepared-plan memo for kernel input frames, keyed (session, dir, tag).
+    *
+    * Why: the r14 floor decomposition measured the per-dispatch cost of a
+    * kernel query as ~22 ms of Catalyst re-planning + ~8 ms of stats
+    * re-probe against a ~25 ms job — the same immutable scan+project frame
+    * re-analyzed, re-optimized and re-planned on every call. A DataFrame
+    * object memoizes its QueryExecution (lazy vals), so handing callers
+    * the SAME frame per (session, dir) amortizes all of that exactly like
+    * a prepared statement, which is the dispatch semantics [[graft.Exec]]
+    * wants: repeated queries over an immutable corpus plan once.
+    *
+    * Honesty/safety contract (why this does NOT trip the AQE stage-reuse
+    * trap that forbids memoizing full query frames): an input frame here
+    * is a pure scan+projection/filter — its plan contains no Exchange, so
+    * there is no materialized shuffle stage a later collect could silently
+    * reuse; every job over it re-reads parquet in full. Callers must only
+    * memoize frames derived deterministically from (session, dir), and the
+    * dir must be an immutable corpus (the same contract [[graft.Layouts]]
+    * staging already relies on — a dir whose files are rewritten in place
+    * invalidates every staged artifact, not just this memo).
+    */
+  private val inputMemo =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String), DataFrame]()
+
+  def inputCached(s: org.apache.spark.sql.SparkSession, d: String, tag: String)
+      (build: => DataFrame): DataFrame =
+    inputMemo.computeIfAbsent((s, d, tag), _ => build)
+
   /** The single scan leaf under `df`'s executed plan, verified columnar.
     *
     * The caller's `df` exists only to DRIVE planning (column pruning,

@@ -21,12 +21,18 @@ object Events {
     * check THESE (drift-proofing, r13 review).
     */
   private[graft] def q9aKernelInput(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(col("user_id"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q9aKernelInput") {
+      Tables.events(s, d).select(col("user_id"))
+    }
   private[graft] def q10KernelInput(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(col("event_type"), col("props"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q10KernelInput") {
+      Tables.events(s, d).select(col("event_type"), col("props"))
+    }
   private[graft] def q11KernelInput(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q11KernelInput") {
+      Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
 
+    }
   /** Q9a exact distinct users: shuffles only the (pruned) user_id column;
     * partial distinct per partition before the exchange.
     */

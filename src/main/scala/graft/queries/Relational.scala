@@ -25,31 +25,51 @@ object Relational {
     * that drifted from what the kernel actually reads (r13 review).
     */
   private[graft] def q1KernelInput(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
-      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
-        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q1KernelInput") {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+    }
   private[graft] def q2KernelProbe(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q2KernelProbe") {
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    }
   /** The dominant build of q2's chain (orders ≫ customer ≫ nation). */
   private[graft] def q2KernelBuildBound(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q2KernelBuildBound") {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    }
   private[graft] def q3KernelProbe(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q3KernelProbe") {
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    }
   private[graft] def q3KernelBuild(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q3KernelBuild") {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    }
   private[graft] def q4KernelProbe(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).select(col("c_custkey"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q4KernelProbe") {
+      Tables.customer(s, d).select(col("c_custkey"))
+    }
   private[graft] def q4KernelBuild(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(col("o_custkey"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q4KernelBuild") {
+      Tables.orders(s, d).select(col("o_custkey"))
+    }
   private[graft] val Q5KernelCols = Seq("o_custkey", "o_orderkey", "o_totalprice")
   private[graft] def q5KernelInput(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(Q5KernelCols.map(col): _*)
+    graft.operators.ColumnarScan.inputCached(s, d, "q5KernelInput") {
+      Tables.orders(s, d).select(Q5KernelCols.map(col): _*)
+    }
   private[graft] def q6KernelInput(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q6KernelInput") {
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }
   private[graft] def q7KernelInput(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q7KernelInput") {
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
 
+    }
   /** Q1 pricing summary: scan → pushed filter → partial+final hash agg.
     * At 100 TB: map-side combine reduces shuffle to (#groups × #tasks) rows;
     * the date filter prunes at the scan via parquet min/max stats.

@@ -21,13 +21,19 @@ object TextVec {
     * [[graft.Exec]]'s validity bounds, r13 review).
     */
   private[graft] def docsTextInput(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("text"))
+    graft.operators.ColumnarScan.inputCached(s, d, "docsTextInput") {
+      Tables.documents(s, d).select(col("text"))
+    }
   private[graft] def q16KernelInput(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q16KernelInput") {
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    }
   private[graft] def q16QueryFrame(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding"))
+    graft.operators.ColumnarScan.inputCached(s, d, "q16QueryFrame") {
+      Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
 
+    }
   /** Q14 exact dedup count on normalized text — distinct over the 128-BIT
     * MD5 of the normalized string, not the string itself: count(DISTINCT)
     * plans as a two-stage partial/final hash aggregate whose exchange

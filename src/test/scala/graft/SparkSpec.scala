@@ -32,6 +32,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalogImplementation", "in-memory")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
