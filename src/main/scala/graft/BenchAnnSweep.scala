@@ -99,7 +99,8 @@ object BenchAnnSweep {
 
       // IVFADC rerank axis (nprobe=4) + both-knobs-up points: the nprobe
       // axis above plateaus at ~0.54, so THIS is the binding knob.
-      val ivfadcRr = (Seq((4, 100), (4, 200), (4, 400), (8, 200), (16, 200))).map {
+      val ivfadcRr = (Seq((4, 100), (4, 200), (4, 400), (8, 200), (8, 400),
+        (8, 800), (16, 200))).map {
         case (np, rr) =>
           Pipeline.ivfadcAnn(spark, sfDir, nprobe = np, rerank = rr).collect()
           val t = med(3)(Pipeline.ivfadcAnn(spark, sfDir, nprobe = np, rerank = rr).collect())

@@ -226,6 +226,19 @@ object SparkEntry {
     // one per-bucket window, identical output by construction (shares
     // q135's oracle; the skew bound itself is asserted in PipelineSpec).
     "q137_length_batching_salted" -> ((s, d) => Pipeline.q137(s, d)),
+    // q138: right-outer join census — COVERAGE row 8's third leg gated
+    // (left: q21, full: q32, right: this).
+    "q138_right_outer" -> (Relational.q138 _),
+    // q139: the sliding-window operator's BATCH twin, DuckDB-gated (the
+    // stream≡batch identity is StreamsSpec's; this pins the batch side to
+    // an independent engine — r14 verdict item 7). Same Streams.sliding
+    // code path the stream runs.
+    "q139_sliding_batch" -> ((s, d) =>
+      graft.streaming.Streams.sliding(Tables.events(s, d))
+        .orderBy("ws", "event_type")),
+    // q140: materialized shard corpus read-back census (write → read →
+    // q134's census over the stored columns), sharing q134's oracle.
+    "q140_shard_readback" -> ((s, d) => Pipeline.q140(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -332,7 +345,10 @@ object SparkEntry {
       // the staged-ANN exactness pin and the salted batching form share
       // their targets' oracles verbatim (see the queries entries)
       "q136_layout_ann"             -> base("q16_cosine_topk"),
-      "q137_length_batching_salted" -> base("q135_length_batching"))
+      "q137_length_batching_salted" -> base("q135_length_batching"),
+      // q140 is q134's census re-derived from the materialized shard
+      // corpus (write → read-back), so it shares q134's oracle verbatim
+      "q140_shard_readback" -> base("q134_shuffle_shard"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -1059,6 +1075,29 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n_docs, count(DISTINCT batch) AS n_batches,
         |  CAST(sum(bmax - n_tok) AS BIGINT) AS pad_waste
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q138: right-outer semantics — which side null-extends is the whole
+    // point of the gate, so the SQL spells RIGHT OUTER explicitly.
+    "q138_right_outer" ->
+      """SELECT c_nationkey, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+        |FROM (SELECT o_custkey FROM orders) o
+        |  RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q139: sliding windows as an unnest of the ceil(size/slide)=4 window
+    // starts each event belongs to — window [s, s+1h), s epoch-aligned to
+    // the 15-minute slide, exactly Spark's window(ts, '1 hour', '15
+    // minutes') membership rule. ts normalized to micros like every other
+    // events oracle (evMicros).
+    "q139_sliding_batch" ->
+      s"""WITH ev AS ($evMicros),
+         |w AS (
+         |  SELECT event_type,
+         |    time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k) AS ws
+         |  FROM ev CROSS JOIN (SELECT unnest(range(4)) AS k))
+         |SELECT ws, event_type, count(*) AS c
+         |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     // q67: same rolling k-gram hash as the engine's WinnowFingerprints
     // (fold (a*31+b) mod 1e9+7 over char codes, init 0 — identical to the

@@ -239,14 +239,17 @@ object Pipeline {
   /** q38: IVF approximate nearest neighbors — the OTHER standard ANN family
     * next to q29's SRP-LSH: a trained coarse quantizer (spherical k-means,
     * 16 cells) instead of data-oblivious hyperplanes. Queries probe their
-    * `nprobe`=4 nearest cells (25% of cells) and rank candidates by exact
-    * cosine. Probing ALL cells is provably exact (spec-checked equal to
-    * brute-force q16), which pins the machinery; recall at partial probing
-    * on THIS isotropic corpus carries the same information-theoretic caveat
-    * as q29. Index+query are bucket equi-joins — the sub-linear scale path.
+    * `nprobe`=8 nearest cells and rank candidates by exact cosine. Probing
+    * ALL cells is provably exact (spec-checked equal to brute-force q16),
+    * which pins the machinery; recall at partial probing on THIS isotropic
+    * corpus carries the same information-theoretic caveat as q29. The
+    * default sits on the measured sweep knee (r14 verdict item 4,
+    * tools/bench_ann_sweep.json): nprobe=8 reads recall 0.80 at sf0.1 —
+    * nprobe=4's 0.62 undersold the machinery, and 16 is the exact limit.
+    * Index+query are bucket equi-joins — the sub-linear scale path.
     */
   def q38(spark: SparkSession, dir: String): DataFrame =
-    ivfAnn(spark, dir, nprobe = 4)
+    ivfAnn(spark, dir, nprobe = 8)
 
   private[graft] def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -344,7 +347,7 @@ object Pipeline {
     * (IVFADC) to cut the scan's extent too.
     */
   def q86(spark: SparkSession, dir: String): DataFrame =
-    pqAnn(spark, dir, rerank = 50)
+    pqAnn(spark, dir, rerank = 200)
 
   /** The ANN family's query set — the SAME 10 vectors exact q16 ranks for,
     * as (qid, qv, qn). One definition so pqAnn/ivfadcAnn's probe and
@@ -392,14 +395,15 @@ object Pipeline {
     * for the shortlist. Probing all cells AND re-ranking everything
     * reproduces exact q16 verbatim (spec) — both approximations are
     * independently lossless-at-the-limit dials. Default operating point
-    * (4, 200): the r12 sweep (tools/bench_ann_sweep.json) measured the
-    * rerank axis as the binding knob at rerank=50 (recall 0.54 plateaus
-    * across nprobe), while rerank=200 saturates nprobe=4's probe-set
-    * ceiling (recall 0.62) at indistinguishable cost — the re-rank is
+    * (8, 400), on the r15 sweep knee (tools/bench_ann_sweep.json): recall
+    * 0.80 at sf0.1 with BOTH axes still genuinely approximate (8 of 16
+    * cells probed, 400-candidate re-rank); the earlier (4, 200) point's
+    * 0.62 was capped by nprobe=4's probe-set ceiling, and (16, 200) only
+    * reaches 0.86 by giving up cell pruning entirely. The re-rank stays
     * |queries|×rerank exact dots, O(1) per corpus size.
     */
   def q88(spark: SparkSession, dir: String): DataFrame =
-    ivfadcAnn(spark, dir, nprobe = 4, rerank = 200)
+    ivfadcAnn(spark, dir, nprobe = 8, rerank = 400)
 
   private[graft] def ivfadcAnn(spark: SparkSession, dir: String,
       nprobe: Int, rerank: Int): DataFrame = {
@@ -2529,6 +2533,44 @@ object Pipeline {
         s"$dir is not a committed shard corpus (no _SUCCESS) — " +
         "writeShuffledShards it first; a partial write must not be read")
     spark.read.parquet(dir).withColumn("shard", col("shard").cast("long"))
+  }
+
+  private val stagedShardRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** q140: the materialized training order, driver-gated end-to-end (r14
+    * verdict item 8) — [[writeShuffledShards]] then [[readShuffledShards]]
+    * then q134's exact census over the READ-BACK relation, sharing q134's
+    * oracle. q134 gates the census computed in one query; this gates the
+    * same census after a round-trip through the sharded parquet layout, so
+    * a writer/reader bug (lost shard, dropped rows, corrupted skey) hash-
+    * mismatches the oracle instead of only failing a spec. First/last use
+    * the stored (skey, doc_id) columns; the complementary in-FILE-order
+    * assertion (each shard file physically sorted by (skey, doc_id)) is
+    * PipelineSpec's, where file order is observable.
+    *
+    * The shard root is a per-(session, dir) temp directory, NOT a
+    * warehouse path: writeShuffledShards' `_SUCCESS` no-op is the right
+    * production contract, but across JVMs it would happily serve a corpus
+    * materialized from a PREVIOUS testdata generation (the stageAnnIndex
+    * staleness argument); a session-scoped root makes q140 re-materialize
+    * once per process and stay gate-correct under regeneration.
+    */
+  def q140(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val root = stagedShardRoots.computeIfAbsent((spark, dir), _ =>
+      java.nio.file.Files.createTempDirectory("graft-shards").toString)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    writeShuffledShards(docs, root, shards)
+    readShuffledShards(spark, root)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        min_by(col("doc_id"), struct(col("skey"), col("doc_id"))).as("first_doc"),
+        max_by(col("doc_id"), struct(col("skey"), col("doc_id"))).as("last_doc"))
+      .orderBy("shard")
   }
 
   // ---- staged ANN deployment API (r13 verdict item 4: the docs/DEPLOY.md

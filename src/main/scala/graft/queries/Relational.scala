@@ -1433,6 +1433,25 @@ object Relational {
           .otherwise(0L)).as("both"))
   }
 
+  /** q138: RIGHT outer join census (COVERAGE row 8's third leg — left is
+    * gated by q21, full by q32; right had spec evidence only, r14 verdict
+    * item 6). Orders right-outer customer on custkey preserves every
+    * customer and fans out by order count, so the per-nation census
+    * exercises both the null-extension side (order-less customers) and
+    * the fan-out side in one gated result. Spark may build either side of
+    * the broadcast hash join, but the join TYPE semantics — which rows
+    * null-extend — are exactly what the oracle pins.
+    */
+  def q138(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_orderless"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** q33 CUBE (SURVEY §2.2 row 19): all 2^2 grouping sets, via the same
     * finest-set pre-aggregation as q7 (Expand ×4 over ~6 rows, not the
     * fact table).

@@ -32,12 +32,27 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IncrementalNearDup {
 
-  /** Start the ingestion stream: `docs` must carry (doc_id, text). */
-  def start(docs: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery =
+  /** Start the ingestion stream: `docs` must carry (doc_id, text).
+    *
+    * `compactEvery` > 0 turns on the automatic compaction policy (r14
+    * verdict item 5): after every `compactEvery`-th batch commits, the
+    * three stores are compacted from INSIDE the foreachBatch boundary.
+    * That placement is what satisfies [[compact]]'s quiesce contract
+    * without stopping the stream: foreachBatch serializes batches, so at
+    * that point batch `batchId` is fully committed, nothing else writes,
+    * the next batch reads with bound `batchId + 1 >` the base's
+    * `through = batchId`, and a crash-retry of `batchId` itself lands on
+    * [[BatchStore.visibleDirs]]'s spec-pinned `through == ltBatch` path.
+    * 0 (the default) keeps compaction manual.
+    */
+  def start(docs: DataFrame, stateRoot: String, checkpoint: String,
+      compactEvery: Int = 0, compactBuckets: Int = 32): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         ingest(batch.sparkSession, batch.toDF(), stateRoot, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, stateRoot, compactBuckets): Unit
       }
       .start()
 

@@ -35,12 +35,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IncrementalSpanDup {
 
-  /** Start the ingestion stream: `docs` must carry (doc_id, source, text). */
-  def start(docs: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery =
+  /** Start the ingestion stream: `docs` must carry (doc_id, source, text).
+    *
+    * `compactEvery` > 0 compacts the stores after every `compactEvery`-th
+    * committed batch, from inside the foreachBatch boundary where the
+    * quiesce contract holds for free — see [[IncrementalNearDup.start]]
+    * for the full argument (serialized batches; retry lands on
+    * visibleDirs' permitted `through == ltBatch` path).
+    */
+  def start(docs: DataFrame, stateRoot: String, checkpoint: String,
+      compactEvery: Int = 0, compactBuckets: Int = 32): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         ingest(batch.sparkSession, batch.toDF(), stateRoot, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, stateRoot, compactBuckets): Unit
       }
       .start()
 

@@ -34,11 +34,18 @@ object SnapshotMonitor {
   /** Start the monitor: each micro-batch of `snapshots` must be one full
     * (doc_id, source, text) corpus revision.
     */
-  def start(snapshots: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery =
+  def start(snapshots: DataFrame, stateRoot: String, checkpoint: String,
+      compactEvery: Int = 0, compactBuckets: Int = 32): StreamingQuery =
     snapshots.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         ingest(batch.sparkSession, batch.toDF(), stateRoot, batchId)
+        // automatic store-maintenance policy (r14 verdict item 5): runs
+        // inside the foreachBatch boundary, where batches are serialized
+        // and this batch's writes are fully committed — the same free
+        // quiesce argument as IncrementalNearDup.start's policy hook
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, stateRoot, compactBuckets): Unit
       }
       .start()
 
@@ -85,9 +92,49 @@ object SnapshotMonitor {
       StructField("source", StringType), StructField("n_removed", LongType),
       StructField("n_added", LongType), StructField("n_changed", LongType),
       StructField("n_unchanged", LongType), StructField("batch_id", LongType)))
-    val dirs = committedBatches(spark, s"$stateRoot/diffs", Long.MaxValue).map(_._2)
+    // visibleDirs, not committedBatches: after [[compact]] the consumed
+    // diff batch dirs are replaced by one bucketed base, and the history
+    // is the base plus any deltas committed above it
+    val dirs = BatchStore.committedBatchDirs(spark, s"$stateRoot/diffs", Long.MaxValue)
     if (dirs.nonEmpty)
       spark.read.schema(schema).parquet(dirs: _*).orderBy("batch_id", "source")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Store maintenance — two different disciplines because the two stores
+    * have different supersession semantics:
+    *
+    *  - `diffs` is an APPEND-ONLY census history: standard delta-store
+    *    compaction ([[BatchStore.compactStore]]) merges the accumulated
+    *    `batch=<id>` dirs into one bucketed base (rows are unique per
+    *    (batch_id, source), so compactStore's `distinct` is a no-op).
+    *  - `digests` REVISIONS SUPERSEDE — a diff only ever reads the latest
+    *    committed predecessor, never a union — so compaction here is GC,
+    *    not merge: drop every committed revision older than the newest
+    *    TWO. The newest is the next diff's predecessor; the second-newest
+    *    must survive because a crash between batch B's store commit and
+    *    its checkpoint commit retries B, and the retry re-diffs against
+    *    B's own predecessor (`ltBatch = batchId` excludes B's digests).
+    *    Markerless dirs below the kept pair are crashed-write junk and
+    *    are swept with them.
+    *
+    * Quiesce contract is [[BatchStore.compactStore]]'s; the [[start]]
+    * policy hook satisfies it by running inside the batch boundary.
+    * Returns the highest diff batch id compacted, or -1 when empty.
+    */
+  def compact(spark: SparkSession, stateRoot: String, buckets: Int): Long = {
+    val t = BatchStore.compactStore(spark, s"$stateRoot/diffs", buckets, "batch_id")
+    val committed = committedBatches(spark, s"$stateRoot/digests", Long.MaxValue)
+    if (committed.size > 2) {
+      val keepFrom = committed(committed.size - 2)._1
+      val p = new org.apache.hadoop.fs.Path(s"$stateRoot/digests")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.filter(_.isDirectory).foreach { d =>
+        val name = d.getPath.getName
+        if (name.matches("batch=\\d+") && name.drop(6).toLong < keepFrom)
+          fs.delete(d.getPath, true)
+      }
+    }
+    t
   }
 }

@@ -173,14 +173,15 @@ class PipelineSpec extends SparkSpec {
     assert(full == exact)
   }
 
-  test("q86 PQ-ADC recall at rerank=50 vs exact top-5 >= 0.3 (isotropic corpus)") {
+  test("q86 PQ-ADC recall at the default operating point >= 0.8 (r15 sweep knee)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Pipeline.q86(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
     info(f"PQ recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
-    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+    // rerank=200 on the sweep knee: 0.86 at sf0.1, 0.94 here (deterministic)
+    assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
   }
 
   test("ivfTrain and pqTrain are layout-deterministic (fixed-point component sums)") {
@@ -223,16 +224,16 @@ class PipelineSpec extends SparkSpec {
     assert(full == exact)
   }
 
-  test("q88 IVFADC recall at nprobe=4, rerank=200 vs exact top-5 (isotropic corpus)") {
+  test("q88 IVFADC recall at the default operating point >= 0.8 (r15 sweep knee)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Pipeline.q88(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
     info(f"IVFADC recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
-    // both approximations stack: bounded below by neither alone on this
-    // isotropic corpus, so the gate is the permissive compose floor
-    assert(recall >= 0.2, f"recall $recall%.2f below 0.2")
+    // (nprobe=8, rerank=400) keeps BOTH axes genuinely approximate and
+    // still clears 0.8 (0.80 at sf0.1, 0.82 here; deterministic training)
+    assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
   }
 
   test("q87 SemDeDup census == reference derived from brute pairs + cell map") {
@@ -261,14 +262,17 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("q38 IVF recall at nprobe=4/16 vs exact top-5 >= 0.3 (isotropic corpus)") {
+  test("q38 IVF recall at the default operating point >= 0.8 (r15 sweep knee)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Pipeline.q38(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
     info(f"IVF recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
-    assert(recall >= 0.3, f"recall $recall%.2f below 0.3")
+    // nprobe=8 sits on the measured sweep knee (tools/bench_ann_sweep.json:
+    // recall 0.80 at sf0.1, 0.82 here); training is layout-deterministic,
+    // so this is a fixed number for fixed testdata, not a flaky bound
+    assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
   }
 
   test("q27 simhash pairs: all hamming <= 3 and include exact duplicates") {

@@ -104,6 +104,34 @@ class IncrementalNearDupSpec extends SparkSpec {
     assert(canon(IncrementalNearDup.pairs(spark, root)) == before)
   }
 
+  test("compactEvery policy: long ingest stays file-bounded with no manual compact; pairs identical") {
+    val root = tmp(); val in = tmp() + "/in"; val ckpt = tmp() + "/ckpt"
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(4)) === 0).coalesce(1).write.mode("overwrite").parquet(in)
+    (1 until 4).foreach { b =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === b).coalesce(1).write.mode("append").parquet(in)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = IncrementalNearDup.start(stream, root, ckpt,
+      compactEvery = 2, compactBuckets = 4)
+    q.processAllAvailable(); q.stop()
+    // the policy fired inside the batch boundary after batches 1 and 3:
+    // the newest base (v3) consumed every delta, so the store's file count
+    // is the bucket count — bounded regardless of how long the ingest ran
+    for (store <- Seq("pairs", "bands", "docs")) {
+      val dirs = new java.io.File(s"$root/$store").listFiles.filter(_.isDirectory).map(_.getName)
+      assert(!dirs.exists(_.startsWith("batch=")),
+        s"$store still has delta dirs after the policy compaction: ${dirs.toSeq}")
+      val files = new java.io.File(s"$root/$store/base/v3").listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty && files.length <= 4,
+        s"$store base has ${files.length} files for 4 buckets")
+    }
+    // and the result is byte-identical to the batch ground truth
+    assert(canon(IncrementalNearDup.pairs(spark, root)) == canon(TextVec.q15(spark, sf0001)))
+  }
+
   test("streaming start(): foreachBatch wiring finds cross-batch pairs") {
     val root = tmp(); val in = tmp() + "/in"; val ckpt = tmp() + "/ckpt"
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))

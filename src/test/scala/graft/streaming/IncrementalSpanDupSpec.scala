@@ -90,4 +90,23 @@ class IncrementalSpanDupSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(incCensus(root) == batchCensus())
   }
+
+  test("compactEvery policy: stores collapse to the base inside the stream; census identical") {
+    val root = tmp(); val in = tmp() + "/in"; val ckpt = tmp() + "/ckpt"
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("overwrite").parquet(in)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = IncrementalSpanDup.start(stream, root, ckpt,
+      compactEvery = 2, compactBuckets = 4)
+    q.processAllAvailable(); q.stop()
+    for (store <- Seq("spans", "hits")) {
+      val dirs = new java.io.File(s"$root/$store").listFiles.filter(_.isDirectory).map(_.getName)
+      assert(!dirs.exists(_.startsWith("batch=")),
+        s"$store still has delta dirs after the policy compaction: ${dirs.toSeq}")
+    }
+    assert(incCensus(root) == batchCensus())
+  }
 }

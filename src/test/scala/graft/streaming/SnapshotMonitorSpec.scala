@@ -101,4 +101,35 @@ class SnapshotMonitorSpec extends SparkSpec {
     hist(0L).foreach(r => assert(r(1) == 0L && r(2).asInstanceOf[Long] > 0L))
     assert(hist(1L) == censusRows(Pipeline.snapshotDiff(rev(0), rev(1))))
   }
+
+  test("compactEvery policy: diffs collapse to a base, superseded digests GC'd, history identical") {
+    val root = tmp(); val in = tmp() + "/in"; val ckpt = tmp() + "/ckpt"
+    // four file-borne revisions (the last repeats rev(2): an all-unchanged
+    // diff is a legal revision), policy fires after batches 1 and 3
+    rev(0).coalesce(1).write.mode("overwrite").parquet(in)
+    Seq(rev(1), rev(2), rev(2)).foreach(_.coalesce(1).write.mode("append").parquet(in))
+    val stream = spark.readStream.schema(rev(0).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = SnapshotMonitor.start(stream, root, ckpt,
+      compactEvery = 2, compactBuckets = 2)
+    q.processAllAvailable(); q.stop()
+    // diffs: one bucketed base, no delta dirs left under it
+    val diffDirs = new java.io.File(s"$root/diffs").listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(!diffDirs.exists(_.startsWith("batch=")),
+      s"diffs still has delta dirs: ${diffDirs.toSeq}")
+    // digests: revisions supersede — only the newest two survive the GC
+    val digestDirs = new java.io.File(s"$root/digests").listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(digestDirs.toSeq == Seq("batch=2", "batch=3"),
+      s"digest GC kept: ${digestDirs.toSeq}")
+    // history identical to an uncompacted manual-ingest run of the same
+    // revision sequence (batch ids align by construction)
+    val manual = tmp()
+    Seq(rev(0), rev(1), rev(2), rev(2)).zipWithIndex
+      .foreach { case (r, b) => SnapshotMonitor.ingest(spark, r, manual, b.toLong) }
+    val got = SnapshotMonitor.history(spark, root).collect().map(_.toSeq).toSeq
+    val want = SnapshotMonitor.history(spark, manual).collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
 }
