@@ -2458,7 +2458,15 @@ object Pipeline {
       targetRows: Long): DataFrame = {
     require(targetRows >= batchSize,
       s"targetRows=$targetRows must be >= batchSize=$batchSize")
-    val dd = saltedSubAssign(d, targetRows)
+    // Null-bucket rows (null text → null n_tok → null bucket) form a real
+    // group under q135's window/groupBy, but the equi-joins below would
+    // silently DROP them, breaking the identical-output contract on any
+    // frame with nulls (r14 ADVICE). Normalize null to a sentinel key for
+    // the internal joins and restore it on output: Long.MinValue cannot
+    // be a real bucket (buckets are ceil(n_tok/width) ≥ 0).
+    val NullBucket = Long.MinValue
+    val din = d.withColumn("bucket", coalesce(col("bucket"), lit(NullBucket)))
+    val dd = saltedSubAssign(din, targetRows)
     // exact rank offsets: docs in the bucket's earlier sub-ranges. The
     // window runs over the (bucket, sub)-grain AGGREGATE (tiny), not rows.
     val wOff = Window.partitionBy("bucket").orderBy("sub")
@@ -2477,6 +2485,9 @@ object Pipeline {
       .groupBy("bucket")
       .agg(sum("nb").as("n_docs"), count(lit(1)).as("n_batches"),
         sum(col("nb") * col("bmax") - col("stok")).as("pad_waste"))
+      .withColumn("bucket",
+        when(col("bucket") === NullBucket, lit(null).cast("long"))
+          .otherwise(col("bucket")))
       .orderBy("bucket")
   }
 
@@ -2609,8 +2620,21 @@ object Pipeline {
       val cents = ivfTrain(emb)
       val cb = pqTrain(emb)
       val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val path = s"$wh/g_ann_codes_" +
-        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+      // Path identity (r14 ADVICE): a 32-bit dir.hashCode can collide two
+      // distinct dirs onto one codes path, and two SparkSessions staging
+      // the same dir concurrently would overwrite each other — either way
+      // a session's memoized (cents, cb) silently pairs with ANOTHER
+      // write's codes (wrong neighbors, no error). Full md5 of the dir
+      // kills the collision; a per-staging-unique suffix (UUID — unique
+      // ACROSS JVMs, unlike a process counter) serializes nothing but
+      // makes concurrent stagers write DISJOINT paths, each
+      // self-consistent with its own memoized quantizer. Nothing ever
+      // re-derives the path — the memoized AnnIndex carries it — so
+      // uniqueness costs no determinism.
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"$wh/g_ann_codes_${dirKey}_" +
+        java.util.UUID.randomUUID.toString.take(8)
       ivfadcIndex(emb, cents, cb)
         .write.partitionBy("bkt").mode("overwrite").parquet(path)
       AnnIndex(path, cents, cb)

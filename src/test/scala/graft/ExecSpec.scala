@@ -101,14 +101,26 @@ class ExecSpec extends SparkSpec {
   }
 
   test("runFamily stages the shared layout once, then routes the whole family to kernels") {
+    // fresh COPY of the corpus dir (r14 ADVICE): the staging cache is
+    // session-global, so running against sf0001 directly could find the
+    // events layout already staged by an earlier spec and pass vacuously —
+    // a distinct dir string is a distinct cache key, guaranteed unstaged
+    val dir = java.nio.file.Files.createTempDirectory("famdir").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/$t.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+    assert(!Layouts.isEventsLayoutStaged(spark, dir),
+      "a fresh dir must start unstaged or the test is vacuous")
     val family = Seq("q12", "q13", "q21", "q51", "q70", "q71")
-    val res = Exec.runFamily(spark, sf0001, family)
-    assert(Layouts.isEventsLayoutStaged(spark, sf0001),
+    val res = Exec.runFamily(spark, dir, family)
+    assert(Layouts.isEventsLayoutStaged(spark, dir),
       "the family call must have staged the events layout")
     assert(res.map(_._1) === family, "results arrive in request order")
     for ((q, form, df) <- res) {
       assert(form.contains("SortedKernel"), s"$q routed to $form")
-      assert(rowsOf(df) === rowsOf(Exec.registry(q).last.run(spark, sf0001)),
+      assert(rowsOf(df) === rowsOf(Exec.registry(q).last.run(spark, dir)),
         s"$q via $form")
     }
   }

@@ -79,6 +79,33 @@ class PipelineSpec extends SparkSpec {
     assert(hot >= 9000, s"skew corpus lost its hot bucket ($hot)")
   }
 
+  test("q137 null-bucket rows survive the salted form == window form (r14 ADVICE)") {
+    import spark.implicits._
+    // a frame where some docs carry null n_tok (null text at the public
+    // API boundary): the window form keeps the null-bucket group, and the
+    // salted form's equi-joins must not silently drop it
+    val d = (1 to 500).map { i =>
+      (i.toLong, if (i % 7 == 0) None else Some((i % 40 + 1).toLong))
+    }.toDF("doc_id", "n_tok")
+      .withColumn("bucket", ceil(col("n_tok").cast("double") / 16).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    val batchW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket", "batch")
+    val plain = d.withColumn("batch",
+        floor((row_number().over(w) - 1).cast("double") / 32).cast("long"))
+      .withColumn("bmax", max("n_tok").over(batchW))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("batch")).as("n_batches"),
+        sum(col("bmax") - col("n_tok")).as("pad_waste"))
+      .orderBy("bucket").collect().toSeq
+    val salted = Pipeline.lengthBatchingSalted(d, batchSize = 32,
+      targetRows = 100).collect().toSeq
+    assert(plain.exists(_.isNullAt(0)), "corpus must exercise a null bucket")
+    assert(salted === plain,
+      "salted census must keep the null-bucket group the window form keeps")
+  }
+
   test("writeShuffledShards: files match the q134 census, in-order, idempotent") {
     val root = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
@@ -134,10 +161,11 @@ class PipelineSpec extends SparkSpec {
     val exact = TextVec.q16(spark, sf0001).collect().toSeq
     assert(Pipeline.q136(spark, sf0001).collect().toSeq === exact)
     assert(Pipeline.isAnnIndexStaged(spark, sf0001))
-    // and at the deployment operating point the staged probe matches the
-    // inline q88 rows (same params, same trained index)
+    // and at the default deployment operating point (8, 400 — the r15
+    // sweep knee q88 ships) the staged probe matches the inline q88 rows
+    // (same params, same trained index)
     val inline = Pipeline.q88(spark, sf0001).collect().toSeq
-    val staged = Pipeline.annSearchStaged(spark, sf0001, nprobe = 4, rerank = 200)
+    val staged = Pipeline.annSearchStaged(spark, sf0001, nprobe = 8, rerank = 400)
       .collect().toSeq
     assert(staged === inline)
   }
