@@ -514,16 +514,43 @@ object Bench {
         if (!java.nio.file.Files.exists(slopePath)) ""
         else scala.util.Try {
           val content = new String(java.nio.file.Files.readAllBytes(slopePath), "UTF-8")
-          def verdictOf(q: String): Option[String] =
-            ("\"" + java.util.regex.Pattern.quote(q) + "\":\\s*\\{\\s*\"verdict\":\\s*(\\{[^}]*\\})").r
-              .findFirstMatchIn(content).map(_.group(1))
+          // find the query's object, then the first "verdict" object after
+          // it — position-independent (survives merge_slopes reordering
+          // keys; "verdict" never occurs inside the runs array), where a
+          // verdict-must-be-first-key regex would silently drop all
+          // provenance on format drift (r15 review)
+          def verdictOf(q: String): Option[String] = {
+            val at = content.indexOf("\"" + q + "\":")
+            if (at < 0) None
+            else {
+              val va = content.indexOf("\"verdict\":", at)
+              if (va < 0) None
+              else {
+                val open = content.indexOf('{', va)
+                val close = content.indexOf('}', open)
+                if (open < 0 || close < 0) None
+                else Some(content.substring(open, close + 1))
+              }
+            }
+          }
+          def marginalOf(v: String): Option[Double] =
+            """"best_marginal":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(v)
+              .map(_.group(1).toDouble)
           val flagged = bestRatios.collect { case (n, r) if r > 2.0 =>
-            // the family's best floor-free verdict: a measured marginal on
-            // any hash-gated form beats "floor_bound" beats nothing
+            // the family's best floor-free verdict (each form answers the
+            // same oracle, so the family's scale story is its best
+            // form's — r15 review: alphabetical-first attached a worse-
+            // than-evidenced verdict). Strongest first: a "floor_bound"
+            // fit on ANY hash-gated form means that form's e(sf) line is
+            // flat — data term below measurement jitter, the purest
+            // BASELINE.md:56 flag there is; otherwise the SMALLEST
+            // measured marginal across the forms.
             val fam = familyOf.getOrElse(n, Set(n)).toSeq.sorted
             val verdicts = fam.flatMap(m => verdictOf(m).map(m -> _))
-            val best = verdicts.find(_._2.contains("best_marginal"))
-              .orElse(verdicts.find(_._2.contains("floor_bound")))
+            val withMarginal = verdicts
+              .flatMap { case (m, v) => marginalOf(v).map(x => (m, v, x)) }
+            val best = verdicts.find(_._2.contains("floor_bound"))
+              .orElse(withMarginal.sortBy(_._3).headOption.map(t => (t._1, t._2)))
             // the source file is pretty-printed; the bench line is ONE JSON
             // line by contract. Verdict values are numbers/true/filenames
             // (no spaces inside strings), so stripping whitespace is safe.

@@ -46,7 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a reused outDir must not mix runs: stale progress lines would make a
+    // clean run look crashed, and a stale verify_error.txt would indict a
+    // successful one (r15 review) — this run's artifact starts empty
     val progress = Paths.get(s"$outDir/progress.jsonl")
+    Files.deleteIfExists(progress)
+    Files.deleteIfExists(Paths.get(s"$outDir/verify_error.txt"))
     def note(line: String): Unit =
       Files.writeString(progress, line + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)

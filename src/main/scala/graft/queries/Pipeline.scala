@@ -2547,7 +2547,7 @@ object Pipeline {
   }
 
   private val stagedShardRoots =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), String]()
 
   /** q140: the materialized training order, driver-gated end-to-end (r14
     * verdict item 8) — [[writeShuffledShards]] then [[readShuffledShards]]
@@ -2568,7 +2568,10 @@ object Pipeline {
     * once per process and stay gate-correct under regeneration.
     */
   def q140(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
-    val root = stagedShardRoots.computeIfAbsent((spark, dir), _ =>
+    // shards is part of the memo key: a later call with a different shard
+    // count must materialize its own corpus, not be served the first
+    // call's committed one via the writer's _SUCCESS no-op (r15 review)
+    val root = stagedShardRoots.computeIfAbsent((spark, dir, shards), _ =>
       java.nio.file.Files.createTempDirectory("graft-shards").toString)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -2633,6 +2636,21 @@ object Pipeline {
       // uniqueness costs no determinism.
       val dirKey = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // the unique suffix means nothing self-overwrites, so sweep this
+      // dir's stale siblings from DEAD stagers first or every JVM leaks a
+      // full codes copy into the persistent warehouse (r15 review). A
+      // LIVE concurrent stager's fresh dir can be swept too — that race
+      // existed under the old shared path as a silent overwrite; here it
+      // surfaces as that session's probe failing loudly on a missing
+      // path, never as wrong neighbors.
+      scala.util.Try {
+        val whPath = new org.apache.hadoop.fs.Path(wh)
+        val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
+          if (st.getPath.getName.startsWith(s"g_ann_codes_${dirKey}_"))
+            fs.delete(st.getPath, true)
+        }
+      }
       val path = s"$wh/g_ann_codes_${dirKey}_" +
         java.util.UUID.randomUUID.toString.take(8)
       ivfadcIndex(emb, cents, cb)

@@ -166,8 +166,12 @@ object IncrementalNearDup {
     * every store read. Each store buckets on its probe key (bands on the
     * band key the per-batch join hits, docs on doc_id, pairs on ida), so
     * the compacted layout co-locates exactly what later batches look up.
-    * MUST run on a QUIESCED stream (stop the query, compact, restart —
-    * same contract as Stash.compactLatest); ingestion after compaction
+    * MUST run on a QUIESCED store. For a MANUAL call that means stop the
+    * query, compact, restart (the Stash.compactLatest contract); the one
+    * other quiesced point is INSIDE the stream's own foreachBatch
+    * boundary after the batch's ingest returns — batches serialize, so
+    * nothing else writes there — which is exactly where [[start]]'s
+    * `compactEvery` policy calls this. Ingestion after compaction
     * continues normally, reading base + newer deltas. Returns the highest
     * batch id compacted, or -1 for an empty store.
     */

@@ -140,7 +140,10 @@ object IncrementalSpanDup {
   /** Compact both stores' `batch=<id>` deltas into one bucketed base each
     * — [[IncrementalNearDup.compact]]'s twin over the span store (spans
     * bucket on the span hash the probe join hits, hits on doc_id). Same
-    * contract: quiesce the stream first; ingestion then resumes against
+    * contract: run quiesced — either stop-compact-restart manually, or
+    * from inside the foreachBatch boundary where [[start]]'s
+    * `compactEvery` policy calls it (batches serialize there, so the
+    * store is quiesced for free); ingestion then resumes against
     * base + newer deltas. Returns the highest batch id compacted.
     */
   def compact(spark: SparkSession, root: String, buckets: Int): Long =

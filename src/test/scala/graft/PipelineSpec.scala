@@ -208,8 +208,9 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
     info(f"PQ recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
-    // rerank=200 on the sweep knee: 0.86 at sf0.1, 0.94 here (deterministic)
-    assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
+    // rerank=200 on the sweep knee: 0.86 at sf0.1, 0.94 here
+    // (deterministic); 0.75 leaves regeneration margin (r15 review)
+    assert(recall >= 0.75, f"recall $recall%.2f below 0.75")
   }
 
   test("ivfTrain and pqTrain are layout-deterministic (fixed-point component sums)") {
@@ -260,8 +261,9 @@ class PipelineSpec extends SparkSpec {
     val recall = (exact & ann).size.toDouble / exact.size
     info(f"IVFADC recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
     // (nprobe=8, rerank=400) keeps BOTH axes genuinely approximate and
-    // still clears 0.8 (0.80 at sf0.1, 0.82 here; deterministic training)
-    assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
+    // still clears 0.8 (0.80 at sf0.1, 0.82 here; deterministic training);
+    // 0.75 leaves one flipped neighbor of regeneration margin (r15 review)
+    assert(recall >= 0.75, f"recall $recall%.2f below 0.75")
   }
 
   test("q87 SemDeDup census == reference derived from brute pairs + cell map") {
@@ -299,8 +301,9 @@ class PipelineSpec extends SparkSpec {
     info(f"IVF recall = $recall%.2f (${(exact & ann).size}/${exact.size})")
     // nprobe=8 sits on the measured sweep knee (tools/bench_ann_sweep.json:
     // recall 0.80 at sf0.1, 0.82 here); training is layout-deterministic,
-    // so this is a fixed number for fixed testdata, not a flaky bound
-    assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
+    // so for FIXED testdata this is a constant — the 0.75 gate leaves one
+    // flipped neighbor of margin against a driver testdata regeneration
+    assert(recall >= 0.75, f"recall $recall%.2f below 0.75")
   }
 
   test("q27 simhash pairs: all hamming <= 3 and include exact duplicates") {
