@@ -239,6 +239,16 @@ object SparkEntry {
     // q140: materialized shard corpus read-back census (write → read →
     // q134's census over the stored columns), sharing q134's oracle.
     "q140_shard_readback" -> ((s, d) => Pipeline.q140(s, d)),
+    // q141/q142: distributed BPE tokenizer training. q141 is the
+    // hash-gated pair census (one training round's ranking relation);
+    // q142 iterates it into the learned merge table (rows-only: iterated
+    // data-dependent argmax is not one SQL query — spec-gated against a
+    // reference implementation instead, see oracleSql scaladoc).
+    "q141_bpe_pairs"  -> ((s, d) => Pipeline.q141(s, d)),
+    "q142_bpe_merges" -> ((s, d) => Pipeline.q142(s, d)),
+    // q143: per-dimension embedding moment census (exact fixed-point
+    // integers — the whitening/anisotropy health check before ANN).
+    "q143_embedding_moments" -> ((s, d) => Pipeline.q143(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -291,6 +301,11 @@ object SparkEntry {
     *    and layout-determinism, and spec_checks records both on the corpus)
     *  - q76 (G-K sketch merges are partitioning-dependent; spec pins each
     *    approx percentile inside the exact ±0.01-quantile envelope)
+    *  - q142 (iterated BPE merges: each round's pair census depends on the
+    *    previous round's data-dependent argmax — not one SQL query. Round
+    *    1's census IS the hash-checked q141; the full merge table is
+    *    asserted equal to an independent reference BPE trainer in
+    *    PipelineSpec at two scales)
     */
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql
@@ -1098,6 +1113,32 @@ object SparkEntry {
          |  FROM ev CROSS JOIN (SELECT unnest(range(4)) AS k))
          |SELECT ws, event_type, count(*) AS c
          |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // q141: BPE first-round pair census — word counts (the one
+    // corpus-grain agg), then adjacent char pairs weighted by word count.
+    // Exact integer counts; (cnt DESC, pair) makes the top-20 total.
+    "q141_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+        |           FROM documents),
+        |wc AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, c
+        |      FROM wc, unnest(range(1, length(word))) AS t(i))
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // q143: per-dimension embedding moments. Elements are fixed-pointed
+    // (×1e6, round) BEFORE summing in both engines, so every output cell
+    // is exact integer arithmetic; the sum of squares accumulates in
+    // HUGEINT/decimal(38) and is emitted as BIGINT (fits at any tested
+    // SF). dim is 0-based to match posexplode.
+    "q143_embedding_moments" ->
+      """WITH e AS (
+        |  SELECT CAST(i AS BIGINT) - 1 AS dim,
+        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)*1000000) AS BIGINT) AS fp
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i))
+        |SELECT dim, count(*) AS n, CAST(sum(fp) AS BIGINT) AS sum_fp,
+        |  CAST(sum(CAST(fp AS HUGEINT)*fp) AS BIGINT) AS ssq_fp
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q67: same rolling k-gram hash as the engine's WinnowFingerprints
     // (fold (a*31+b) mod 1e9+7 over char codes, init 0 — identical to the

@@ -2696,6 +2696,139 @@ object Pipeline {
     annSearchStaged(spark, dir,
       nprobe = stagedAnn.get((spark, dir)).cells, rerank = Int.MaxValue)
   }
+
+  // ---- distributed tokenizer training (BPE) + embedding health (r15) ----
+
+  /** Shared first stage of the BPE-training family (q141/q142): the corpus
+    * collapsed to its word-frequency table. This keyed agg is the ONLY
+    * corpus-scale work in tokenizer training — map-side combine collapses
+    * each task to its local vocabulary before the exchange, so the shuffle
+    * is vocab-grain (the classic word-count contract). Everything after it
+    * operates on |vocab| rows, which is why BPE training is tractable at
+    * 100 TB: the corpus is paid exactly once.
+    */
+  private def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    tokens(Tables.documents(spark, dir))
+      .select(explode(col("tk")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+
+  /** q141: BPE first-level pair census — the frequency table of adjacent
+    * character pairs (weighted by word frequency) that byte-pair-encoding
+    * training ranks to pick its first merge. Top-`topK` pairs, exact
+    * integer counts, deterministic (cnt DESC, pair) order. After
+    * [[wordCounts]]' single corpus pass, the pair explode runs over
+    * |vocab| rows only — at 100 TB the adjacent-pair relation is
+    * vocab-grain, never corpus-grain, and the final top-K is a
+    * TakeOrderedAndProject. This is the hash-gated kernel of q142's
+    * iterative trainer (every BPE round recomputes exactly this census
+    * over the current symbol sequences).
+    */
+  def q141(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    wordCounts(spark, dir)
+      .filter(length(col("word")) >= 2)
+      .select(col("c"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (a, b) symbol
+    * pairs into a+b — one BPE merge round applied to a symbol array, as a
+    * single codegen-friendly `aggregate` HOF (no UDF). The fold IS the
+    * greedy scan: an element equal to `b` fuses with a trailing `a` in
+    * the accumulator; because `b` is non-empty, a fused `a+b` can never
+    * itself equal `a`, so overlapping re-merges within the round are
+    * impossible by construction (the "aaa" + (a,a) → [aa, a] case).
+    */
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** q142: distributed BPE tokenizer training — `merges` rounds of
+    * (pair census → argmax → merge) over the corpus vocabulary, emitting
+    * the learned merge table (rank, pair_left, pair_right, cnt): the
+    * artifact a tokenizer trainer ships. The corpus is read ONCE
+    * ([[wordCounts]]); every round after that is a projection + keyed agg
+    * over |vocab| rows (cached between rounds, parent unpersisted), and
+    * the driver holds exactly one argmax row per round plus the ≤`merges`
+    * merge table itself — which is the OUTPUT, inherently driver-sized
+    * (real tokenizers ship 30–100k merges). Argmax ties break on
+    * (cnt DESC, a, b), so training is deterministic on any partitioning —
+    * there is no float anywhere in the loop.
+    *
+    * Rows-only by design: data-dependent iterated argmax (each round's
+    * census depends on the previous round's chosen merge) is not
+    * expressible as one SQL query; the gate instead rides q141 (round 1's
+    * census IS hash-checked) plus PipelineSpec's reference-implementation
+    * equality at two scales.
+    */
+  def q142(spark: SparkSession, dir: String, merges: Int = 12): DataFrame = {
+    import spark.implicits._
+    var vocab = wordCounts(spark, dir)
+      .select(split(col("word"), "").as("syms"), col("c"))
+      .cache()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((rank, a, b, cnt))
+        // materialize the merged vocabulary before dropping the parent so
+        // each round's lineage is one hop, not `rank` hops
+        val next = vocab.select(mergePair(col("syms"), a, b).as("syms"), col("c")).cache()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    learned.toSeq.toDF("rank", "pair_left", "pair_right", "cnt")
+  }
+
+  /** q143: embedding moment census — per-dimension count / fixed-point sum
+    * / fixed-point sum-of-squares over the whole embedding table: the
+    * whitening and anisotropy statistics an ANN pipeline checks before
+    * trusting cosine geometry (a dimension with runaway variance dominates
+    * every distance; a near-zero one is dead weight in the codes). Values
+    * are fixed-pointed per ELEMENT (×1e6, round) before any sum, so the
+    * census is exact integer arithmetic — order-independent and
+    * hash-identical on any partitioning or engine. The sum-of-squares
+    * accumulates in decimal(38) (per-element squares fit a long; corpus
+    * sums need not). Scale: posexplode is map-local and the partial agg
+    * collapses every task to ≤ d rows before the exchange, so the shuffle
+    * is d-grain — one linear pass regardless of corpus size.
+    */
+  def q143(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1000000).cast("long").as("fp"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("fp").as("sum_fp"),
+        sum((col("fp") * col("fp")).cast("decimal(38,0)")).as("ssq"))
+      .select(col("dim"), col("n"), col("sum_fp"),
+        col("ssq").cast("long").as("ssq_fp"))
+      .orderBy("dim")
 }
 
 /** Output row of [[Pipeline.mmDecodeBatched]]. */

@@ -928,4 +928,101 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  // ---- distributed BPE tokenizer training (q141/q142) ----
+
+  /** Independent reference BPE trainer: straight single-threaded Scala over
+    * a (word, count) table, with the canonical two-pointer greedy merge —
+    * a DIFFERENT formulation from the engine's fold-based [[Pipeline
+    * .mergePair]], so agreement is evidence, not tautology.
+    */
+  private def referenceBpe(words: Seq[(String, Long)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.split("").toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var more = true
+    while (rank <= merges && more) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (counts.isEmpty) more = false
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, a, b, cnt))
+        vocab = vocab.map { case (syms, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              acc += (a + b); i += 2
+            } else { acc += syms(i); i += 1 }
+          }
+          (acc.toVector, c)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def wordCountsLocal(dir: String): Seq[(String, Long)] =
+    Tables.documents(spark, dir).select("text").collect()
+      .flatMap(r => Option(r.getString(0)).toSeq)
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+
+  test("q142 BPE merge table equals the reference trainer at two scales") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val engine = Pipeline.q142(spark, dir, merges = 12).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val ref = referenceBpe(wordCountsLocal(dir), merges = 12)
+      assert(engine === ref, s"merge tables diverge at $dir")
+      assert(engine.nonEmpty)
+    }
+  }
+
+  test("q141 pair census top-1 is the reference trainer's first merge") {
+    val top = Pipeline.q141(spark, sf001, topK = 1).collect()(0)
+    val ref = referenceBpe(wordCountsLocal(sf001), merges = 1).head
+    assert(top.getString(0) === ref._2 + ref._3)
+    assert(top.getLong(1) === ref._4)
+  }
+
+  test("mergePair fold is the greedy non-overlapping merge on the edge cases") {
+    import spark.implicits._
+    // (input, pair a, pair b, expected): includes the overlap trap "aaa"
+    // and a merged-value-equals-next-left trap
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("x", "a", "b", "a", "b"), "a", "b", Seq("x", "ab", "ab")),
+      (Seq("ab", "b", "b"), "ab", "b", Seq("abb", "b")),
+      (Seq("a"), "a", "a", Seq("a")),
+      (Seq.empty[String], "a", "b", Seq.empty[String]))
+    for ((in, a, b, want) <- cases) {
+      val got = Seq(in).toDF("syms")
+        .select(Pipeline.mergePair(col("syms"), a, b).as("m"))
+        .head.getSeq[String](0)
+      assert(got === want, s"mergePair($in, $a, $b)")
+    }
+  }
+
+  test("q143 embedding moments equal a BigInt brute recount; partitioning-free") {
+    val out = Pipeline.q143(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val vecs = Tables.embeddings(spark, sf0001).select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    assert(out.length === vecs.head.length)
+    for ((dim, (n, sumFp, ssqFp)) <- out) {
+      val fps = vecs.map(v => math.round(v(dim.toInt).toDouble * 1000000))
+      assert(n === vecs.length.toLong)
+      assert(sumFp === fps.sum)
+      assert(BigInt(ssqFp) === fps.map(f => BigInt(f) * f).sum)
+    }
+    // fixed-point-first makes the census partitioning-independent
+    val a = Pipeline.q143(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+  }
 }
