@@ -2772,34 +2772,43 @@ object Pipeline {
     var vocab = wordCounts(spark, dir)
       .select(split(col("word"), "").as("syms"), col("c"))
       .cache()
+    // round i's argmax job is also what materializes vocab_i's cache, so
+    // each round costs ONE Spark job; the parent (one lineage hop behind)
+    // stays persisted until the job that reads it has run, then drops.
+    var parent: Option[DataFrame] = None
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 1
-    var exhausted = false
-    while (rank <= merges && !exhausted) {
-      val best = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("c"), explode(transform(
-          sequence(lit(0), size(col("syms")) - 2),
-          i => struct(element_at(col("syms"), i + 1).as("a"),
-            element_at(col("syms"), i + 2).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("c").as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        learned += ((rank, a, b, cnt))
-        // materialize the merged vocabulary before dropping the parent so
-        // each round's lineage is one hop, not `rank` hops
-        val next = vocab.select(mergePair(col("syms"), a, b).as("syms"), col("c")).cache()
-        next.count()
-        vocab.unpersist()
-        vocab = next
-        rank += 1
+    try {
+      var rank = 1
+      var exhausted = false
+      while (rank <= merges && !exhausted) {
+        val best = vocab
+          .filter(size(col("syms")) >= 2)
+          .select(col("c"), explode(transform(
+            sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("a"),
+              element_at(col("syms"), i + 2).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("c").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        parent.foreach(_.unpersist())
+        parent = None
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          learned += ((rank, a, b, cnt))
+          val next = vocab.select(mergePair(col("syms"), a, b).as("syms"), col("c")).cache()
+          parent = Some(vocab)
+          vocab = next
+          rank += 1
+        }
       }
+    } finally {
+      // unconditional: a mid-round throw must not leave cache blocks
+      // pinned in a shared session (Verify keeps running after a failure)
+      parent.foreach(_.unpersist())
+      vocab.unpersist()
     }
-    vocab.unpersist()
     learned.toSeq.toDF("rank", "pair_left", "pair_right", "cnt")
   }
 
@@ -2825,7 +2834,11 @@ object Pipeline {
       .agg(
         count(lit(1)).as("n"),
         sum("fp").as("sum_fp"),
-        sum((col("fp") * col("fp")).cast("decimal(38,0)")).as("ssq"))
+        // cast BEFORE the multiply (the oracle's CAST(fp AS HUGEINT)*fp):
+        // a long*long square overflows for |v| > ~3037 where the decimal
+        // product stays exact
+        sum(col("fp").cast("decimal(20,0)") * col("fp").cast("decimal(20,0)"))
+          .as("ssq"))
       .select(col("dim"), col("n"), col("sum_fp"),
         col("ssq").cast("long").as("ssq_fp"))
       .orderBy("dim")

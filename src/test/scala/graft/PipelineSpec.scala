@@ -949,7 +949,26 @@ class PipelineSpec extends SparkSpec {
         counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
       if (counts.isEmpty) more = false
       else {
-        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break on UTF-8 BYTES, not Java's UTF-16 code units — the
+        // engine's orderBy compares UTF8String binary, which diverges from
+        // String.compareTo for supplementary-plane vs U+E000..U+FFFF mixes
+        def u8cmp(x: String, y: String): Int = {
+          val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(a.length, b.length)
+          var i = 0
+          var c = 0
+          while (i < n && c == 0) { c = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+          if (c != 0) c else a.length - b.length
+        }
+        val ((a, b), cnt) = counts.toSeq.sortWith {
+          case (((a1, b1), c1), ((a2, b2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else {
+              val ca = u8cmp(a1, a2)
+              if (ca != 0) ca < 0 else u8cmp(b1, b2) < 0
+            }
+        }.head
         out += ((rank, a, b, cnt))
         vocab = vocab.map { case (syms, c) =>
           val acc = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1016,13 +1035,26 @@ class PipelineSpec extends SparkSpec {
       .map(_.getSeq[Float](0))
     assert(out.length === vecs.head.length)
     for ((dim, (n, sumFp, ssqFp)) <- out) {
-      val fps = vecs.map(v => math.round(v(dim.toInt).toDouble * 1000000))
+      // HALF_UP (ties away from zero), the rounding Spark's round() and
+      // DuckDB share — math.round would round negative halves toward +inf
+      val fps = vecs.map(v => scala.math.BigDecimal(v(dim.toInt).toDouble * 1000000)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).longValue)
       assert(n === vecs.length.toLong)
       assert(sumFp === fps.sum)
       assert(BigInt(ssqFp) === fps.map(f => BigInt(f) * f).sum)
     }
-    // fixed-point-first makes the census partitioning-independent
-    val a = Pipeline.q143(spark, sf0001).collect().map(_.toSeq).toSeq
-    assert(a.nonEmpty)
+    // fixed-point-first makes the census partitioning-independent: the
+    // same census off a 7-way repartitioned scan must be bit-identical
+    val base = Pipeline.q143(spark, sf0001).collect().map(_.toSeq).toSeq
+    val reparted = Tables.embeddings(spark, sf0001).repartition(7)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1000000).cast("long").as("fp"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("fp").as("sum_fp"),
+        sum(col("fp").cast("decimal(20,0)") * col("fp").cast("decimal(20,0)")).as("ssq"))
+      .select(col("dim"), col("n"), col("sum_fp"), col("ssq").cast("long").as("ssq_fp"))
+      .orderBy("dim").collect().map(_.toSeq).toSeq
+    assert(reparted === base)
   }
 }
