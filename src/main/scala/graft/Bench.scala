@@ -976,7 +976,12 @@ object Bench {
           // (engine-side fits only make sense where a kernel exists)
           val slopeSet = bset ++ ordered.collect {
             case (n, _) if n.startsWith("q1") && n.contains("_columnar_") => n
-          }
+          } ++ Seq(
+            // r15 oracle-gated pipeline additions: their per-SF fits are
+            // the floor-free scale evidence for the tokenizer-training and
+            // embedding-moment passes (q142 is excluded — driver-looped,
+            // no oracle to pair the points with)
+            "q141_bpe_pairs", "q143_embedding_moments")
           // per-query isolation, same fail-soft discipline as the main
           // loop: one failing query loses its row, not the whole phase
           for (name <- slopeSet; fn <- ordered.find(_._1 == name).map(_._2)) try {

@@ -414,6 +414,15 @@ object Pipeline {
     val indexed = ivfadcIndex(emb, cents, cb)
     ivfadcProbe(indexed, emb, annQueries(emb), cents, cb, nprobe, rerank)
   }
+  // NOTE (r15, measured): Jégou et al. 2011 §IV's RESIDUAL encoding —
+  // PQ over x − cent(bkt) instead of raw x, with the matching
+  // cent-corrected ADC score — was implemented, verified arithmetically
+  // (expression == driver-side reconstruction to 9 dp) and REJECTED on
+  // measurement: this corpus's embeddings are not cluster-concentrated,
+  // so the coarse residuals are no tighter than the vectors (mean
+  // reconstruction error 0.567 raw vs 0.726 residual; recall@(8,400)
+  // 0.80 → 0.72 at sf0.1). Raw-vector codes stay the shipped layout;
+  // PERF.md round-15 records the experiment.
 
   /** The IVFADC index relation: (vec_id, bkt, codes) — 1 int cell id +
     * m bytes of PQ codes per vector. At deployment this is what gets
