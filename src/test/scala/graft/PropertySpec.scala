@@ -512,4 +512,34 @@ class PropertySpec extends AnyFunSuite {
     assert(mNear >= 8, s"near-dup signature agreement too low: $mNear/16")
     assert(mFar <= 4, s"disjoint signature agreement too high: $mFar/16")
   }
+
+  test("mergePair fold == two-pointer greedy merge on random symbol arrays") {
+    import spark.implicits._
+    // tiny alphabet + multi-char symbols force frequent (including
+    // adjacent-overlap) matches; pairs drawn from the same alphabet so
+    // a == b and merged-value collisions actually occur
+    val sym = Gen.oneOf("a", "b", "ab", "ba", "aa")
+    val arr = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, sym))
+    val cases = samples(Gen.zip(arr, sym, sym), 120)
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      val acc = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          acc += (a + b); i += 2
+        } else { acc += syms(i); i += 1 }
+      }
+      acc.toList
+    }
+    val df = cases.map { case (s, a, b) => (s, a, b) }.toDF("syms", "a", "b")
+    // one plan per distinct pair (the pair is a literal in the expression)
+    for (((a, b), group) <- cases.groupBy { case (_, a, b) => (a, b) }) {
+      val got = group.map(_._1).toDF("syms")
+        .select(graft.queries.Pipeline.mergePair(col("syms"), a, b).as("m"))
+        .collect().map(_.getSeq[String](0).toList)
+      val want = group.map { case (s, _, _) => refMerge(s, a, b) }
+      assert(got.toSeq === want.toSeq, s"mergePair diverges for pair ($a,$b)")
+    }
+    assert(df.count() === cases.length.toLong)
+  }
 }
