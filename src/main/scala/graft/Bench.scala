@@ -523,12 +523,22 @@ object Bench {
             val at = content.indexOf("\"" + q + "\":")
             if (at < 0) None
             else {
+              // bound the search to THIS query's object: if the entry has
+              // no "verdict" key (e.g. too few windows to fit), an
+              // unbounded indexOf would walk into the NEXT query's object
+              // and attach ITS verdict as this family's provenance
+              // (r15 review, second pass). Query keys all start with "q
+              // and never occur inside a runs array (whose keys are
+              // run/marginal_ratio/resid/points/sf/e/o), so the next
+              // top-level entry is a safe right boundary.
+              val next = content.indexOf("\"q", at + 1)
+              val limit = if (next < 0) content.length else next
               val va = content.indexOf("\"verdict\":", at)
-              if (va < 0) None
+              if (va < 0 || va >= limit) None
               else {
                 val open = content.indexOf('{', va)
                 val close = content.indexOf('}', open)
-                if (open < 0 || close < 0) None
+                if (open < 0 || close < 0 || close >= limit) None
                 else Some(content.substring(open, close + 1))
               }
             }

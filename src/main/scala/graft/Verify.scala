@@ -74,6 +74,17 @@ object Verify {
         .filter { case (name, _) => subset.forall(_.contains(name)) }
         .foreach { case (name, fn) =>
           val t0 = System.nanoTime()
+          // a reused outDir must not serve THIS run a PREVIOUS run's rows:
+          // the gate enumerates parquet dirs, so a query that fails now
+          // but passed last run would be graded on the stale result
+          // (r15 review). Drop the old dir before running, not after — a
+          // crash mid-query then leaves no dir, which reads as the
+          // failure it is.
+          def rmr(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+            f.delete(): Unit
+          }
+          rmr(new java.io.File(s"$outDir/$name"))
           try {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")

@@ -2612,6 +2612,12 @@ object Pipeline {
   private val stagedAnn =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnnIndex]()
 
+  /** Process-unique component of staged-codes paths: scopes the stale-dir
+    * sweep in [[stageAnnIndex]] to this process's own debris.
+    */
+  private val processTag: String =
+    java.util.UUID.randomUUID.toString.take(8)
+
   /** Stage the IVFADC deployment layout for (session, dir), memoized like
     * [[graft.Layouts]]' bucketed tables: train the coarse quantizer + PQ
     * codebook (deterministic — fixed-pointed sums, rank-stride init), and
@@ -2645,22 +2651,36 @@ object Pipeline {
       // uniqueness costs no determinism.
       val dirKey = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      // the unique suffix means nothing self-overwrites, so sweep this
-      // dir's stale siblings from DEAD stagers first or every JVM leaks a
-      // full codes copy into the persistent warehouse (r15 review). A
-      // LIVE concurrent stager's fresh dir can be swept too — that race
-      // existed under the old shared path as a silent overwrite; here it
-      // surfaces as that session's probe failing loudly on a missing
-      // path, never as wrong neighbors.
+      // Sweep scope (r15 review, second pass): the unique suffix means
+      // nothing self-overwrites, but sweeping EVERY sibling with this
+      // dir's md5 prefix deletes ANOTHER live session's staged codes —
+      // its memoized AnnIndex then points at a missing path for the rest
+      // of the process (the memo never re-stages), and another PROCESS
+      // sharing the warehouse is hit the same way. So the sweep targets
+      // only THIS process's own dead stagings: paths carrying this
+      // process's tag whose dir is not referenced by any live memo entry
+      // (in-process memo entries are never dropped, so the only such
+      // orphans are partial writes from a staging that threw before
+      // memoizing — exactly the retry debris worth reclaiming). Other
+      // processes' leftovers are left for warehouse-level cleanup:
+      // deleting a path we cannot prove dead trades a bounded disk leak
+      // for breaking someone's live index.
       scala.util.Try {
+        val live = {
+          val it = stagedAnn.values.iterator()
+          val s = scala.collection.mutable.Set.empty[String]
+          while (it.hasNext) s += new org.apache.hadoop.fs.Path(it.next().codesPath).getName
+          s
+        }
         val whPath = new org.apache.hadoop.fs.Path(wh)
         val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
-          if (st.getPath.getName.startsWith(s"g_ann_codes_${dirKey}_"))
+          val n = st.getPath.getName
+          if (n.startsWith(s"g_ann_codes_${dirKey}_${processTag}_") && !live.contains(n))
             fs.delete(st.getPath, true)
         }
       }
-      val path = s"$wh/g_ann_codes_${dirKey}_" +
+      val path = s"$wh/g_ann_codes_${dirKey}_${processTag}_" +
         java.util.UUID.randomUUID.toString.take(8)
       ivfadcIndex(emb, cents, cb)
         .write.partitionBy("bkt").mode("overwrite").parquet(path)

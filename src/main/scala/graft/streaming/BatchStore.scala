@@ -64,6 +64,16 @@ private[streaming] object BatchStore {
       .sortBy(_._1)
   }
 
+  /** The newest committed base's `through` watermark, or -1 when the
+    * store has never compacted. Ingest paths consult this to no-op a
+    * crash-retry of a batch the base has already consumed: such a retry's
+    * `batch=<id>` rewrites land at ids every reader ignores and the next
+    * compaction merely sweeps — dead recompute + transient debris
+    * (r15 review).
+    */
+  def baseThrough(spark: SparkSession, path: String): Long =
+    committedBases(spark, path).lastOption.map(_._1).getOrElse(-1L)
+
   /** Everything a reader bounded by `ltBatch` may see: the newest
     * committed base (if any) plus the committed batch dirs above its
     * `through` and below `ltBatch`.

@@ -91,6 +91,14 @@ object IncrementalNearDup {
     */
   def ingest(spark: SparkSession, newDocs: DataFrame,
       root: String, batchId: Long): Unit = {
+    // A crash-retry of a batch the compacted base has already consumed
+    // (batchId <= base.through — the visibleDirs `through == ltBatch`
+    // read path) must also be a WRITE no-op: its output is already in the
+    // base byte-for-byte (spec-pinned), and rewriting batch=<id> at an id
+    // every reader ignores is dead recompute plus debris the next
+    // compaction has to sweep (r15 review). The docs store is the
+    // watermark authority — all three stores compact together.
+    if (BatchStore.baseThrough(spark, s"$root/docs") >= batchId) return
     val docs = newDocs.select(col("doc_id"), col("text"))
     // (doc_id, sig, band, bkey) for the new batch — materialized once, both
     // join sides and the store write reuse it

@@ -91,6 +91,11 @@ object IncrementalSpanDup {
     */
   def ingest(spark: SparkSession, newDocs: DataFrame,
       root: String, batchId: Long): Unit = {
+    // Write no-op for a crash-retry of a batch the compacted base already
+    // consumed — same contract and rationale as
+    // [[IncrementalNearDup.ingest]]'s guard (r15 review); the spans store
+    // is the watermark authority, both stores compact together.
+    if (BatchStore.baseThrough(spark, s"$root/spans") >= batchId) return
     // (doc_id, source, sg) for the new batch — per-doc-deduped 40-char
     // hashed spans, materialized once: three probes and the store write
     // reuse it without re-shingling. The row-level distinct() also absorbs

@@ -68,6 +68,11 @@ object SnapshotMonitor {
     */
   def ingest(spark: SparkSession, snapshot: DataFrame,
       stateRoot: String, batchId: Long): Unit = {
+    // Write no-op for a crash-retry of a revision whose diff the
+    // compacted base already consumed (digests/batch=<id> was committed
+    // before that compaction could run, so nothing is missing) — same
+    // contract as [[IncrementalNearDup.ingest]]'s guard (r15 review).
+    if (BatchStore.baseThrough(spark, s"$stateRoot/diffs") >= batchId) return
     val cur = snapshot
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
       .localCheckpoint()

@@ -201,7 +201,7 @@ class PipelineSpec extends SparkSpec {
     assert(full == exact)
   }
 
-  test("q86 PQ-ADC recall at the default operating point >= 0.8 (r15 sweep knee)") {
+  test("q86 PQ-ADC recall at the default operating point (sweep knee, measures >= 0.8; gate 0.75 regen margin)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Pipeline.q86(spark, sf001).select("qid", "vec_id").collect()
@@ -253,7 +253,7 @@ class PipelineSpec extends SparkSpec {
     assert(full == exact)
   }
 
-  test("q88 IVFADC recall at the default operating point >= 0.8 (r15 sweep knee)") {
+  test("q88 IVFADC recall at the default operating point (sweep knee, measures >= 0.8; gate 0.75 regen margin)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Pipeline.q88(spark, sf001).select("qid", "vec_id").collect()
@@ -292,7 +292,7 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("q38 IVF recall at the default operating point >= 0.8 (r15 sweep knee)") {
+  test("q38 IVF recall at the default operating point (sweep knee, measures >= 0.8; gate 0.75 regen margin)") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Pipeline.q38(spark, sf001).select("qid", "vec_id").collect()

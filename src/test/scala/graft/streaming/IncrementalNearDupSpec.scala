@@ -89,19 +89,25 @@ class IncrementalNearDupSpec extends SparkSpec {
         root, b.toLong)
     }
     val before = canon(IncrementalNearDup.pairs(spark, root))
-    val batch2Pairs = canon(spark.read.parquet(s"$root/pairs/batch=2")
-      .select("ida", "idb", "j"))
     assert(IncrementalNearDup.compact(spark, root, buckets = 4) === 2L)
-    // the retry: same batch id the base consumed — must not throw
+    // the retry: same batch id the base consumed — must not throw, and
+    // (r15 review) must be a WRITE no-op: its output is already in the
+    // base byte-for-byte, so rewriting batch=2 at an id every reader
+    // ignores would be dead recompute plus debris for the next compaction
     IncrementalNearDup.ingest(spark, docs.filter(pmod(col("doc_id"), lit(4)) === 2),
       root, 2L)
-    // byte-identical re-derivation: the rewritten delta equals the
-    // original attempt's committed pairs exactly
-    assert(canon(spark.read.parquet(s"$root/pairs/batch=2")
-      .select("ida", "idb", "j")) == batch2Pairs)
-    // and the accumulated set is unchanged (the retried delta sits at an
-    // id the base already covers, so readers ignore it)
+    assert(!new java.io.File(s"$root/pairs/batch=2").exists,
+      "consumed-batch retry must not recreate its swept delta dir")
+    assert(!new java.io.File(s"$root/bands/batch=2").exists)
+    assert(!new java.io.File(s"$root/docs/batch=2").exists)
+    // and the accumulated set is unchanged — the base already carries
+    // batch 2's pairs
     assert(canon(IncrementalNearDup.pairs(spark, root)) == before)
+    // a GENUINELY NEW batch above the watermark still ingests normally
+    IncrementalNearDup.ingest(spark, docs.filter(pmod(col("doc_id"), lit(4)) === 3),
+      root, 3L)
+    assert(new java.io.File(s"$root/pairs/batch=3/_SUCCESS").exists,
+      "post-compaction ingest of a new batch must commit its delta")
   }
 
   test("compactEvery policy: long ingest stays file-bounded with no manual compact; pairs identical") {
