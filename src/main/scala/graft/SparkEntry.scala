@@ -249,6 +249,11 @@ object SparkEntry {
     // q143: per-dimension embedding moment census (exact fixed-point
     // integers — the whitening/anisotropy health check before ANN).
     "q143_embedding_moments" -> ((s, d) => Pipeline.q143(s, d)),
+    // q144: the tokenizer loop closed — q142's learned merge table applied
+    // back to the corpus (row-local BpeEncode expression), per-source
+    // compression census. Rows-only for q142's reason; the encoder is
+    // spec-gated against an independent reference apply.
+    "q144_bpe_encode" -> ((s, d) => Pipeline.q144(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -306,6 +311,10 @@ object SparkEntry {
     *    1's census IS the hash-checked q141; the full merge table is
     *    asserted equal to an independent reference BPE trainer in
     *    PipelineSpec at two scales)
+    *  - q144 (applies q142's data-dependent merge table, so the same
+    *    reason; the encoder itself is spec-gated against an independent
+    *    reference apply at two SFs, and its zero-merge degenerate case
+    *    equals the oracle-checkable char count)
     */
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql

@@ -82,6 +82,20 @@ object PipelineExprs {
   def pqAdcScore(codes: Column, qv: Column, codebook: Array[Array[Array[Double]]]): Column =
     col(PqAdcScore(expr(codes), expr(qv), codebook))
 
+  /** BPE encoder: apply a learned merge table (rank-ordered (left, right)
+    * pairs — q142's training artifact) to the text's whitespace words and
+    * emit the concatenated symbol sequence. Exactly the training
+    * procedure's own apply step — each merge does the same greedy
+    * left-to-right non-overlapping pass [[graft.queries.Pipeline
+    * .mergePair]] folds, in rank order — so encoded symbols live in
+    * precisely the vocabulary training built. The table rides inside the
+    * expression (driver-sized — real tokenizers ship 30–100k merges), so
+    * encoding is a row-local single pass: the 100 TB-corpus cost is one
+    * map-side projection, no join, no shuffle.
+    */
+  def bpeEncode(text: Column, merges: Array[(String, String)]): Column =
+    col(BpeEncode(expr(text), merges))
+
   /** Per-document token frequency stats in ONE pass: total token count,
     * distinct token count, and the highest single-token frequency — the
     * inputs to Gopher-style repetition filters (top-token fraction,
@@ -1179,4 +1193,61 @@ case class PqAdcScore(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
     copy(left = l, right = r)
+}
+
+/** See [[PipelineExprs.bpeEncode]]. child = the document text; `merges` is
+  * the rank-ordered learned merge table. Output: every word's encoded
+  * symbols, concatenated in word order (array<string>).
+  *
+  * Per word the apply step mirrors training byte-for-byte: for each merge
+  * (a, b) in rank order, one greedy left-to-right non-overlapping pass
+  * replaces adjacent [a, b] with a+b — the imperative twin of the
+  * `mergePair` fold (spec-pinned equal on random inputs), iterated over
+  * the table. Cost per row: O(merges · len), all row-local.
+  */
+case class BpeEncode(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val merged: Array[String] =
+    merges.map { case (a, b) => a + b }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var w = 0
+    val words = text.split(' ')
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        // symbols start as single chars (UTF-16 code units — the same
+        // basis split(text, "") gives training, so train/apply agree)
+        var syms = new Array[String](word.length)
+        var i = 0
+        while (i < word.length) { syms(i) = word.substring(i, i + 1); i += 1 }
+        var m = 0
+        while (m < merges.length && syms.length >= 2) {
+          val (a, b) = merges(m)
+          val ab = merged(m)
+          val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              acc += ab; j += 2
+            } else { acc += syms(j); j += 1 }
+          }
+          syms = acc.toArray
+          m += 1
+        }
+        var k = 0
+        while (k < syms.length) { out += UTF8String.fromString(syms(k)); k += 1 }
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
 }

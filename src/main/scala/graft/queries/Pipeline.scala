@@ -2841,6 +2841,40 @@ object Pipeline {
     learned.toSeq.toDF("rank", "pair_left", "pair_right", "cnt")
   }
 
+  /** q144: tokenizer train→encode roundtrip census — the second half of
+    * the BPE loop: [[q142]]'s learned merge table, applied back to the
+    * corpus by [[PipelineExprs.bpeEncode]], with a per-source census of
+    * the result (docs, chars, whitespace tokens, BPE tokens — all exact
+    * integers, so the census is deterministic on any partitioning). The
+    * chars/bpe_tokens and bpe/whitespace ratios this exposes are the
+    * numbers a tokenizer team actually watches (compression, fertility).
+    *
+    * Scale: training is q142's story (one corpus pass + vocab-grain
+    * rounds); the merge table is driver-sized BY DEFINITION (it is the
+    * shipped artifact), rides into the encoder expression as a literal,
+    * and encoding is a row-local map-side projection — a second linear
+    * corpus pass with no join and no new shuffle beyond the |sources|-key
+    * census agg. Rows-only by design for q142's reason (the table is
+    * data-dependent iterated argmax); the spec gates the ENCODER against
+    * an independent reference apply at two SFs.
+    */
+  def q144(spark: SparkSession, dir: String, merges: Int = 12): DataFrame = {
+    val table = q142(spark, dir, merges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+        size(PipelineExprs.bpeEncode(col("text"), table)).cast("long").as("n_bpe"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("n_ws").as("sum_ws_tokens"),
+        sum("n_bpe").as("sum_bpe_tokens"))
+      .orderBy("source")
+  }
+
   /** q143: embedding moment census — per-dimension count / fixed-point sum
     * / fixed-point sum-of-squares over the whole embedding table: the
     * whitening and anisotropy statistics an ANN pipeline checks before

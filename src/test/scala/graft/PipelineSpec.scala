@@ -1002,6 +1002,65 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  /** Independent reference APPLY: the two-pointer greedy merge iterated
+    * over the table in rank order, per word — the encoder [[Pipeline
+    * .q144]]'s expression must reproduce.
+    */
+  private def referenceEncode(text: String,
+      table: Seq[(String, String)]): Seq[String] =
+    text.split(" ").filter(_.nonEmpty).toSeq.flatMap { word =>
+      var syms: Vector[String] = word.split("").toVector
+      for ((a, b) <- table) {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            acc += (a + b); i += 2
+          } else { acc += syms(i); i += 1 }
+        }
+        syms = acc.toVector
+      }
+      syms
+    }
+
+  test("q144 encoder: BpeEncode == reference apply of the learned table at two scales") {
+    import graft.expressions.PipelineExprs
+    for (dir <- Seq(sf0001, sf001)) {
+      val table = Pipeline.q142(spark, dir, merges = 12).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val rows = Tables.documents(spark, dir)
+        .select(col("text"),
+          PipelineExprs.bpeEncode(col("text"), table.toArray).as("bpe"))
+        .collect()
+      rows.foreach { r =>
+        val want = referenceEncode(r.getString(0), table)
+        assert(r.getSeq[String](1) === want, s"encoder diverges at $dir")
+      }
+      // symbols reassemble the words exactly — encoding is lossless
+      rows.take(50).foreach { r =>
+        assert(r.getSeq[String](1).mkString ===
+          r.getString(0).split(" ").filter(_.nonEmpty).mkString)
+      }
+    }
+  }
+
+  test("q144 zero-merge degenerate case: BPE token count == char count of the words") {
+    import graft.expressions.PipelineExprs
+    val got = Tables.documents(spark, sf0001)
+      .select(
+        size(PipelineExprs.bpeEncode(col("text"), Array.empty)).as("n"),
+        length(regexp_replace(col("text"), " ", "")).as("want"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // and the census is internally consistent: bpe tokens never exceed
+    // chars, never fall below whitespace tokens (merges only shrink)
+    val census = Pipeline.q144(spark, sf0001).collect()
+    census.foreach { r =>
+      val (chars, ws, bpe) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bpe <= chars && bpe >= ws, s"census bounds violated: $r")
+    }
+  }
+
   test("q141 pair census top-1 is the reference trainer's first merge") {
     val top = Pipeline.q141(spark, sf001, topK = 1).collect()(0)
     val ref = referenceBpe(wordCountsLocal(sf001), merges = 1).head
