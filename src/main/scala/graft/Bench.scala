@@ -519,27 +519,49 @@ object Bench {
           // keys; "verdict" never occurs inside the runs array), where a
           // verdict-must-be-first-key regex would silently drop all
           // provenance on format drift (r15 review)
+          // brace-match `s` from the '{' at `open` to its closing '}'
+          // (string-aware: braces inside JSON strings don't count) — the
+          // right boundary for "this query's object" that a `"q`-token
+          // scan could not give (any future string VALUE starting with q
+          // would silently truncate the scan — r15 advice)
+          def objectEnd(s: String, open: Int): Int = {
+            var depth = 0
+            var i = open
+            var inStr = false
+            while (i < s.length) {
+              val c = s.charAt(i)
+              if (inStr) {
+                if (c == '\\') i += 1 else if (c == '"') inStr = false
+              } else c match {
+                case '"' => inStr = true
+                case '{' => depth += 1
+                case '}' => depth -= 1; if (depth == 0) return i
+                case _ =>
+              }
+              i += 1
+            }
+            -1
+          }
           def verdictOf(q: String): Option[String] = {
             val at = content.indexOf("\"" + q + "\":")
             if (at < 0) None
             else {
-              // bound the search to THIS query's object: if the entry has
-              // no "verdict" key (e.g. too few windows to fit), an
-              // unbounded indexOf would walk into the NEXT query's object
-              // and attach ITS verdict as this family's provenance
-              // (r15 review, second pass). Query keys all start with "q
-              // and never occur inside a runs array (whose keys are
-              // run/marginal_ratio/resid/points/sf/e/o), so the next
-              // top-level entry is a safe right boundary.
-              val next = content.indexOf("\"q", at + 1)
-              val limit = if (next < 0) content.length else next
-              val va = content.indexOf("\"verdict\":", at)
-              if (va < 0 || va >= limit) None
+              // bound the search to THIS query's object (an entry with no
+              // "verdict" key — e.g. too few windows to fit — must not
+              // walk into the NEXT entry and attach ITS verdict as this
+              // family's provenance; r15 review, second pass)
+              val entryOpen = content.indexOf('{', at)
+              val limit = if (entryOpen < 0) -1 else objectEnd(content, entryOpen)
+              if (limit < 0) None
               else {
-                val open = content.indexOf('{', va)
-                val close = content.indexOf('}', open)
-                if (open < 0 || close < 0 || close >= limit) None
-                else Some(content.substring(open, close + 1))
+                val va = content.indexOf("\"verdict\":", at)
+                if (va < 0 || va >= limit) None
+                else {
+                  val open = content.indexOf('{', va)
+                  val close = if (open < 0) -1 else objectEnd(content, open)
+                  if (open < 0 || close < 0 || close > limit) None
+                  else Some(content.substring(open, close + 1))
+                }
               }
             }
           }

@@ -93,8 +93,8 @@ object PipelineExprs {
     * encoding is a row-local single pass: the 100 TB-corpus cost is one
     * map-side projection, no join, no shuffle.
     */
-  def bpeEncode(text: Column, merges: Array[(String, String)]): Column =
-    col(BpeEncode(expr(text), merges))
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeEncode(expr(text), merges.toIndexedSeq))
 
   /** Per-document token frequency stats in ONE pass: total token count,
     * distinct token count, and the highest single-token frequency — the
@@ -1205,13 +1205,18 @@ case class PqAdcScore(left: Expression, right: Expression,
   * `mergePair` fold (spec-pinned equal on random inputs), iterated over
   * the table. Cost per row: O(merges · len), all row-local.
   */
-case class BpeEncode(child: Expression, merges: Array[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
 
+  // Seq field (not Array) so case-class equality compares the merge TABLE,
+  // not the array reference — two bpe_encode calls with the same learned
+  // table are plan-equal, so Catalyst subexpression/plan dedup can share
+  // them (r15 advice). Evaluation indexes flat arrays.
+  @transient private lazy val table: Array[(String, String)] = merges.toArray
   @transient private lazy val merged: Array[String] =
-    merges.map { case (a, b) => a + b }
+    table.map { case (a, b) => a + b }
 
   protected override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
@@ -1221,14 +1226,23 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)])
     while (w < words.length) {
       val word = words(w)
       if (word.nonEmpty) {
-        // symbols start as single chars (UTF-16 code units — the same
-        // basis split(text, "") gives training, so train/apply agree)
-        var syms = new Array[String](word.length)
+        // symbols start as single CODE POINTS — the same basis
+        // split(text, "") gives training (Java 8+ empty-regex split never
+        // splits a surrogate pair), so train/apply agree on supplementary-
+        // plane text too; per-UTF-16-unit seeding fragmented astral chars
+        // into lone surrogates the learned vocabulary never contains
+        var syms = new Array[String](word.codePointCount(0, word.length))
         var i = 0
-        while (i < word.length) { syms(i) = word.substring(i, i + 1); i += 1 }
+        var s = 0
+        while (i < word.length) {
+          val cc = Character.charCount(word.codePointAt(i))
+          syms(s) = word.substring(i, i + cc)
+          s += 1
+          i += cc
+        }
         var m = 0
-        while (m < merges.length && syms.length >= 2) {
-          val (a, b) = merges(m)
+        while (m < table.length && syms.length >= 2) {
+          val (a, b) = table(m)
           val ab = merged(m)
           val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
           var j = 0

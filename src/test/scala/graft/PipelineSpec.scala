@@ -936,10 +936,25 @@ class PipelineSpec extends SparkSpec {
     * a DIFFERENT formulation from the engine's fold-based [[Pipeline
     * .mergePair]], so agreement is evidence, not tautology.
     */
+  /** Split into per-CODE-POINT symbols — Spark's split(w, "") basis
+    * (verified: "b😀b" → 3 parts there), which Java's String.split("")
+    * does NOT match (it fragments surrogate pairs into lone halves).
+    */
+  private def cpSplit(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + cc)
+      i += cc
+    }
+    out.result()
+  }
+
   private def referenceBpe(words: Seq[(String, Long)],
       merges: Int): Seq[(Int, String, String, Long)] = {
     var vocab: Seq[(Vector[String], Long)] =
-      words.map { case (w, c) => (w.split("").toVector, c) }
+      words.map { case (w, c) => (cpSplit(w), c) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var more = true
@@ -1009,7 +1024,7 @@ class PipelineSpec extends SparkSpec {
   private def referenceEncode(text: String,
       table: Seq[(String, String)]): Seq[String] =
     text.split(" ").filter(_.nonEmpty).toSeq.flatMap { word =>
-      var syms: Vector[String] = word.split("").toVector
+      var syms: Vector[String] = cpSplit(word)
       for ((a, b) <- table) {
         val acc = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0
@@ -1030,7 +1045,7 @@ class PipelineSpec extends SparkSpec {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val rows = Tables.documents(spark, dir)
         .select(col("text"),
-          PipelineExprs.bpeEncode(col("text"), table.toArray).as("bpe"))
+          PipelineExprs.bpeEncode(col("text"), table).as("bpe"))
         .collect()
       rows.foreach { r =>
         val want = referenceEncode(r.getString(0), table)
@@ -1048,7 +1063,7 @@ class PipelineSpec extends SparkSpec {
     import graft.expressions.PipelineExprs
     val got = Tables.documents(spark, sf0001)
       .select(
-        size(PipelineExprs.bpeEncode(col("text"), Array.empty)).as("n"),
+        size(PipelineExprs.bpeEncode(col("text"), Nil)).as("n"),
         length(regexp_replace(col("text"), " ", "")).as("want"))
       .collect()
     got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
@@ -1059,6 +1074,47 @@ class PipelineSpec extends SparkSpec {
       val (chars, ws, bpe) = (r.getLong(2), r.getLong(3), r.getLong(4))
       assert(bpe <= chars && bpe >= ws, s"census bounds violated: $r")
     }
+  }
+
+  test("q144 encoder seeds symbols by CODE POINT: supplementary-plane train/apply agreement") {
+    import graft.expressions.PipelineExprs
+    import spark.implicits._
+    // U+1D54A (𝕊) and U+1F600 (😀) are surrogate PAIRS in UTF-16; the
+    // encoder must treat each as ONE symbol — the basis split(word, "")
+    // gives training (Java empty-regex split never splits a surrogate
+    // pair) and length() counts (code points). Per-UTF-16-unit seeding
+    // fragmented these into lone surrogates (r15 advice).
+    val texts = Seq("𝕊𝕊a b😀b xy", "plain text")
+    val zero = texts.toDF("text")
+      .select(size(PipelineExprs.bpeEncode(col("text"), Nil)).as("n"),
+        length(regexp_replace(col("text"), " ", "")).as("want"))
+      .collect()
+    zero.foreach(r => assert(r.getInt(0) === r.getInt(1),
+      "zero-merge BPE token count must equal code-point count"))
+    // with merges touching astral symbols: engine == reference apply
+    val table = Seq(("𝕊", "𝕊"), ("b", "😀"),
+      ("b😀", "b"))
+    val got = texts.toDF("text")
+      .select(PipelineExprs.bpeEncode(col("text"), table).as("bpe"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val want = texts.map(t => referenceEncode(t, table).toSeq)
+    assert(got === want)
+    assert(got.head.contains("𝕊𝕊"), "astral merge must apply")
+  }
+
+  test("bpe_encode expressions with equal merge tables are plan-equal (Seq semantics)") {
+    import graft.expressions.PipelineExprs
+    // two independently-built but element-equal tables: the expressions
+    // must compare equal so Catalyst plan/subexpression dedup can share
+    // them (an Array field compared by reference and never matched)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val child = Literal("abc")
+    val e1 = graft.expressions.BpeEncode(child, Array(("a", "b"), ("ab", "c")).toIndexedSeq)
+    val e2 = graft.expressions.BpeEncode(child, Vector(("a", "b"), ("ab", "c")))
+    assert(e1 === e2)
+    assert(e1.semanticEquals(e2))
+    val e3 = graft.expressions.BpeEncode(child, Vector(("a", "b")))
+    assert(e1 !== e3)
   }
 
   test("q141 pair census top-1 is the reference trainer's first merge") {
