@@ -229,6 +229,37 @@ class PipelineSpec extends SparkSpec {
     assert(b1 == b2)
   }
 
+  test("ANN training default bounds the sample when the corpus exceeds the bound") {
+    import spark.implicits._
+    // 10k synthetic unit vectors, DENSE ids — bigger than a 500-row bound
+    val dim = 8
+    val emb = spark.range(10000).select(col("id").as("vec_id"))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(dim - 1)),
+        i => (hash(col("vec_id") * lit(dim) + i).cast("double") / 2147483647.0)
+          .cast("float")).as("embedding"))
+    // auto stride: ceil(10000/500) = 20 -> exactly 500 sample rows
+    val (sample, n) = Pipeline.annTrainSample(emb, trainStride = 0L, maxTrainRows = 500L)
+    try {
+      assert(n <= 500L && n >= 250L, s"auto sample out of bounds: $n")
+      assert(sample.count() === n)
+    } finally sample.unpersist()
+    // the bounded-sample training still yields exactly k centroids, and
+    // an explicit stride reproducing the same sample trains identically
+    // (auto is a DERIVED stride, not a different algorithm)
+    val auto = Pipeline.ivfTrain(emb, k = 4, iters = 1,
+      trainStride = 0L, maxTrainRows = 500L).map(_.toSeq).toSeq
+    val explicit = Pipeline.ivfTrain(emb, k = 4, iters = 1,
+      trainStride = 20L).map(_.toSeq).toSeq
+    assert(auto.length === 4)
+    assert(auto === explicit)
+    // below the bound the auto default degenerates to the full corpus —
+    // the hash-stability pin for q38/q86/q87/q88/q136 at bench scale
+    val realEmb = Tables.embeddings(spark, sf001)
+    val (fullSample, fullN) = Pipeline.annTrainSample(realEmb, trainStride = 0L)
+    try assert(fullN === realEmb.count())
+    finally fullSample.unpersist()
+  }
+
   test("pq codes: shape m=8, every code in [0,16); encoding is partitioning-independent") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf001)
