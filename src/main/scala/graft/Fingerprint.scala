@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Content fingerprint of an input path — the staleness guard every
+  * pay-once memo keys on (r15 verdict item 3: session-scope memos
+  * trusted `dir` immutability for the session lifetime with only a doc
+  * caveat; a regenerated testdata dir silently served stale layouts,
+  * merge tables, and ANN indexes).
+  *
+  * The fingerprint folds the recursive file listing — (relative path,
+  * length, modification time) per file — into one md5 hex string. That
+  * is metadata-only: one FileSystem listing, no data read, ~micro-
+  * seconds locally and one namenode round-trip on a DFS — cheap enough
+  * to recompute on EVERY memoized access, which is what makes it a
+  * guard rather than another cache to invalidate. Content hashing is
+  * deliberately out of scope: a writer that preserves length AND mtime
+  * while changing bytes defeats it, but no real file sink does.
+  */
+object Fingerprint {
+
+  /** Fingerprint of `path` (file or directory, recursive). Nonexistent
+    * paths fingerprint as "absent" — distinct from any real listing, so
+    * a memo keyed on it re-runs once the path appears.
+    */
+  def of(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base = p.toUri.getPath
+    // RemoteIterator listFiles(recursive) returns a stable lexicographic
+    // walk per FileSystem; sort defensively so the digest never depends
+    // on listing order anyway
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base)
+      entries += s"$rel ${st.getLen} ${st.getModificationTime}"
+    }
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+}

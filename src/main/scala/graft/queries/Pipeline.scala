@@ -2650,8 +2650,8 @@ object Pipeline {
     def cells: Int = cents.length
   }
 
-  private val stagedAnn =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnnIndex]()
+  private val stagedAnn = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), LazyCell[AnnIndex]]()
 
   /** Process-unique component of staged-codes paths: scopes the stale-dir
     * sweep in [[stageAnnIndex]] to this process's own debris.
@@ -2659,94 +2659,217 @@ object Pipeline {
   private val processTag: String =
     java.util.UUID.randomUUID.toString.take(8)
 
-  /** Stage the IVFADC deployment layout for (session, dir), memoized like
-    * [[graft.Layouts]]' bucketed tables: train the coarse quantizer + PQ
-    * codebook (deterministic — fixed-pointed sums, rank-stride init), and
+  /** Staging paths (by directory name) currently being WRITTEN in this
+    * process: registered before any bytes land, so the stale-dir sweep
+    * can never reclaim a sibling staging that is mid-write but not yet
+    * memoized — two sessions staging the same dir concurrently could
+    * race exactly that way (r15 advice).
+    */
+  private val annInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Directory names of every index this process staged or adopted — the
+    * sweep's live set. Kept separately from the memo map so building it
+    * never forces an unmaterialized [[LazyCell]] into a training run.
+    */
+  private val annLivePaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Number of actual TRAINING runs [[stageAnnIndex]] performed in this
+    * process — spec observability for the pay-once / cold-open contract
+    * (adoption of a committed index must not move it).
+    */
+  private[graft] val annTrainings = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fingerprint of the embeddings relation staging depends on — the
+    * staleness component of every staged-ANN key. Metadata-only (one
+    * file-listing, no data read), recomputed on each call: a regenerated
+    * dir changes it, so neither the session memo nor committed-index
+    * adoption can ever serve codes trained on a previous generation of
+    * the data (r15 verdict item 3).
+    */
+  private def annSourceFp(spark: SparkSession, dir: String): String =
+    graft.Fingerprint.of(spark, s"$dir/embeddings.parquet")
+
+  /** Path identity (r14 advice): full md5 of the dir — a 32-bit hashCode
+    * could collide two distinct dirs onto one codes-path prefix.
+    */
+  private def annDirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The quantizer + codebook + provenance, persisted INSIDE the codes
+    * dir under an underscore-prefixed child — hidden from the codes scan
+    * (Hadoop/Spark readers skip `_`-prefixed paths), read back by
+    * cold-open adoption. Parquet, so doubles round-trip exactly.
+    */
+  private def annMetaPath(codesPath: String): String = codesPath + "/_graft_meta"
+
+  private def writeAnnMeta(spark: SparkSession, codesPath: String, dir: String,
+      fp: String, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    Seq((dir, fp, cents.map(_.toSeq).toSeq, cb.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("dir", "fp", "cents", "cb")
+      .coalesce(1).write.mode("overwrite").parquet(annMetaPath(codesPath))
+  }
+
+  private def readAnnMeta(spark: SparkSession, codesPath: String)
+      : Option[(String, String, AnnIndex)] =
+    scala.util.Try {
+      import spark.implicits._
+      val r = spark.read.parquet(annMetaPath(codesPath))
+        .as[(String, String, Seq[Seq[Double]], Seq[Seq[Seq[Double]]])].head()
+      (r._1, r._2, AnnIndex(codesPath,
+        r._3.map(_.toArray).toArray,
+        r._4.map(_.map(_.toArray).toArray).toArray))
+    }.toOption
+
+  /** Find a COMMITTED staged index for (dir, fp) under the warehouse —
+    * any process's, deterministic pick (lexicographically smallest
+    * name). Commit marker = the meta write's `_SUCCESS`: codes are fully
+    * written before the meta write starts, so meta-committed implies
+    * codes-complete. The fingerprint gate is what makes adoption safe
+    * where a bare `_SUCCESS`-gated skip was not (r14 review): codes
+    * paired with a PREVIOUS generation of the data can never match the
+    * current fingerprint, so a regenerated dir always re-stages.
+    */
+  private def findCommittedAnn(spark: SparkSession, dir: String, fp: String)
+      : Option[AnnIndex] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whPath)) return None
+    val prefix = s"g_ann_codes_${annDirKey(dir)}_"
+    fs.listStatus(whPath).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).sorted.iterator
+      .flatMap { name =>
+        val codesPath = s"$wh/$name"
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(annMetaPath(codesPath) + "/_SUCCESS"))
+        if (!committed) None
+        else readAnnMeta(spark, codesPath).collect {
+          case (d, f, idx) if d == dir && f == fp => idx
+        }
+      }.nextOption()
+  }
+
+  /** Stage the IVFADC deployment layout for (session, dir), memoized per
+    * (session, dir, data-fingerprint): train the coarse quantizer + PQ
+    * codebook (deterministic — fixed-pointed sums, rank-stride init),
     * write the (vec_id, bkt, codes) relation cell-partitioned under the
     * session warehouse so a probe's scan extent is its probed cells'
-    * files. Pay-once is per PROCESS (the memo above), and the write
-    * always REWRITES — Layouts' discipline, not [[writeShuffledShards]]'
-    * committed-version no-op: the warehouse outlives the JVM while the
-    * source data may be regenerated in place, and a `_SUCCESS`-gated skip
-    * would silently pair freshly-trained centroids with a PREVIOUS
-    * corpus's codes (wrong neighbors, no error — r14 review; the same
-    * failure Tables.scala documents for regenerated testdata).
+    * files, then COMMIT by persisting the quantizer + provenance inside
+    * the codes dir. Pay-once now spans processes: a later session (same
+    * JVM or a fresh one) whose data still matches the committed
+    * fingerprint ADOPTS the committed index — a metadata read, no
+    * training — instead of re-staging; any fingerprint drift falls back
+    * to a fresh train-and-write. The memo holds [[LazyCell]]s so the
+    * ConcurrentHashMap bin lock is never held across a training run.
     */
-  def stageAnnIndex(spark: SparkSession, dir: String): AnnIndex =
-    stagedAnn.computeIfAbsent((spark, dir), { _ =>
-      val emb = Tables.embeddings(spark, dir)
-        .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
-      val cents = ivfTrain(emb)
-      val cb = pqTrain(emb)
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      // Path identity (r14 ADVICE): a 32-bit dir.hashCode can collide two
-      // distinct dirs onto one codes path, and two SparkSessions staging
-      // the same dir concurrently would overwrite each other — either way
-      // a session's memoized (cents, cb) silently pairs with ANOTHER
-      // write's codes (wrong neighbors, no error). Full md5 of the dir
-      // kills the collision; a per-staging-unique suffix (UUID — unique
-      // ACROSS JVMs, unlike a process counter) serializes nothing but
-      // makes concurrent stagers write DISJOINT paths, each
-      // self-consistent with its own memoized quantizer. Nothing ever
-      // re-derives the path — the memoized AnnIndex carries it — so
-      // uniqueness costs no determinism.
-      val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      // Sweep scope (r15 review, second pass): the unique suffix means
-      // nothing self-overwrites, but sweeping EVERY sibling with this
-      // dir's md5 prefix deletes ANOTHER live session's staged codes —
-      // its memoized AnnIndex then points at a missing path for the rest
-      // of the process (the memo never re-stages), and another PROCESS
-      // sharing the warehouse is hit the same way. So the sweep targets
-      // only THIS process's own dead stagings: paths carrying this
-      // process's tag whose dir is not referenced by any live memo entry
-      // (in-process memo entries are never dropped, so the only such
-      // orphans are partial writes from a staging that threw before
-      // memoizing — exactly the retry debris worth reclaiming). Other
-      // processes' leftovers are left for warehouse-level cleanup:
-      // deleting a path we cannot prove dead trades a bounded disk leak
-      // for breaking someone's live index.
-      scala.util.Try {
-        val live = {
-          val it = stagedAnn.values.iterator()
-          val s = scala.collection.mutable.Set.empty[String]
-          while (it.hasNext) s += new org.apache.hadoop.fs.Path(it.next().codesPath).getName
-          s
-        }
-        val whPath = new org.apache.hadoop.fs.Path(wh)
-        val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith(s"g_ann_codes_${dirKey}_${processTag}_") && !live.contains(n))
-            fs.delete(st.getPath, true)
+  def stageAnnIndex(spark: SparkSession, dir: String): AnnIndex = {
+    val fp = annSourceFp(spark, dir)
+    stagedAnn.computeIfAbsent((spark, dir, fp),
+      _ => new LazyCell(stageOrAdoptAnn(spark, dir, fp))).value
+  }
+
+  private def stageOrAdoptAnn(spark: SparkSession, dir: String,
+      fp: String): AnnIndex =
+    findCommittedAnn(spark, dir, fp) match {
+      case Some(idx) =>
+        annLivePaths.add(new org.apache.hadoop.fs.Path(idx.codesPath).getName)
+        idx
+      case None =>
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val dirKey = annDirKey(dir)
+        // per-staging-unique suffix (UUID — unique across JVMs): two
+        // concurrent stagers write DISJOINT paths, each self-consistent
+        // with its own memoized quantizer; nothing ever re-derives the
+        // path, so uniqueness costs no determinism (r14 advice)
+        val name = s"g_ann_codes_${dirKey}_${processTag}_" +
+          java.util.UUID.randomUUID.toString.take(8)
+        val path = s"$wh/$name"
+        annInFlight.add(name)
+        try {
+          sweepAnnDebris(spark, wh, dirKey, fp)
+          annTrainings.incrementAndGet()
+          val emb = Tables.embeddings(spark, dir)
+            .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+          val cents = ivfTrain(emb)
+          val cb = pqTrain(emb)
+          ivfadcIndex(emb, cents, cb)
+            .write.partitionBy("bkt").mode("overwrite").parquet(path)
+          writeAnnMeta(spark, path, dir, fp, cents, cb) // the commit point
+          annLivePaths.add(name)
+          AnnIndex(path, cents, cb)
+        } finally annInFlight.remove(name)
+    }
+
+  /** Reclaim THIS process's own dead stagings for `dirKey`: dirs carrying
+    * this process's tag that are neither live (staged/adopted, in
+    * [[annLivePaths]]) nor mid-write ([[annInFlight]] — registered
+    * before any bytes land, closing the r15 race where a sibling
+    * staging's fresh path was swept mid-write), and are either
+    * UNCOMMITTED (throw-debris from a staging that died before its meta
+    * write) or committed against a STALE fingerprint of this dir (a
+    * regeneration superseded them; adoption can never pick them again).
+    * Other processes' dirs are never touched — deleting a path we cannot
+    * prove dead trades a bounded disk leak for breaking someone's live
+    * index.
+    */
+  private def sweepAnnDebris(spark: SparkSession, wh: String, dirKey: String,
+      fp: String): Unit =
+    scala.util.Try {
+      val whPath = new org.apache.hadoop.fs.Path(wh)
+      val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"g_ann_codes_${dirKey}_${processTag}_") &&
+            !annLivePaths.contains(n) && !annInFlight.contains(n)) {
+          val committed = fs.exists(new org.apache.hadoop.fs.Path(
+            annMetaPath(s"$wh/$n") + "/_SUCCESS"))
+          val stale = committed && readAnnMeta(spark, s"$wh/$n").exists(_._2 != fp)
+          if (!committed || stale) fs.delete(st.getPath, true)
         }
       }
-      val path = s"$wh/g_ann_codes_${dirKey}_${processTag}_" +
-        java.util.UUID.randomUUID.toString.take(8)
-      ivfadcIndex(emb, cents, cb)
-        .write.partitionBy("bkt").mode("overwrite").parquet(path)
-      AnnIndex(path, cents, cb)
-    })
+    }
 
   /** Dispatcher probe for [[graft.Exec]]'s q16 staged-ANN form: true only
-    * when THIS session already paid [[stageAnnIndex]].
+    * when THIS session already paid (or adopted) [[stageAnnIndex]] for
+    * the data's CURRENT fingerprint. Deliberately memo-only — the
+    * dispatcher never goes to disk on a probe, so dispatch stays
+    * deterministic within a session; cold-open adoption happens on the
+    * EXPLICIT calls ([[stageAnnIndex]], [[annSearchStaged]]).
     */
   def isAnnIndexStaged(spark: SparkSession, dir: String): Boolean =
-    stagedAnn.containsKey((spark, dir))
+    stagedAnn.containsKey((spark, dir, annSourceFp(spark, dir)))
 
   /** ANN search over the STAGED index — the deployment read path: the
     * codes scan is partition-pruned to the probed cells and never
     * exchanges ([[ivfadcCodesGateViolations]] is the plan gate,
-    * BucketedJoinSpec enforces it). Throws when nothing is staged: pay
-    * [[stageAnnIndex]] explicitly first (the Layouts discipline — no
-    * implicit staging).
+    * BucketedJoinSpec enforces it). Session memo first; then COLD OPEN —
+    * a committed index whose fingerprint matches the current data is
+    * adopted (metadata read, no training, no codes rewrite: the
+    * StashSpec-style kill-the-session-and-reopen path, spec-pinned in
+    * PipelineSpec). Throws when neither exists: pay [[stageAnnIndex]]
+    * explicitly first (the Layouts discipline — no implicit TRAINING).
     */
   def annSearchStaged(spark: SparkSession, dir: String, nprobe: Int,
       rerank: Int): DataFrame = {
-    val idx = stagedAnn.get((spark, dir))
-    if (idx == null) throw new IllegalStateException(
-      s"ANN index not staged for $dir in this session — call " +
-      "Pipeline.stageAnnIndex(spark, dir) first (staging is always explicit)")
+    val fp = annSourceFp(spark, dir)
+    val cell = stagedAnn.get((spark, dir, fp))
+    val idx =
+      if (cell != null) cell.value
+      else findCommittedAnn(spark, dir, fp) match {
+        case Some(found) =>
+          annLivePaths.add(new org.apache.hadoop.fs.Path(found.codesPath).getName)
+          stagedAnn.computeIfAbsent((spark, dir, fp),
+            _ => new LazyCell(found)).value
+        case None => throw new IllegalStateException(
+          s"ANN index not staged for $dir in this session and no committed " +
+          "index matches the data's current fingerprint — call " +
+          "Pipeline.stageAnnIndex(spark, dir) first (staging is always explicit)")
+      }
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
     ivfadcStagedProbe(spark, idx.codesPath, emb, annQueries(emb),
@@ -2762,9 +2885,8 @@ object Pipeline {
     * cells' files; THIS entry exists to hash-pin the staged machinery.
     */
   def q136(spark: SparkSession, dir: String): DataFrame = {
-    stageAnnIndex(spark, dir)
-    annSearchStaged(spark, dir,
-      nprobe = stagedAnn.get((spark, dir)).cells, rerank = Int.MaxValue)
+    val idx = stageAnnIndex(spark, dir)
+    annSearchStaged(spark, dir, nprobe = idx.cells, rerank = Int.MaxValue)
   }
 
   // ---- distributed tokenizer training (BPE) + embedding health (r15) ----

@@ -170,6 +170,25 @@ class PipelineSpec extends SparkSpec {
     assert(staged === inline)
   }
 
+  test("staged ANN index cold-opens in a fresh session: no re-train, q136-identical") {
+    // stage (or adopt a previously committed index) in the primary session
+    val first = Pipeline.q136(spark, sf0001).collect().toSeq
+    val trained = Pipeline.annTrainings.get()
+    // a FRESH session (new memo identity — the kill-and-reopen shape
+    // StashSpec uses for the KV store): the committed index must be
+    // adopted from the warehouse by fingerprint match — a metadata read,
+    // no training, no codes rewrite
+    val s2 = spark.newSession()
+    assert(!Pipeline.isAnnIndexStaged(s2, sf0001),
+      "fresh session: the memo-only probe must be cold")
+    val reopened = Pipeline.annSearchStaged(s2, sf0001,
+      nprobe = 16, rerank = Int.MaxValue).collect().toSeq
+    assert(reopened === first, "cold-opened probe must reproduce q136 exactly")
+    assert(Pipeline.isAnnIndexStaged(s2, sf0001), "adoption must memoize")
+    assert(Pipeline.annTrainings.get() === trained,
+      "cold open must not run a training job")
+  }
+
   test("q29 SRP-LSH ANN recall vs exact q16 top-5 >= 0.4") {
     val exact = TextVec.q16(spark, sf001).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
