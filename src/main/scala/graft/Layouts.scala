@@ -95,7 +95,7 @@ object Layouts {
     */
   def eventsByUserCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : DataFrame = {
-    val frame = stagedEvents.computeIfAbsent((spark, dir, buckets), { _ =>
+    val frame = stagedEvents.computeIfAbsent((spark, eventsKey(spark, dir), buckets), { _ =>
       val table = "g_ev_bkt_" +
         java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
       stageEventsByUser(spark, dir, buckets, table)
@@ -110,6 +110,22 @@ object Layouts {
     reassertScanConfs(spark)
     frame
   }
+
+  /** Staleness-guarded memo keys: `dir` plus a [[Fingerprint]] of the
+    * SOURCE table file(s) the staging reads. A dir regenerated in place
+    * mid-session changes the fingerprint, so the staged-layout probes go
+    * cold (the dispatcher falls back to the declarative form — no stale
+    * bucketed table is ever served) and the next explicit staging pays a
+    * fresh rewrite of the same table name (r15 verdict item 3). The
+    * listing is metadata-only, sub-ms per probe.
+    */
+  private def eventsKey(spark: SparkSession, dir: String): String =
+    s"$dir@" + Fingerprint.of(spark, s"$dir/events.parquet")
+  private def ordersKey(spark: SparkSession, dir: String): String =
+    s"$dir@" + Fingerprint.of(spark, s"$dir/orders.parquet")
+  private def factsKey(spark: SparkSession, dir: String): String =
+    s"$dir@" + Fingerprint.of(spark, s"$dir/lineitem.parquet") + ":" +
+      Fingerprint.of(spark, s"$dir/orders.parquet")
 
   private val stagedEvents =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
@@ -134,7 +150,7 @@ object Layouts {
     */
   def ordersByCustkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : DataFrame = {
-    val frame = stagedOrders.computeIfAbsent((spark, dir, buckets), { _ =>
+    val frame = stagedOrders.computeIfAbsent((spark, ordersKey(spark, dir), buckets), { _ =>
       val table = "g_ord_bkt_" +
         java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
       stageOrdersByCustkey(spark, dir, buckets, table)
@@ -149,7 +165,7 @@ object Layouts {
     */
   def factsByOrderkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : (DataFrame, DataFrame) = {
-    val frames = stagedFacts.computeIfAbsent((spark, dir, buckets), { _ =>
+    val frames = stagedFacts.computeIfAbsent((spark, factsKey(spark, dir), buckets), { _ =>
       val digest = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
       stageFactsByOrderkey(spark, dir, buckets,
         lineitemTable = s"g_li_bkt_${digest}_$buckets",
@@ -192,11 +208,11 @@ object Layouts {
     * count that is actually cached.
     */
   def isEventsLayoutStaged(spark: SparkSession, dir: String): Boolean =
-    bucketsStagedFor(stagedEvents, spark, dir).nonEmpty
+    bucketsStagedFor(stagedEvents, spark, eventsKey(spark, dir)).nonEmpty
   def isOrdersLayoutStaged(spark: SparkSession, dir: String): Boolean =
-    bucketsStagedFor(stagedOrders, spark, dir).nonEmpty
+    bucketsStagedFor(stagedOrders, spark, ordersKey(spark, dir)).nonEmpty
   def isFactsLayoutStaged(spark: SparkSession, dir: String): Boolean =
-    bucketsStagedFor(stagedFacts, spark, dir).nonEmpty
+    bucketsStagedFor(stagedFacts, spark, factsKey(spark, dir)).nonEmpty
 
   /** The bucket counts already staged for (session, dir) in `cache` —
     * smallest first, so a dispatcher picking `.headOption` is
@@ -204,10 +220,10 @@ object Layouts {
     */
   private def bucketsStagedFor[V](
       cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), V],
-      spark: SparkSession, dir: String): Seq[Int] = {
+      spark: SparkSession, key: String): Seq[Int] = {
     import scala.jdk.CollectionConverters._
     cache.keySet.asScala.collect {
-      case (s, d, b) if (s eq spark) && d == dir => b
+      case (s, d, b) if (s eq spark) && d == key => b
     }.toSeq.sorted
   }
 
@@ -218,15 +234,15 @@ object Layouts {
     */
   def eventsByUserStaged(spark: SparkSession, dir: String): DataFrame =
     eventsByUserCached(spark, dir,
-      bucketsStagedFor(stagedEvents, spark, dir).headOption.getOrElse(
+      bucketsStagedFor(stagedEvents, spark, eventsKey(spark, dir)).headOption.getOrElse(
         throw new IllegalStateException(s"events layout not staged for $dir")))
   def ordersByCustkeyStaged(spark: SparkSession, dir: String): DataFrame =
     ordersByCustkeyCached(spark, dir,
-      bucketsStagedFor(stagedOrders, spark, dir).headOption.getOrElse(
+      bucketsStagedFor(stagedOrders, spark, ordersKey(spark, dir)).headOption.getOrElse(
         throw new IllegalStateException(s"orders layout not staged for $dir")))
   def factsByOrderkeyStaged(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     factsByOrderkeyCached(spark, dir,
-      bucketsStagedFor(stagedFacts, spark, dir).headOption.getOrElse(
+      bucketsStagedFor(stagedFacts, spark, factsKey(spark, dir)).headOption.getOrElse(
         throw new IllegalStateException(s"fact layout not staged for $dir")))
 
   /** The co-located fact-join layout (q2's shape at the scale where

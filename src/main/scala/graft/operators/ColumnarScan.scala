@@ -63,9 +63,17 @@ object ColumnarScan {
   private val inputMemo =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String), DataFrame]()
 
+  /** The memo key folds in [[graft.Fingerprint]] of `d` (metadata-only
+    * listing, recomputed per call): a corpus regenerated in place mid-
+    * session gets a freshly planned frame on the next dispatch instead of
+    * a stale prepared plan — the r15 "dir immutability trusted on a doc
+    * caveat" finding. The listing costs ~sub-ms against the ~30 ms the
+    * prepared plan saves, so the guard does not erode the memo's point.
+    */
   def inputCached(s: org.apache.spark.sql.SparkSession, d: String, tag: String)
       (build: => DataFrame): DataFrame =
-    inputMemo.computeIfAbsent((s, d, tag), _ => build)
+    inputMemo.computeIfAbsent((s, s"$d@${graft.Fingerprint.of(s, d)}", tag),
+      _ => build)
 
   /** The single scan leaf under `df`'s executed plan, verified columnar.
     *

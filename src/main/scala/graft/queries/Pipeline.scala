@@ -2620,8 +2620,12 @@ object Pipeline {
   def q140(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
     // shards is part of the memo key: a later call with a different shard
     // count must materialize its own corpus, not be served the first
-    // call's committed one via the writer's _SUCCESS no-op (r15 review)
-    val root = stagedShardRoots.computeIfAbsent((spark, dir, shards), _ =>
+    // call's committed one via the writer's _SUCCESS no-op (r15 review).
+    // The source fingerprint is too: a dir regenerated MID-session gets a
+    // fresh root (the writer's committed-version no-op would otherwise
+    // serve the previous generation's corpus — r15 verdict item 3)
+    val srcKey = s"$dir@" + graft.Fingerprint.of(spark, s"$dir/documents.parquet")
+    val root = stagedShardRoots.computeIfAbsent((spark, srcKey, shards), _ =>
       java.nio.file.Files.createTempDirectory("graft-shards").toString)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -3035,12 +3039,14 @@ object Pipeline {
     (SparkSession, String, Int), LazyCell[Array[(String, String)]]]()
 
   def q144(spark: SparkSession, dir: String, merges: Int = 12): DataFrame = {
-    // train once per (session, dir, merges) — the stageAnnIndex pay-once
-    // discipline: deployment trains a tokenizer once and encodes many
-    // times, and q142's training is deterministic for fixed input, so the
-    // memo changes cost, never content (same per-session staleness caveat
-    // as every layout memo: a regenerated dir needs a fresh session)
-    val table = learnedMerges.computeIfAbsent((spark, dir, merges), _ =>
+    // train once per (session, corpus-fingerprint, merges) — the
+    // stageAnnIndex pay-once discipline: deployment trains a tokenizer
+    // once and encodes many times, and q142's training is deterministic
+    // for fixed input, so the memo changes cost, never content. The
+    // fingerprint in the key means a dir regenerated mid-session
+    // re-trains instead of serving the previous generation's table
+    val srcKey = s"$dir@" + graft.Fingerprint.of(spark, s"$dir/documents.parquet")
+    val table = learnedMerges.computeIfAbsent((spark, srcKey, merges), _ =>
       new LazyCell(q142(spark, dir, merges).collect()
         .map(r => (r.getString(1), r.getString(2))))).value
     Tables.documents(spark, dir)

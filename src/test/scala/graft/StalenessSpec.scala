@@ -1,0 +1,98 @@
+package graft
+
+import graft.queries.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Memo staleness guards (r15 verdict item 3): every pay-once memo keys
+  * on a [[Fingerprint]] of its source files, so a dir regenerated IN
+  * PLACE mid-session observably serves fresh results on the next call —
+  * the one failure mode the old (session, dir) keys could not see.
+  */
+class StalenessSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-stale-$tag").toString
+
+  test("Tables.load re-reads a table regenerated in place mid-session") {
+    import spark.implicits._
+    val dir = tmpDir("load")
+    Seq((1L, "v1")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val a = Tables.load(spark, dir, "orders").collect().map(_.getString(1)).toSeq
+    assert(a === Seq("v1"))
+    Seq((1L, "v2"), (2L, "v2")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val b = Tables.load(spark, dir, "orders").collect().map(_.getString(1)).toSeq
+    assert(b === Seq("v2", "v2"),
+      "regenerated file must be re-read, not served from the memoized frame")
+  }
+
+  test("ColumnarScan.inputCached rebuilds when the dir's fingerprint changes") {
+    import spark.implicits._
+    val dir = tmpDir("scan")
+    Seq(1).toDF("x").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    var builds = 0
+    def cached() = graft.operators.ColumnarScan.inputCached(spark, dir, "stale-spec") {
+      builds += 1; spark.read.parquet(s"$dir/t.parquet")
+    }
+    cached(); cached()
+    assert(builds === 1, "same generation: the prepared plan is built once")
+    Seq(2).toDF("x").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val f = cached()
+    assert(builds === 2, "regeneration must rebuild the prepared plan")
+    assert(f.collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
+
+  test("q144 merge-table memo retrains on a regenerated corpus (not a stale table)") {
+    import spark.implicits._
+    val dir = tmpDir("bpe")
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // generation 1: merges learned from an 'a'-heavy corpus
+    writeDocs(Seq((1L, "s", "aa ab aa"), (2L, "s", "ab aa")))
+    Pipeline.q144(spark, dir, merges = 2).collect()
+    // generation 2: 'zz' corpus — ITS OWN table merges (z,z), so each
+    // word encodes to ONE symbol (sum_bpe = 3); a stale gen-1 table has
+    // no z-merge and would leave 2 symbols per word (sum_bpe = 6)
+    writeDocs(Seq((3L, "s", "zz zz zz")))
+    val out = Pipeline.q144(spark, dir, merges = 2).collect()
+    assert(out.map(_.getLong(4)).sum === 3L,
+      "regenerated corpus must be re-trained, not encoded with the stale table")
+  }
+
+  test("q140 shard root goes fresh on a regenerated corpus") {
+    import spark.implicits._
+    val dir = tmpDir("shards")
+    def writeDocs(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, s"doc $i text")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(2)
+    assert(Pipeline.q140(spark, dir).collect().map(_.getLong(1)).sum === 2L)
+    writeDocs(5)
+    assert(Pipeline.q140(spark, dir).collect().map(_.getLong(1)).sum === 5L,
+      "the committed-version no-op must not serve the previous generation")
+  }
+
+  test("staged events layout probe goes cold when the source regenerates") {
+    import spark.implicits._
+    val dir = tmpDir("layout")
+    // minimal events shape the staging needs
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 11L))
+      .toDF("user_id", "ts", "event_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Layouts.eventsByUserCached(spark, dir, buckets = 2)
+    assert(Layouts.isEventsLayoutStaged(spark, dir))
+    // regenerate: the probe must go cold (the dispatcher then uses the
+    // declarative form instead of a bucketed table built from old data)
+    Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 20L))
+      .toDF("user_id", "ts", "event_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(!Layouts.isEventsLayoutStaged(spark, dir),
+      "a regenerated source must not count as staged")
+    // an explicit re-stage serves the NEW generation
+    val re = Layouts.eventsByUserCached(spark, dir, buckets = 2)
+    assert(re.select("user_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+}
