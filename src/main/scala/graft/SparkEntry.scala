@@ -254,6 +254,16 @@ object SparkEntry {
     // compression census. Rows-only for q142's reason; the encoder is
     // spec-gated against an independent reference apply.
     "q144_bpe_encode" -> ((s, d) => Pipeline.q144(s, d)),
+    // q145: the incremental pair-delta BPE trainer at a REAL vocabulary
+    // depth (merges=256) — q142's exact merge table (same argmax, same
+    // tie-break; spec-pinned) at the cost shape a 30k-merge tokenizer
+    // needs: the pair census is maintained by per-merge deltas and each
+    // round touches only the words containing the merged pair, instead
+    // of q142's full vocab-grain recompute per round. Rows-only for
+    // q142's reason; gated by PipelineSpec equality to the independent
+    // reference trainer at merges=256 and by the spec_checks prefix
+    // check against q142's reference-gated table.
+    "q145_bpe_train256" -> ((s, d) => Pipeline.bpeTrain(s, d, merges = 256)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -315,6 +325,10 @@ object SparkEntry {
     *    reason; the encoder itself is spec-gated against an independent
     *    reference apply at two SFs, and its zero-merge degenerate case
     *    equals the oracle-checkable char count)
+    *  - q145 (the incremental trainer's 256-merge table: q142's reason at
+    *    depth. PipelineSpec asserts it equal to the independent reference
+    *    trainer at merges=256 and to q142 at merges=12; spec_checks
+    *    records the prefix check per run)
     */
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql

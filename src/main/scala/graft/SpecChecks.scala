@@ -172,6 +172,20 @@ object SpecChecks {
       s"""{"check":"approx p50/p90 inside exact [p-0.01, p+0.01] value envelope","groups":${approx.length},"max_envelope_violation":${num(worst)},"pass":${approx.nonEmpty && worst == 0.0}}"""
     }
 
+    guarded("q145_bpe_train256") {
+      // the 256-merge incremental table's first 12 rows must equal q142's
+      // table (greedy BPE is prefix-stable in depth), and q142 itself is
+      // reference-trainer-gated — so this check chains q145 to the same
+      // independent reference without rerunning a 256-round reference
+      // trainer inside the verify pass
+      def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val full = tbl(queries.Pipeline.bpeTrain(spark, dir, merges = 256))
+      val twelve = tbl(queries.Pipeline.q142(spark, dir, merges = 12))
+      val prefixOk = full.take(12) == twelve
+      s"""{"check":"first 12 of the 256-merge incremental table == q142's reference-gated table","n_merges":${full.size},"prefix_equals_q142":$prefixOk,"pass":${prefixOk && full.size > 12}}"""
+    }
+
     val allPass = out.values.forall(_.contains("\"pass\":true"))
     val body = out.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     s"""{"sf_dir":"$dir","all_pass":$allPass,"checks":{$body}}"""

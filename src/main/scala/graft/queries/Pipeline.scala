@@ -3008,6 +3008,279 @@ object Pipeline {
     learned.toSeq.toDF("rank", "pair_left", "pair_right", "cnt")
   }
 
+  // ---- incremental pair-delta BPE training (r15 verdict item 3) ----
+
+  /** Per-code-point split of a word — the driver-side twin of Spark's
+    * split(w, "") basis (never fragments a surrogate pair), shared by
+    * the incremental trainer's two paths.
+    */
+  private def cpSplit(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var s = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      out(s) = w.substring(i, i + cc)
+      s += 1
+      i += cc
+    }
+    out
+  }
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (a, b) into
+    * a+b on a driver-side symbol array — byte-for-byte the [[mergePair]]
+    * fold and [[graft.expressions.BpeEncode]]'s apply step.
+    */
+  private def greedyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        acc += (a + b); i += 2
+      } else { acc += syms(i); i += 1 }
+    }
+    acc.toArray
+  }
+
+  /** (cnt DESC, a, b) with strings compared as UTF-8 BYTES — exactly the
+    * ordering q142's `orderBy(col("cnt").desc, col("a"), col("b"))`
+    * resolves to (UTF8String binary), so every trainer path argmaxes
+    * identically even on supplementary-plane symbols.
+    */
+  private def pairBeats(cntX: Long, aX: String, bX: String,
+      cntY: Long, aY: String, bY: String): Boolean = {
+    import org.apache.spark.unsafe.types.UTF8String
+    if (cntX != cntY) cntX > cntY
+    else {
+      val ca = UTF8String.fromString(aX).compareTo(UTF8String.fromString(aY))
+      if (ca != 0) ca < 0
+      else UTF8String.fromString(bX).compareTo(UTF8String.fromString(bY)) < 0
+    }
+  }
+
+  /** True when `syms` contains adjacent [a, b] — the affected-word filter
+    * of the distributed delta rounds (guarded: sequence() DESCENDS when
+    * start > stop, so a 1-symbol word must not build indices at all).
+    */
+  private def hasAdjacentPair(syms: Column, a: String, b: String): Column =
+    when(size(syms) >= 2,
+      exists(sequence(lit(1), size(syms) - 1),
+        i => element_at(syms, i) === lit(a) && element_at(syms, i + 1) === lit(b)))
+      .otherwise(lit(false))
+
+  /** array<struct<a,b>> of the adjacent symbol pairs of `syms`. */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** Incremental pair-delta BPE trainer — [[q142]]'s exact merge table
+    * (same argmax, same tie-break, spec-pinned equal) at the cost shape a
+    * real 30k–100k-merge vocabulary needs. q142 recomputes the FULL
+    * vocab-grain pair census every round (fine at merges=12, wrong at
+    * 30k); here the census is maintained incrementally: a merge of
+    * (a, b) only changes the pairs of words that CONTAIN adjacent
+    * [a, b], so each round touches the affected words and nothing else —
+    * the subword-nmt/Hugging-Face trainer algorithm, decomposed for
+    * Spark.
+    *
+    * Grain argument, the reason this scales: the corpus is paid ONCE
+    * ([[wordCounts]] — map-side combined, vocab-grain shuffle). The pair
+    * CENSUS is symbol-pair-grain — bounded by symbol-pair diversity
+    * (initial distinct-char pairs + O(1) new pairs per merge), a few
+    * million entries for real corpora at ANY corpus size — so it lives on
+    * the driver (the same bounded-driver-state class as ivfTrain's k×d
+    * matrix), making every round's argmax free. The word VOCAB is the
+    * unbounded axis: within `maxDriverVocab` it is collected and the
+    * whole loop runs driver-side with a pair→words occurrence index
+    * (zero Spark jobs per round); past the bound the vocab stays
+    * DISTRIBUTED and each round runs exactly one job — an affected-only
+    * filter + delta-census collect — plus a row-local conditional merge
+    * projection, with an eager localCheckpoint every 64 rounds to keep
+    * the plan O(1) deep (Graph.connectedComponents' discipline; at
+    * cluster scale set a reliable checkpoint dir the same way).
+    *
+    * Rows-only by design for q142's reason (data-dependent iterated
+    * argmax); the gates are q141 (round 1's census IS hash-checked),
+    * PipelineSpec equality to q142 and to the independent reference
+    * trainer at merges=256, and forced-distributed-path parity.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 12,
+      maxDriverVocab: Long = 500000L): DataFrame = {
+    import spark.implicits._
+    val wc = wordCounts(spark, dir)
+    val learned =
+      if (wc.count() <= maxDriverVocab)
+        bpeTrainDriver(wc.collect().map(r => (r.getString(0), r.getLong(1))), merges)
+      else bpeTrainDistributed(spark, wc, merges)
+    learned.toDF("rank", "pair_left", "pair_right", "cnt")
+  }
+
+  /** The in-memory incremental trainer (vocab within bound): census map +
+    * pair→word-indices occurrence index, lazy deletion; each round costs
+    * O(|census| argmax + Σ len(affected words)).
+    */
+  private[graft] def bpeTrainDriver(words: Array[(String, Long)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    val syms: Array[Array[String]] = words.map { case (w, _) => cpSplit(w) }
+    val cnt: Array[Long] = words.map(_._2)
+    val census = new java.util.HashMap[(String, String), java.lang.Long]()
+    val index = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    def censusAdd(p: (String, String), d: Long): Unit = {
+      val nv = (census.getOrDefault(p, 0L): Long) + d
+      if (nv == 0L) census.remove(p) else census.put(p, nv)
+    }
+    def addWord(wi: Int): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        censusAdd(p, cnt(wi))
+        index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]()).add(wi)
+        i += 1
+      }
+    }
+    def removeWordFromCensus(wi: Int): Unit = {
+      // census is exact (add/remove symmetric); index entries are left
+      // stale and re-verified on use — the standard lazy-deletion index
+      val s = syms(wi)
+      var i = 0
+      while (i + 1 < s.length) { censusAdd((s(i), s(i + 1)), -cnt(wi)); i += 1 }
+    }
+    var wi = 0
+    while (wi < syms.length) { addWord(wi); wi += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= merges && !census.isEmpty) {
+      var bestA: String = null
+      var bestB: String = null
+      var bestC = 0L
+      val it = census.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val (a, b) = e.getKey
+        val c: Long = e.getValue
+        if (bestA == null || pairBeats(c, a, b, bestC, bestA, bestB)) {
+          bestA = a; bestB = b; bestC = c
+        }
+      }
+      out += ((rank, bestA, bestB, bestC))
+      val hits = index.remove((bestA, bestB))
+      if (hits != null) {
+        val hi = hits.iterator()
+        while (hi.hasNext) {
+          val w = hi.next().intValue()
+          // stale-entry check: the word may have merged this pair away in
+          // an earlier round
+          val s = syms(w)
+          var has = false
+          var i = 0
+          while (!has && i + 1 < s.length) {
+            has = s(i) == bestA && s(i + 1) == bestB; i += 1
+          }
+          if (has) {
+            removeWordFromCensus(w)
+            syms(w) = greedyMerge(s, bestA, bestB)
+            addWord(w)
+          }
+        }
+      }
+      rank += 1
+    }
+    out.toSeq
+  }
+
+  /** The distributed delta trainer (vocab past the driver bound): vocab
+    * stays a DataFrame; each round is one affected-only job.
+    */
+  private[graft] def bpeTrainDistributed(spark: SparkSession, wc: DataFrame,
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def freeLeaf(df: DataFrame): Unit =
+      GraftColumnBridge.leafRdd(df).foreach(_.unpersist(false))
+    // EVERY round's vocab is a lazily-localCheckpoint'ed frame: the
+    // logical plan stays a LogicalRDD LEAF, so per-round analysis/
+    // optimization is O(1). Chaining plain .select per round instead
+    // grows the logical tree, and CollapseProject inlines the 3
+    // references `when(hasPair, merge).otherwise(syms)` makes to the
+    // previous round's column — measured: per-round wall time climbs
+    // every round and the 40-round spec never finishes. The lazy
+    // checkpoint materializes on the NEXT round's delta job (no extra
+    // job per round); the superseded round's blocks are freed
+    // explicitly through the bridge, so storage is 2 vocab snapshots,
+    // not `merges`. At cluster scale substitute reliable checkpoints
+    // (Graph.connectedComponents' `reliable` contract) — local
+    // checkpoint blocks die with an executor.
+    var vocab = wc.select(split(col("word"), "").as("syms"), col("c"))
+      .localCheckpoint() // eager: the one corpus-derived materialization
+    var prev: Option[DataFrame] = None
+    val census = new java.util.HashMap[(String, String), java.lang.Long]()
+    def censusAdd(p: (String, String), d: Long): Unit = {
+      val nv = (census.getOrDefault(p, 0L): Long) + d
+      if (nv == 0L) census.remove(p) else census.put(p, nv)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      // the ONE vocab-grain census job; every later round is delta-only
+      vocab.filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("cnt")).collect()
+        .foreach(r => censusAdd((r.getString(0), r.getString(1)), r.getLong(2)))
+      var rank = 1
+      while (rank <= merges && !census.isEmpty) {
+        var bestA: String = null
+        var bestB: String = null
+        var bestC = 0L
+        val it = census.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val (a, b) = e.getKey
+          val c: Long = e.getValue
+          if (bestA == null || pairBeats(c, a, b, bestC, bestA, bestB)) {
+            bestA = a; bestB = b; bestC = c
+          }
+        }
+        out += ((rank, bestA, bestB, bestC))
+        // the round's single job: affected words only — old pairs retire
+        // (sign -1), post-merge pairs arrive (sign +1); the groupBy input
+        // is affected-grain, NOT vocab-grain. This job also materializes
+        // the current vocab's lazy checkpoint, after which the PREVIOUS
+        // round's blocks are droppable.
+        val affected = vocab.filter(hasAdjacentPair(col("syms"), bestA, bestB))
+        val delta = affected
+          .select(col("c"), explode(concat(
+            transform(adjacentPairs(mergePair(col("syms"), bestA, bestB)),
+              p => struct(p.getField("a").as("a"), p.getField("b").as("b"),
+                lit(1L).as("sgn"))),
+            transform(adjacentPairs(col("syms")),
+              p => struct(p.getField("a").as("a"), p.getField("b").as("b"),
+                lit(-1L).as("sgn"))))).as("d"))
+          .groupBy(col("d.a").as("a"), col("d.b").as("b"))
+          .agg(sum(col("d.sgn") * col("c")).as("dc"))
+          .collect()
+        prev.foreach(freeLeaf)
+        prev = None
+        delta.foreach(r => censusAdd((r.getString(0), r.getString(1)), r.getLong(2)))
+        // row-local conditional merge: CaseWhen evaluates the fold only on
+        // affected rows, everything else passes through untouched
+        val next = vocab
+          .select(when(hasAdjacentPair(col("syms"), bestA, bestB),
+              mergePair(col("syms"), bestA, bestB))
+            .otherwise(col("syms")).as("syms"), col("c"))
+          .localCheckpoint(eager = false)
+        prev = Some(vocab)
+        vocab = next
+        rank += 1
+      }
+    } finally {
+      prev.foreach(freeLeaf)
+      freeLeaf(vocab)
+    }
+    out.toSeq
+  }
+
   /** q144: tokenizer train→encode roundtrip census — the second half of
     * the BPE loop: [[q142]]'s learned merge table, applied back to the
     * corpus by [[PipelineExprs.bpeEncode]], with a per-source census of

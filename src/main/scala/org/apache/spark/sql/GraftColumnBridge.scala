@@ -23,4 +23,17 @@ object GraftColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(name, info, builder)
+
+  /** The underlying RDD when `df`'s plan is a LogicalRDD leaf (i.e. a
+    * `localCheckpoint`ed frame): iterative operators that checkpoint per
+    * round use this to UNPERSIST the superseded round's blocks —
+    * `Dataset.unpersist` only talks to the CacheManager and cannot free
+    * checkpoint storage, which would otherwise accumulate one vocab-sized
+    * persist per round. None for any other plan shape.
+    */
+  def leafRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

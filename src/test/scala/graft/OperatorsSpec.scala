@@ -109,6 +109,41 @@ class OperatorsSpec extends SparkSpec {
     assert(za.max(zb) < sb / 2, "z-order not better than 1-D sort on the unsorted dim")
   }
 
+  test("3-column z-order: partitions cover compact ranges on ALL THREE dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three mutually independent uniform dims: a 1-D sort on `a` leaves
+    // each file spanning the full b- and c-ranges; zorderN must shrink all
+    val n = 1 << 15
+    val df = (0 until n).map { i =>
+      (((i * 2654435761L) & 0xffff).toLong,
+       ((i * 40503L) & 0xffff).toLong,
+       ((i * 928371L) & 0xffff).toLong)
+    }.toDF("a", "b", "c").repartition(8)
+    val parts = 64
+    def spans(clustered: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val agg = clustered
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max(col("a")) - min(col("a"))).as("sa"),
+          (max(col("b")) - min(col("b"))).as("sb"),
+          (max(col("c")) - min(col("c"))).as("sc"))
+        .agg(avg(col("sa")), avg(col("sb")), avg(col("sc"))).head()
+      (agg.getDouble(0), agg.getDouble(1), agg.getDouble(2))
+    }
+    val (za, zb, zc) = spans(Layout.zorderN(df, Seq("a", "b", "c"), parts))
+    val (_, sb, sc) = spans(df.repartitionByRange(parts, col("a")).sortWithinPartitions("a"))
+    // 64 partitions = 6 z-prefix bits = 2 bits per dim -> ~1/4 of the
+    // 65536 range per dim ideally; range-partition boundaries sampled by
+    // repartitionByRange straddle bit boundaries, so allow ~2x slop —
+    // still far below the control's full-range span
+    for ((s, nm) <- Seq((za, "a"), (zb, "b"), (zc, "c")))
+      assert(s < 65536 * 0.55, f"z-order span $nm=$s%.0f — not compact on all dims")
+    assert(sb > 65536 * 0.9 && sc > 65536 * 0.9,
+      f"1-D sort control should span b and c (got $sb%.0f, $sc%.0f)")
+    assert(za.max(zb).max(zc) < sb / 2, "3-col z-order not better than 1-D sort")
+  }
+
   test("Misra-Gries: heavy-hitter superset guarantee under eviction and merge") {
     import spark.implicits._
     // 10k arrivals, 200 distinct: 3 planted hot items + a long uniform

@@ -1167,6 +1167,34 @@ class PipelineSpec extends SparkSpec {
     assert(e1 !== e3)
   }
 
+  private def mergeRow(r: org.apache.spark.sql.Row): (Int, String, String, Long) =
+    (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))
+
+  test("incremental bpeTrain == q142 at merges=12; == reference trainer at merges=256") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val declarative = Pipeline.q142(spark, dir, merges = 12).collect().map(mergeRow).toSeq
+      val incremental = Pipeline.bpeTrain(spark, dir, merges = 12).collect().map(mergeRow).toSeq
+      assert(incremental === declarative, s"trainers diverge at $dir")
+    }
+    // the deep-vocabulary target q142's per-round full recompute can't
+    // reach: 256 merges, checked against the INDEPENDENT reference trainer
+    val deep = Pipeline.bpeTrain(spark, sf001, merges = 256).collect().map(mergeRow).toSeq
+    val ref = referenceBpe(wordCountsLocal(sf001), merges = 256)
+    assert(deep === ref, "incremental trainer diverges from reference at merges=256")
+    // this corpus exhausts (every word fused to one symbol) at depth ~89;
+    // BOTH trainers must agree on the exhaustion point too
+    assert(deep.size > 50, s"corpus exhausted unexpectedly early: ${deep.size}")
+    info(s"trained to exhaustion at ${deep.size} merges (sf0.01 vocab)")
+  }
+
+  test("bpeTrain forced past the driver-vocab bound: distributed delta path parity") {
+    val driver = Pipeline.bpeTrain(spark, sf0001, merges = 40).collect().map(mergeRow).toSeq
+    val dist = Pipeline.bpeTrain(spark, sf0001, merges = 40, maxDriverVocab = 0L)
+      .collect().map(mergeRow).toSeq
+    assert(dist === driver, "distributed delta path diverges from the driver path")
+    assert(dist.size === 40)
+  }
+
   test("q141 pair census top-1 is the reference trainer's first merge") {
     val top = Pipeline.q141(spark, sf001, topK = 1).collect()(0)
     val ref = referenceBpe(wordCountsLocal(sf001), merges = 1).head

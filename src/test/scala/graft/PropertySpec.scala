@@ -181,6 +181,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zValueN == reference N-dim interleave; degenerates to zValue at N=2") {
+    import spark.implicits._
+    // reference: bit b of dim i -> bit b*n + i
+    def refN(xs: Seq[Long], bits: Int): Long = {
+      val n = xs.size
+      xs.zipWithIndex.foldLeft(0L) { case (z, (x, i)) =>
+        (0 until bits).foldLeft(z)((acc, b) => acc | ((x >> b & 1L) << (b * n + i)))
+      }
+    }
+    val bits3 = graft.operators.Layout.bitsPerDim(3)
+    assert(bits3 === 16)
+    assert(graft.operators.Layout.bitsPerDim(4) === 15)
+    val ps = samples(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L),
+      Gen.chooseNum(0L, 65535L)), 200) ++
+      Seq((0L, 0L, 0L), (65535L, 65535L, 65535L), (0L, 65535L, 1234L))
+    val rows = ps.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        graft.operators.Layout.zValueN(Seq(col("a"), col("b"), col("c")), bits3).as("z3"),
+        graft.operators.Layout.zValueN(Seq(col("a"), col("b")), 16).as("z2"),
+        graft.operators.Layout.zValue(col("a"), col("b")).as("zl"))
+      .collect()
+    rows.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == refN(Seq(a, b, c), bits3), s"zValueN($a,$b,$c)")
+      assert(r.getLong(4) == r.getLong(5),
+        s"zValueN at N=2 must equal the magic-ladder zValue for ($a,$b)")
+    }
+  }
+
   test("Misra-Gries bounds hold on arbitrary random streams (property)") {
     // heavy skew, mild skew, uniform — across ks; the superset guarantee
     // and the n/(k+1) underestimate bound must hold for every stream
