@@ -46,6 +46,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Registry manifest, also pre-Spark: the r14 failure mode was an EMPTY
+    // correctness artifact that read as "nothing to grade" instead of
+    // "harness crashed". This records how many entries a complete run MUST
+    // produce, so any artifact with fewer result dirs than registry_size
+    // is machine-detectably partial — the gate-side minimum-entry assert
+    // the r15 verdict asked for, anchored from the repo side.
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"registry_size":${SparkEntry.queries.size},"queries":[""" +
+        SparkEntry.queries.keys.toSeq.sorted.map(q).mkString(",") + "]}")
     // a reused outDir must not mix runs: stale progress lines would make a
     // clean run look crashed, and a stale verify_error.txt would indict a
     // successful one (r15 review) — this run's artifact starts empty
