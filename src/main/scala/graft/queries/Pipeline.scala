@@ -3314,13 +3314,16 @@ object Pipeline {
   def q144(spark: SparkSession, dir: String, merges: Int = 12): DataFrame = {
     // train once per (session, corpus-fingerprint, merges) — the
     // stageAnnIndex pay-once discipline: deployment trains a tokenizer
-    // once and encodes many times, and q142's training is deterministic
-    // for fixed input, so the memo changes cost, never content. The
+    // once and encodes many times, and training is deterministic for
+    // fixed input, so the memo changes cost, never content. The
     // fingerprint in the key means a dir regenerated mid-session
-    // re-trains instead of serving the previous generation's table
+    // re-trains instead of serving the previous generation's table.
+    // Trains via [[bpeTrain]] (the incremental pair-delta trainer),
+    // which is spec-pinned to emit q142's exact table — same artifact,
+    // ~8x cheaper cold (r16a window: 0.35 s vs 3.5 s at sf0.1).
     val srcKey = s"$dir@" + graft.Fingerprint.of(spark, s"$dir/documents.parquet")
     val table = learnedMerges.computeIfAbsent((spark, srcKey, merges), _ =>
-      new LazyCell(q142(spark, dir, merges).collect()
+      new LazyCell(bpeTrain(spark, dir, merges).collect()
         .map(r => (r.getString(1), r.getString(2))))).value
     Tables.documents(spark, dir)
       .select(col("source"),
