@@ -23,6 +23,16 @@ object TextVecExprs {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
 
+  /** Spark's codegen'd XxHash64 with an explicit SEED (the public
+    * `xxhash64` function pins seed 42): two different seeds give two
+    * effectively independent 64-bit fingerprints — a 128-bit-class
+    * fingerprint at ~1/10 the per-byte cost of md5 (crypto strength is
+    * irrelevant to dedup counting; only collision probability matters,
+    * and n²/2¹²⁹ is the same class as md5's).
+    */
+  def xxhash64Seeded(c: Column, seed: Long): Column =
+    col(org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(expr(c)), seed))
+
   /** LSH band keys of the MinHash signature of character k-gram shingles of
     * lower(text) — one pass, no materialized shingle array.
     */
