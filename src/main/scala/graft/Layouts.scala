@@ -95,11 +95,12 @@ object Layouts {
     */
   def eventsByUserCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : DataFrame = {
-    val frame = stagedEvents.computeIfAbsent((spark, eventsKey(spark, dir), buckets), { _ =>
-      val table = "g_ev_bkt_" +
-        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
-      stageEventsByUser(spark, dir, buckets, table)
-    })
+    val frame = stagedEvents.computeIfAbsent((spark, eventsKey(spark, dir), buckets), _ =>
+      new LazyCell({
+        val table = "g_ev_bkt_" +
+          java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
+        stageEventsByUser(spark, dir, buckets, table)
+      })).value
     // Re-assert the two scan confs on EVERY call, not just at staging: the
     // cached frame re-plans at each action against the session's CURRENT
     // conf, and if anything reset autoBucketedScan after staging (RESET,
@@ -127,8 +128,16 @@ object Layouts {
     s"$dir@" + Fingerprint.of(spark, s"$dir/lineitem.parquet") + ":" +
       Fingerprint.of(spark, s"$dir/orders.parquet")
 
+  /** One-slot lazy holder: `computeIfAbsent` only constructs the cell, so
+    * the ConcurrentHashMap bin lock is held for nanoseconds and unrelated
+    * keys hashing to the same bin never block behind a staging write
+    * (CHM's mapping functions must be short); the staging itself runs
+    * under the cell's own lazy-val lock — same-key callers still pay once.
+    */
+  private final class LazyCell[T](thunk: => T) { lazy val value: T = thunk }
+
   private val stagedEvents =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyCell[DataFrame]]()
 
   /** The per-customer top-k layout (q5's shape): orders bucketed by
     * o_custkey, pruned to the three columns the query family reads; the
@@ -150,11 +159,12 @@ object Layouts {
     */
   def ordersByCustkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : DataFrame = {
-    val frame = stagedOrders.computeIfAbsent((spark, ordersKey(spark, dir), buckets), { _ =>
-      val table = "g_ord_bkt_" +
-        java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
-      stageOrdersByCustkey(spark, dir, buckets, table)
-    })
+    val frame = stagedOrders.computeIfAbsent((spark, ordersKey(spark, dir), buckets), _ =>
+      new LazyCell({
+        val table = "g_ord_bkt_" +
+          java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
+        stageOrdersByCustkey(spark, dir, buckets, table)
+      })).value
     reassertScanConfs(spark)
     frame
   }
@@ -165,12 +175,13 @@ object Layouts {
     */
   def factsByOrderkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : (DataFrame, DataFrame) = {
-    val frames = stagedFacts.computeIfAbsent((spark, factsKey(spark, dir), buckets), { _ =>
-      val digest = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
-      stageFactsByOrderkey(spark, dir, buckets,
-        lineitemTable = s"g_li_bkt_${digest}_$buckets",
-        ordersTable = s"g_o_bkt_${digest}_$buckets")
-    })
+    val frames = stagedFacts.computeIfAbsent((spark, factsKey(spark, dir), buckets), _ =>
+      new LazyCell({
+        val digest = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+        stageFactsByOrderkey(spark, dir, buckets,
+          lineitemTable = s"g_li_bkt_${digest}_$buckets",
+          ordersTable = s"g_o_bkt_${digest}_$buckets")
+      })).value
     reassertScanConfs(spark)
     frames
   }
@@ -185,9 +196,9 @@ object Layouts {
   }
 
   private val stagedOrders =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyCell[DataFrame]]()
   private val stagedFacts =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyCell[(DataFrame, DataFrame)]]()
 
   // NOTE (r13): memoizing a full QUERY frame (not just its scans) was
   // tried for q98/q99 and reverted — re-collecting one Dataset object

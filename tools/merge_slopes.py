@@ -7,8 +7,18 @@ windows produce fits with large residuals; picking min-residual selects
 the measurement, not the answer we'd like.
 
 Usage: python3 tools/merge_slopes.py tools/bench_slope_r11a.json ... > tools/bench_slope3_latest.json
+
+Supersede rule: tools/slope_supersede.json (optional) maps a query name
+to the FIRST window tag that measured its CURRENT implementation.
+Windows listed before that tag (command-line order) are excluded for
+that query: min-residual selection across code generations would
+otherwise attribute the OLD implementation's marginal to the new code —
+flattering a regression or hiding an improvement equally (r16: the q14
+family's md5→xxhash64 change halved the data term, but every pre-r16
+window still fit the md5 code with smaller residuals).
 """
 import json
+import os
 import sys
 
 
@@ -17,15 +27,27 @@ def main(paths):
     for p in paths:
         with open(p) as f:
             runs.append((p.split("/")[-1], json.load(f)))
+    supersede = {}
+    sup_path = os.path.join(os.path.dirname(paths[0]) or ".", "slope_supersede.json")
+    if os.path.exists(sup_path):
+        with open(sup_path) as f:
+            supersede = json.load(f)
+    tag_order = {p.split("/")[-1]: i for i, p in enumerate(paths)}
     names = []
     for _, r in runs:
         for q in r["queries"]:
             if q not in names:
                 names.append(q)
     out = {"sources": [p for p, _ in runs], "queries": {}}
+    if supersede:
+        out["supersede"] = supersede
     for q in sorted(names):
+        min_tag = supersede.get(q)
+        min_idx = tag_order.get(min_tag, 0) if min_tag else 0
         entries = []
         for tag, r in runs:
+            if tag_order.get(tag, 0) < min_idx:
+                continue
             e = r["queries"].get(q)
             if e is None or "points" not in e:
                 continue
