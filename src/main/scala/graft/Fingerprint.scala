@@ -19,6 +19,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Fingerprint {
 
+  /** The staleness-guarded memo-key convention, in ONE place: `dir`
+    * plus the fingerprints of the source files a memoized artifact was
+    * built from (or of the whole dir when `rel` is empty). Every
+    * pay-once memo (Layouts stagings, prepared scans, shard roots, BPE
+    * tables) keys on this, so a future key-format change has a single
+    * definition (r16 review).
+    */
+  def key(spark: SparkSession, dir: String, rel: String*): String =
+    if (rel.isEmpty) s"$dir@" + of(spark, dir)
+    else s"$dir@" + rel.map(r => of(spark, s"$dir/$r")).mkString(":")
+
   /** Fingerprint of `path` (file or directory, recursive). Nonexistent
     * paths fingerprint as "absent" — distinct from any real listing, so
     * a memo keyed on it re-runs once the path appears.

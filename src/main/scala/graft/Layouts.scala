@@ -95,12 +95,13 @@ object Layouts {
     */
   def eventsByUserCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : DataFrame = {
-    val frame = stagedEvents.computeIfAbsent((spark, eventsKey(spark, dir), buckets), _ =>
-      new LazyCell({
+    val key = (spark, eventsKey(spark, dir), buckets)
+    val frame = LazyCell.force(stagedEvents, key,
+      stagedEvents.computeIfAbsent(key, _ => new LazyCell({
         val table = "g_ev_bkt_" +
           java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
         stageEventsByUser(spark, dir, buckets, table)
-      })).value
+      })))
     // Re-assert the two scan confs on EVERY call, not just at staging: the
     // cached frame re-plans at each action against the session's CURRENT
     // conf, and if anything reset autoBucketedScan after staging (RESET,
@@ -112,29 +113,20 @@ object Layouts {
     frame
   }
 
-  /** Staleness-guarded memo keys: `dir` plus a [[Fingerprint]] of the
-    * SOURCE table file(s) the staging reads. A dir regenerated in place
-    * mid-session changes the fingerprint, so the staged-layout probes go
-    * cold (the dispatcher falls back to the declarative form — no stale
-    * bucketed table is ever served) and the next explicit staging pays a
-    * fresh rewrite of the same table name (r15 verdict item 3). The
-    * listing is metadata-only, sub-ms per probe.
+  /** Staleness-guarded memo keys ([[Fingerprint.key]]): `dir` plus a
+    * fingerprint of the SOURCE table file(s) the staging reads. A dir
+    * regenerated in place mid-session changes the fingerprint, so the
+    * staged-layout probes go cold (the dispatcher falls back to the
+    * declarative form — no stale bucketed table is ever served) and the
+    * next explicit staging pays a fresh rewrite of the same table name
+    * (r15 verdict item 3). The listing is metadata-only, sub-ms/probe.
     */
   private def eventsKey(spark: SparkSession, dir: String): String =
-    s"$dir@" + Fingerprint.of(spark, s"$dir/events.parquet")
+    Fingerprint.key(spark, dir, "events.parquet")
   private def ordersKey(spark: SparkSession, dir: String): String =
-    s"$dir@" + Fingerprint.of(spark, s"$dir/orders.parquet")
+    Fingerprint.key(spark, dir, "orders.parquet")
   private def factsKey(spark: SparkSession, dir: String): String =
-    s"$dir@" + Fingerprint.of(spark, s"$dir/lineitem.parquet") + ":" +
-      Fingerprint.of(spark, s"$dir/orders.parquet")
-
-  /** One-slot lazy holder: `computeIfAbsent` only constructs the cell, so
-    * the ConcurrentHashMap bin lock is held for nanoseconds and unrelated
-    * keys hashing to the same bin never block behind a staging write
-    * (CHM's mapping functions must be short); the staging itself runs
-    * under the cell's own lazy-val lock — same-key callers still pay once.
-    */
-  private final class LazyCell[T](thunk: => T) { lazy val value: T = thunk }
+    Fingerprint.key(spark, dir, "lineitem.parquet", "orders.parquet")
 
   private val stagedEvents =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyCell[DataFrame]]()
@@ -159,12 +151,13 @@ object Layouts {
     */
   def ordersByCustkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : DataFrame = {
-    val frame = stagedOrders.computeIfAbsent((spark, ordersKey(spark, dir), buckets), _ =>
-      new LazyCell({
+    val key = (spark, ordersKey(spark, dir), buckets)
+    val frame = LazyCell.force(stagedOrders, key,
+      stagedOrders.computeIfAbsent(key, _ => new LazyCell({
         val table = "g_ord_bkt_" +
           java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) + s"_$buckets"
         stageOrdersByCustkey(spark, dir, buckets, table)
-      })).value
+      })))
     reassertScanConfs(spark)
     frame
   }
@@ -175,13 +168,14 @@ object Layouts {
     */
   def factsByOrderkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : (DataFrame, DataFrame) = {
-    val frames = stagedFacts.computeIfAbsent((spark, factsKey(spark, dir), buckets), _ =>
-      new LazyCell({
+    val key = (spark, factsKey(spark, dir), buckets)
+    val frames = LazyCell.force(stagedFacts, key,
+      stagedFacts.computeIfAbsent(key, _ => new LazyCell({
         val digest = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
         stageFactsByOrderkey(spark, dir, buckets,
           lineitemTable = s"g_li_bkt_${digest}_$buckets",
           ordersTable = s"g_o_bkt_${digest}_$buckets")
-      })).value
+      })))
     reassertScanConfs(spark)
     frames
   }
@@ -230,11 +224,16 @@ object Layouts {
     * deterministic when several counts were staged.
     */
   private def bucketsStagedFor[V](
-      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), V],
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyCell[V]],
       spark: SparkSession, key: String): Seq[Int] = {
     import scala.jdk.CollectionConverters._
-    cache.keySet.asScala.collect {
-      case (s, d, b) if (s eq spark) && d == key => b
+    // only COMPLETED stagings count: a thrown staging leaves its cell in
+    // the map (evicted on force-failure, but a probe can race that), and
+    // counting it would route dispatch onto a table never built
+    cache.entrySet.asScala.collect {
+      case e if {
+        val (s, d, _) = e.getKey; (s eq spark) && d == key && e.getValue.done
+      } => e.getKey._3
     }.toSeq.sorted
   }
 

@@ -1,0 +1,36 @@
+package graft
+
+/** One-slot lazy holder for pay-once memo maps whose value is expensive
+  * to build (bucketed-table stagings, ANN index training, BPE merge
+  * tables): `computeIfAbsent` only CONSTRUCTS the cell, so the
+  * ConcurrentHashMap bin lock is held for nanoseconds and unrelated keys
+  * hashing to the same bin never block behind a staging run (CHM's
+  * contract says mapping functions must be short); the expensive thunk
+  * runs under the cell's own lazy-val lock, so concurrent callers of the
+  * SAME key still compute exactly once.
+  *
+  * `done` is the PROBE contract (r16 review): dispatcher probes
+  * (isAnnIndexStaged, Layouts.is*LayoutStaged) must count only cells
+  * whose staging COMPLETED — a thrown staging leaves the cell in the map
+  * (computeIfAbsent has already inserted it), and a probe that counted
+  * it would route dispatch onto a layout that was never built. Callers
+  * force values through [[force]], which evicts the cell on failure so
+  * the next explicit call retries cleanly.
+  */
+private[graft] final class LazyCell[T](thunk: => T) {
+  @volatile var done: Boolean = false
+  lazy val value: T = { val v = thunk; done = true; v }
+}
+
+private[graft] object LazyCell {
+
+  /** Force `cell.value`; on failure remove it from `map` (only if still
+    * this exact cell) so a failed staging never poisons the memo — the
+    * pre-LazyCell behavior, where a throw inside computeIfAbsent left no
+    * mapping behind.
+    */
+  def force[K, T](map: java.util.concurrent.ConcurrentHashMap[K, LazyCell[T]],
+      key: K, cell: LazyCell[T]): T =
+    try cell.value
+    catch { case e: Throwable => map.remove(key, cell); throw e }
+}

@@ -72,8 +72,7 @@ object ColumnarScan {
     */
   def inputCached(s: org.apache.spark.sql.SparkSession, d: String, tag: String)
       (build: => DataFrame): DataFrame =
-    inputMemo.computeIfAbsent((s, s"$d@${graft.Fingerprint.of(s, d)}", tag),
-      _ => build)
+    inputMemo.computeIfAbsent((s, graft.Fingerprint.key(s, d), tag), _ => build)
 
   /** The single scan leaf under `df`'s executed plan, verified columnar.
     *

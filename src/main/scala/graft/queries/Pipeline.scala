@@ -210,7 +210,12 @@ object Pipeline {
       // rows, <= maxTrainRows for dense ids (sparse ids only shrink it)
       (nAll + maxTrainRows - 1) / math.max(1L, maxTrainRows)
     }
-    val sample = if (stride <= 1L) emb
+    // stride <= 1 wraps the full corpus in a trivially-true filter so the
+    // persist/unpersist below acts on a DISTINCT plan: persisting `emb`
+    // itself would register (and later unregister) a cache entry on the
+    // caller's own frame — `finally train.unpersist()` would silently
+    // drop a cache the CALLER created on the same plan (r16 review)
+    val sample = if (stride <= 1L) emb.filter(lit(true))
       else emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
     val train = sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (train, train.count())
@@ -223,17 +228,28 @@ object Pipeline {
   def ivfTrain(emb: DataFrame, k: Int = 16, iters: Int = 3,
       trainStride: Long = 0L,
       maxTrainRows: Long = AnnTrainBound): Array[Array[Double]] = {
+    // bounded + persisted sample: without it each Lloyd round re-scans
+    // the SOURCE relation (at 100 TB, iters+1 full corpus reads) — r15
+    // verdict item 1
+    val (train, n) = annTrainSample(emb, trainStride, maxTrainRows)
+    try ivfTrainOn(train, n, k, iters)
+    finally train.unpersist()
+  }
+
+  /** [[ivfTrain]] over an ALREADY-prepared (persisted, counted) training
+    * sample — the shared-sample entry point, so a caller training both
+    * the coarse quantizer and the PQ codebook (stageAnnIndex) derives,
+    * counts and materializes the sample ONCE instead of twice (r16
+    * review). The caller owns the sample's persist lifecycle.
+    */
+  private[graft] def ivfTrainOn(train: DataFrame, n: Long, k: Int = 16,
+      iters: Int = 3): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       val n = math.sqrt(s)
       if (n == 0.0) v else v.map(_ / n)
     }
-    // bounded + persisted sample: without it each Lloyd round re-scans
-    // the SOURCE relation (at 100 TB, iters+1 full corpus reads) — r15
-    // verdict item 1
-    val (train, n) = annTrainSample(emb, trainStride, maxTrainRows)
-    try {
     require(n >= k, s"ivfTrain needs at least k=$k training vectors, got $n")
     val stride = math.max(1L, n / k)
     // init by RANK, not by id value: pmod(vec_id, stride)==0 underfills when
@@ -272,7 +288,6 @@ object Pipeline {
       cents = Array.tabulate(cents.length)(i => if (seen(i)) normalize(sums(i)) else cents(i))
     }
     cents
-    } finally train.unpersist()
   }
 
   /** q38: IVF approximate nearest neighbors — the OTHER standard ANN family
@@ -329,7 +344,13 @@ object Pipeline {
       maxTrainRows: Long = AnnTrainBound): Array[Array[Array[Double]]] = {
     // bounded + persisted sample across Lloyd rounds — see [[ivfTrain]]
     val (train, n) = annTrainSample(emb, trainStride, maxTrainRows)
-    try {
+    try pqTrainOn(train, n, m, ksub, iters)
+    finally train.unpersist()
+  }
+
+  /** [[pqTrain]] over an already-prepared sample — see [[ivfTrainOn]]. */
+  private[graft] def pqTrainOn(train: DataFrame, n: Long, m: Int = 8,
+      ksub: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
     require(n >= ksub, s"pqTrain needs at least ksub=$ksub training vectors, got $n")
     val stride = math.max(1L, n / ksub)
     val byRank = Window.partitionBy(lit(0)).orderBy(col("vec_id"))
@@ -366,7 +387,6 @@ object Pipeline {
       cb = next
     }
     cb
-    } finally train.unpersist()
   }
 
   /** q86: PQ-ADC approximate nearest neighbors — the third standard ANN
@@ -2624,7 +2644,29 @@ object Pipeline {
     // The source fingerprint is too: a dir regenerated MID-session gets a
     // fresh root (the writer's committed-version no-op would otherwise
     // serve the previous generation's corpus — r15 verdict item 3)
-    val srcKey = s"$dir@" + graft.Fingerprint.of(spark, s"$dir/documents.parquet")
+    val srcKey = graft.Fingerprint.key(spark, dir, "documents.parquet")
+    // evict SUPERSEDED generations first: each regeneration would
+    // otherwise leak a full materialized shard corpus under tmpdir for
+    // the process lifetime (r16 review) — an old generation's root can
+    // never be served again (its fingerprint key can't recur), so its
+    // directory is reclaimable the moment a new generation appears
+    locally {
+      import scala.jdk.CollectionConverters._
+      val stale = stagedShardRoots.entrySet.asScala.filter { e =>
+        (e.getKey._1 eq spark) && e.getKey._3 == shards &&
+          e.getKey._2 != srcKey && e.getKey._2.startsWith(s"$dir@")
+      }.toSeq
+      stale.foreach { e =>
+        stagedShardRoots.remove(e.getKey)
+        scala.util.Try {
+          def rmr(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+            f.delete(): Unit
+          }
+          rmr(new java.io.File(e.getValue))
+        }
+      }
+    }
     val root = stagedShardRoots.computeIfAbsent((spark, srcKey, shards), _ =>
       java.nio.file.Files.createTempDirectory("graft-shards").toString)
     val docs = Tables.documents(spark, dir)
@@ -2655,7 +2697,7 @@ object Pipeline {
   }
 
   private val stagedAnn = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), LazyCell[AnnIndex]]()
+    (SparkSession, String, String), graft.LazyCell[AnnIndex]]()
 
   /** Process-unique component of staged-codes paths: scopes the stale-dir
     * sweep in [[stageAnnIndex]] to this process's own debris.
@@ -2773,8 +2815,13 @@ object Pipeline {
     */
   def stageAnnIndex(spark: SparkSession, dir: String): AnnIndex = {
     val fp = annSourceFp(spark, dir)
-    stagedAnn.computeIfAbsent((spark, dir, fp),
-      _ => new LazyCell(stageOrAdoptAnn(spark, dir, fp))).value
+    val key = (spark, dir, fp)
+    // force-with-eviction: a THROWN staging must not leave its cell in
+    // the memo — isAnnIndexStaged would then report staged for an index
+    // that was never built, and the dispatcher's q16 staged form would
+    // re-run a full training implicitly during dispatch (r16 review)
+    graft.LazyCell.force(stagedAnn, key, stagedAnn.computeIfAbsent(key,
+      _ => new graft.LazyCell(stageOrAdoptAnn(spark, dir, fp))))
   }
 
   private def stageOrAdoptAnn(spark: SparkSession, dir: String,
@@ -2799,8 +2846,12 @@ object Pipeline {
           annTrainings.incrementAndGet()
           val emb = Tables.embeddings(spark, dir)
             .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
-          val cents = ivfTrain(emb)
-          val cb = pqTrain(emb)
+          // ONE shared training sample for both trainers: derive, count
+          // and materialize once instead of twice (r16 review)
+          val (train, n) = annTrainSample(emb, trainStride = 0L)
+          val (cents, cb) =
+            try (ivfTrainOn(train, n), pqTrainOn(train, n))
+            finally train.unpersist()
           ivfadcIndex(emb, cents, cb)
             .write.partitionBy("bkt").mode("overwrite").parquet(path)
           writeAnnMeta(spark, path, dir, fp, cents, cb) // the commit point
@@ -2845,8 +2896,10 @@ object Pipeline {
     * deterministic within a session; cold-open adoption happens on the
     * EXPLICIT calls ([[stageAnnIndex]], [[annSearchStaged]]).
     */
-  def isAnnIndexStaged(spark: SparkSession, dir: String): Boolean =
-    stagedAnn.containsKey((spark, dir, annSourceFp(spark, dir)))
+  def isAnnIndexStaged(spark: SparkSession, dir: String): Boolean = {
+    val cell = stagedAnn.get((spark, dir, annSourceFp(spark, dir)))
+    cell != null && cell.done
+  }
 
   /** ANN search over the STAGED index — the deployment read path: the
     * codes scan is partition-pruned to the probed cells and never
@@ -2861,14 +2914,15 @@ object Pipeline {
   def annSearchStaged(spark: SparkSession, dir: String, nprobe: Int,
       rerank: Int): DataFrame = {
     val fp = annSourceFp(spark, dir)
-    val cell = stagedAnn.get((spark, dir, fp))
+    val key = (spark, dir, fp)
+    val cell = stagedAnn.get(key)
     val idx =
-      if (cell != null) cell.value
+      if (cell != null) graft.LazyCell.force(stagedAnn, key, cell)
       else findCommittedAnn(spark, dir, fp) match {
         case Some(found) =>
           annLivePaths.add(new org.apache.hadoop.fs.Path(found.codesPath).getName)
-          stagedAnn.computeIfAbsent((spark, dir, fp),
-            _ => new LazyCell(found)).value
+          graft.LazyCell.force(stagedAnn, key, stagedAnn.computeIfAbsent(key,
+            _ => new graft.LazyCell(found)))
         case None => throw new IllegalStateException(
           s"ANN index not staged for $dir in this session and no committed " +
           "index matches the data's current fingerprint — call " +
@@ -3109,11 +3163,18 @@ object Pipeline {
   def bpeTrain(spark: SparkSession, dir: String, merges: Int = 12,
       maxDriverVocab: Long = 500000L): DataFrame = {
     import spark.implicits._
+    // persist the word-count relation: the path-choice count() and the
+    // collect()/seed-checkpoint both read it — unpersisted, the
+    // corpus-grain aggregation (the trainer's ONLY corpus-scale work)
+    // would run twice (r16 review)
     val wc = wordCounts(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val learned =
-      if (wc.count() <= maxDriverVocab)
-        bpeTrainDriver(wc.collect().map(r => (r.getString(0), r.getLong(1))), merges)
-      else bpeTrainDistributed(spark, wc, merges)
+      try {
+        if (wc.count() <= maxDriverVocab)
+          bpeTrainDriver(wc.collect().map(r => (r.getString(0), r.getLong(1))), merges)
+        else bpeTrainDistributed(spark, wc, merges)
+      } finally wc.unpersist()
     learned.toDF("rank", "pair_left", "pair_right", "cnt")
   }
 
@@ -3298,18 +3359,8 @@ object Pipeline {
     * data-dependent iterated argmax); the spec gates the ENCODER against
     * an independent reference apply at two SFs.
     */
-  /** One-slot lazy holder for memo maps whose value is expensive to
-    * build: `computeIfAbsent` only CONSTRUCTS the cell (cheap), so the
-    * ConcurrentHashMap bin lock is held for nanoseconds and unrelated
-    * keys hashing to the same bin never block behind a training run
-    * (CHM's contract says mapping functions must be short — r15 advice);
-    * the expensive thunk runs under the cell's own lazy-val lock, so
-    * concurrent callers of the SAME key still compute exactly once.
-    */
-  private final class LazyCell[T](thunk: => T) { lazy val value: T = thunk }
-
   private val learnedMerges = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), LazyCell[Array[(String, String)]]]()
+    (SparkSession, String, Int), graft.LazyCell[Array[(String, String)]]]()
 
   def q144(spark: SparkSession, dir: String, merges: Int = 12): DataFrame = {
     // train once per (session, corpus-fingerprint, merges) — the
@@ -3321,10 +3372,11 @@ object Pipeline {
     // Trains via [[bpeTrain]] (the incremental pair-delta trainer),
     // which is spec-pinned to emit q142's exact table — same artifact,
     // ~8x cheaper cold (r16a window: 0.35 s vs 3.5 s at sf0.1).
-    val srcKey = s"$dir@" + graft.Fingerprint.of(spark, s"$dir/documents.parquet")
-    val table = learnedMerges.computeIfAbsent((spark, srcKey, merges), _ =>
-      new LazyCell(bpeTrain(spark, dir, merges).collect()
-        .map(r => (r.getString(1), r.getString(2))))).value
+    val key = (spark, graft.Fingerprint.key(spark, dir, "documents.parquet"), merges)
+    val table = graft.LazyCell.force(learnedMerges, key,
+      learnedMerges.computeIfAbsent(key, _ =>
+        new graft.LazyCell(bpeTrain(spark, dir, merges).collect()
+          .map(r => (r.getString(1), r.getString(2))))))
     Tables.documents(spark, dir)
       .select(col("source"),
         length(col("text")).cast("long").as("n_chars"),

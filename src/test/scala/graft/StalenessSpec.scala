@@ -74,6 +74,21 @@ class StalenessSpec extends SparkSpec {
       "the committed-version no-op must not serve the previous generation")
   }
 
+  test("a FAILED staging never reads as staged (probes count completed cells only)") {
+    val dir = tmpDir("fail") // exists, but holds no parquet: stagings throw
+    // ANN: the thrown staging's cell must be evicted and the probe stay
+    // cold — otherwise the dispatcher's staged form would re-run a full
+    // training implicitly on every q16 dispatch (r16 review)
+    intercept[Exception] { Pipeline.stageAnnIndex(spark, dir) }
+    assert(!Pipeline.isAnnIndexStaged(spark, dir),
+      "failed ANN staging must not satisfy the dispatcher probe")
+    intercept[Exception] { Pipeline.stageAnnIndex(spark, dir) } // clean retry
+    // Layouts: same contract for the bucketed-table probes
+    intercept[Exception] { Layouts.eventsByUserCached(spark, dir, buckets = 2) }
+    assert(!Layouts.isEventsLayoutStaged(spark, dir),
+      "failed events staging must not satisfy the dispatcher probe")
+  }
+
   test("staged events layout probe goes cold when the source regenerates") {
     import spark.implicits._
     val dir = tmpDir("layout")

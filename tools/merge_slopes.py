@@ -43,7 +43,12 @@ def main(paths):
         out["supersede"] = supersede
     for q in sorted(names):
         min_tag = supersede.get(q)
-        min_idx = tag_order.get(min_tag, 0) if min_tag else 0
+        if min_tag is not None and min_tag not in tag_order:
+            # silently degrading to "no exclusion" would reintroduce the
+            # cross-generation attribution the rule exists to prevent
+            sys.exit(f"supersede window {min_tag!r} for {q!r} is not among "
+                     f"the merged inputs — pass it on the command line")
+        min_idx = tag_order[min_tag] if min_tag else 0
         entries = []
         for tag, r in runs:
             if tag_order.get(tag, 0) < min_idx:
