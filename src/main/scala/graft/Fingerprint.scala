@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * guard rather than another cache to invalidate. Content hashing is
   * deliberately out of scope: a writer that preserves length AND mtime
   * while changing bytes defeats it, but no real file sink does.
+  *
+  * Scale note: the listing is O(#files under path). The engine's memos
+  * fingerprint single table files or small test dirs (tens of files);
+  * on a production table with millions of files, point the memo key at
+  * the table's TRANSACTION MANIFEST instead (Delta/Iceberg snapshot
+  * file, or a `_SUCCESS`/version marker your writer maintains) — one
+  * stat, same staleness contract, because any rewrite that matters
+  * rewrites the manifest. A per-dispatch recursive walk of a
+  * million-file dir would itself become the bottleneck.
   */
 object Fingerprint {
 
