@@ -144,6 +144,30 @@ class OperatorsSpec extends SparkSpec {
     assert(za.max(zb).max(zc) < sb / 2, "3-col z-order not better than 1-D sort")
   }
 
+  test("zorderN edge cases: constant column (degenerate range) and 4-dim bit budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a constant dimension must bucket to 0 (no divide-by-zero) and not
+    // disturb clustering on the live dims
+    val df = (0 until 4096).map(i =>
+      (((i * 2654435761L) & 0xffff).toLong, 7L, ((i * 40503L) & 0xffff).toLong))
+      .toDF("a", "k", "b")
+    val out = Layout.zorderN(df, Seq("a", "k", "b"), 8)
+    assert(out.count() === 4096)
+    assert(out.columns.toSeq === Seq("a", "k", "b"), "helper columns must not leak")
+    // 4 dims: 15 bits each, z fits a positive long
+    val df4 = (0 until 1024).map(i =>
+      ((i % 37).toLong, (i % 11).toLong, (i % 5).toLong, (i % 3).toLong))
+      .toDF("w", "x", "y", "z")
+    val z4 = df4.select(Layout.zValueN(
+      Seq(col("w"), col("x"), col("y"), col("z")), Layout.bitsPerDim(4)).as("zv"))
+      .collect().map(_.getLong(0))
+    assert(z4.forall(_ >= 0L), "z value must stay a positive long")
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("w")), 16) // < 2 dims refused
+    }
+  }
+
   test("Misra-Gries: heavy-hitter superset guarantee under eviction and merge") {
     import spark.implicits._
     // 10k arrivals, 200 distinct: 3 planted hot items + a long uniform

@@ -13,6 +13,25 @@ class StalenessSpec extends SparkSpec {
   private def tmpDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-stale-$tag").toString
 
+  test("Fingerprint: rewrite changes it, absence is distinct, key composes per file") {
+    import spark.implicits._
+    val dir = tmpDir("fp")
+    assert(Fingerprint.of(spark, s"$dir/nope.parquet") === "absent")
+    Seq(1).toDF("x").write.parquet(s"$dir/t.parquet")
+    val f1 = Fingerprint.of(spark, s"$dir/t.parquet")
+    assert(f1 !== "absent")
+    assert(Fingerprint.of(spark, s"$dir/t.parquet") === f1, "stable between writes")
+    Seq(1, 2).toDF("x").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Fingerprint.of(spark, s"$dir/t.parquet") !== f1, "rewrite must change it")
+    // key(): dir plus per-file fingerprints; a second source file changes it
+    val k1 = Fingerprint.key(spark, dir, "t.parquet")
+    assert(k1.startsWith(s"$dir@"))
+    Seq(3).toDF("y").write.parquet(s"$dir/u.parquet")
+    assert(Fingerprint.key(spark, dir, "t.parquet") === k1,
+      "per-file key must ignore unrelated files")
+    assert(Fingerprint.key(spark, dir) !== Fingerprint.key(spark, dir, "t.parquet"))
+  }
+
   test("Tables.load re-reads a table regenerated in place mid-session") {
     import spark.implicits._
     val dir = tmpDir("load")
