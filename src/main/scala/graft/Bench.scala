@@ -611,8 +611,49 @@ object Bench {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
       }
       println(detail)
+      // FINAL stdout line: the driver keeps only the last ~2000 bytes of
+      // stdout and parses the last line as JSON — r6..r16 all landed
+      // `parsed: null` because ratio/best_ratio here spanned EVERY
+      // oracle query (~134 entries, >4 kB). The driver-facing summary is
+      // the graded B-set only, 3/2-decimal formatting, and the >2×
+      // floor_decomp verdicts compressed to one token per query
+      // ("floor_bound" or the best measured marginal); everything else
+      // lives in the detail file printed just above.
+      def num3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def num2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      def qmapN(m: Seq[(String, Double)], f: Double => String): String =
+        m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       val bsnap = snap.filter(p => bset.contains(p._1))
-      val compact = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"bset_queries":${qmap(bsnap)},"ratio":${qmap(ratios)},"best_ratio":${qmap(bestRatios)},"est_n":${estAll.size},"suspect_n":${susAll.size},"est_bset":${qarr(estAll.filter(bset.contains))},"suspect_bset":${qarr(susAll.filter(bset.contains))},$fl"detail":"$detailPath","sf":"$sfDir"}"""
+      val bRatios = bestRatios.filter(p => bset.contains(p._1))
+      // one token per >2× B-set query: floor_bound beats a marginal (same
+      // precedence as the full floor_decomp above). The slope_verdict
+      // objects in floorDecomp are FLAT (no nested braces), so bounding
+      // the scan at the first '}' after the query's entry is exact.
+      val gt2x = {
+        val entries = bRatios.collect { case (n, r) if r > 2.0 =>
+          val at = floorDecomp.indexOf("\"" + n + "\":{\"form\":")
+          val verdict =
+            if (at < 0) "unmeasured"
+            else {
+              val end = floorDecomp.indexOf('}', at)
+              val v = if (end < 0) "" else floorDecomp.substring(at, end)
+              if (v.contains("\"floor_bound\":true")) "floor_bound"
+              else """"best_marginal":([0-9.eE+-]+)""".r.findFirstMatchIn(v)
+                .map(m => "m=" + m.group(1)).getOrElse("unmeasured")
+            }
+          "\"" + n + "\":\"" + verdict + "\""
+        }
+        if (entries.isEmpty) "" else s""""gt2x_verdicts":{${entries.mkString(",")}},"""
+      }
+      // headline floors only — the per-try probes and pass1 snapshots
+      // stay in the detail file (budget: the full-suite compact line must
+      // clear the driver's 2000-byte tail with margin)
+      val compactFloors = Set("floor_start_sec", "floor_postwarm_sec",
+        "floor_end_sec", "passes_run")
+      val floorsJson = floors.asScala.toSeq.sortBy(_._1)
+        .collect { case (k, v) if compactFloors(k) => "\"" + k + "\":" + num3(v) + "," }
+        .mkString
+      val compact = s"""{"metric":"total_median_sec","value":${num3(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"bset_queries":${qmapN(bsnap, num3)},"best_ratio":${qmapN(bRatios, num2)},"est_n":${estAll.size},"suspect_n":${susAll.size},"est_bset":${qarr(estAll.filter(bset.contains))},"suspect_bset":${qarr(susAll.filter(bset.contains))},$gt2x$floorsJson"detail":"$detailPath","sf":"$sfDir"}"""
       println(compact)
       System.out.flush()
     }

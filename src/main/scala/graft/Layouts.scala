@@ -95,6 +95,10 @@ object Layouts {
     */
   def eventsByUserCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : DataFrame = {
+    // superseded-generation eviction (r16 advice): the old fingerprint's
+    // cells can never be probed again; the staged TABLE is overwritten by
+    // the fresh staging (same digest name), so only the map entry leaks
+    evictStale(stagedEvents, spark, dir, eventsKey(spark, dir))
     val key = (spark, eventsKey(spark, dir), buckets)
     val frame = LazyCell.force(stagedEvents, key,
       stagedEvents.computeIfAbsent(key, _ => new LazyCell({
@@ -151,6 +155,7 @@ object Layouts {
     */
   def ordersByCustkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : DataFrame = {
+    evictStale(stagedOrders, spark, dir, ordersKey(spark, dir))
     val key = (spark, ordersKey(spark, dir), buckets)
     val frame = LazyCell.force(stagedOrders, key,
       stagedOrders.computeIfAbsent(key, _ => new LazyCell({
@@ -168,6 +173,7 @@ object Layouts {
     */
   def factsByOrderkeyCached(spark: SparkSession, dir: String, buckets: Int = 32)
       : (DataFrame, DataFrame) = {
+    evictStale(stagedFacts, spark, dir, factsKey(spark, dir))
     val key = (spark, factsKey(spark, dir), buckets)
     val frames = LazyCell.force(stagedFacts, key,
       stagedFacts.computeIfAbsent(key, _ => new LazyCell({
@@ -193,6 +199,20 @@ object Layouts {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyCell[DataFrame]]()
   private val stagedFacts =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyCell[(DataFrame, DataFrame)]]()
+
+  /** Evict memo entries for SUPERSEDED source generations of `dir` (any
+    * bucket count): their fingerprinted keys can never be probed again
+    * ([[Fingerprint]] cannot recur), so without this each in-place
+    * regeneration strands a staged-frame cell for the process lifetime
+    * (r16 advice). The warehouse table itself is reclaimed by the next
+    * staging's overwrite of the same digest-derived name.
+    */
+  private def evictStale[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyCell[V]],
+      spark: SparkSession, dir: String, currentKey: String): Unit =
+    Memo.evictSuperseded(cache,
+      (k: (SparkSession, String, Int)) =>
+        (k._1 eq spark) && k._2 != currentKey && k._2.startsWith(s"$dir@"))
 
   // NOTE (r13): memoizing a full QUERY frame (not just its scans) was
   // tried for q98/q99 and reverted — re-collecting one Dataset object

@@ -34,3 +34,31 @@ private[graft] object LazyCell {
     try cell.value
     catch { case e: Throwable => map.remove(key, cell); throw e }
 }
+
+private[graft] object Memo {
+
+  /** q140's stale-generation eviction, generalized (r16 advice): every
+    * fingerprint-in-key memo strands the PREVIOUS generation's entry on an
+    * in-place regeneration — the old key can never be requested again (its
+    * fingerprint cannot recur), so whatever the value pins (a DataFrame
+    * plan, a trained index, a merge table) leaks for the process lifetime.
+    * Callers invoke this on each memoized access with a predicate matching
+    * keys SUPERSEDED by the one about to be used (same logical identity,
+    * different fingerprint); `cleanup` releases anything the value pins
+    * beyond the reference itself (unpersist, temp-dir delete).
+    *
+    * Removal races are benign by the memos' own contract: an in-flight
+    * query holding the old value keeps it reachable (GC-safe), and a
+    * concurrent re-insert of a stale key cannot happen because its
+    * fingerprint no longer matches the path contents.
+    */
+  def evictSuperseded[K, V](
+      map: java.util.concurrent.ConcurrentHashMap[K, V],
+      isSuperseded: K => Boolean,
+      cleanup: V => Unit = (_: V) => ()): Unit = {
+    import scala.jdk.CollectionConverters._
+    map.entrySet.asScala.filter(e => isSuperseded(e.getKey)).toSeq.foreach { e =>
+      if (map.remove(e.getKey, e.getValue)) cleanup(e.getValue)
+    }
+  }
+}

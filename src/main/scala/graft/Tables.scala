@@ -35,18 +35,43 @@ object Tables {
     * call used to mask the mistake.
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), LazyCell[DataFrame]]()
 
   /** Memo key carries [[Fingerprint]] of the file (metadata-only listing,
     * recomputed per call — microseconds against the ~0.3–0.5 s of plan
     * construction the memo saves): a table regenerated in place mid-
     * session gets a fresh frame on the next load instead of a stale
     * cached plan whose file listing no longer matches (r15 verdict 3).
+    *
+    * The value is a [[LazyCell]] so the ~0.3–0.5 s `spark.read.parquet`
+    * build runs OUTSIDE computeIfAbsent (CHM's short-mapping-function
+    * contract — unrelated tables hashing to the same bin must not block
+    * behind a plan build; r16 advice), and superseded generations are
+    * evicted on each access ([[Memo.evictSuperseded]]) so regenerating
+    * dirs don't strand old plans for the process lifetime.
+    *
+    * Fingerprint-then-read window (r16 advice 4): a regeneration landing
+    * between the fingerprint and the parquet read would cache a NEW-
+    * generation frame under the OLD-generation key — permanently
+    * mislabeled even though the next call self-heals. Guard: when this
+    * call BUILT the cell, re-fingerprint after the build and drop the
+    * entry if the two disagree (the frame is still returned — one
+    * mid-regeneration read is inherently racy either way — but it is
+    * never served from the memo again).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    cache.computeIfAbsent((spark, path, Fingerprint.of(spark, path)),
-      key => key._1.read.parquet(key._2))
+    val fp = Fingerprint.of(spark, path)
+    Memo.evictSuperseded(cache,
+      (k: (SparkSession, String, String)) =>
+        (k._1 eq spark) && k._2 == path && k._3 != fp)
+    val key = (spark, path, fp)
+    var built = false
+    val cell = cache.computeIfAbsent(key,
+      _ => { built = true; new LazyCell(spark.read.parquet(path)) })
+    val df = LazyCell.force(cache, key, cell)
+    if (built && Fingerprint.of(spark, path) != fp) cache.remove(key, cell)
+    df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
@@ -111,25 +136,29 @@ object Tables {
       Fingerprint.of(s, s"$d/events.parquet"))
     val cachedClone = cache.get(nanosKey)
     val raw =
-      if (cachedClone != null) cachedClone
+      if (cachedClone != null && cachedClone.done)
+        LazyCell.force(cache, nanosKey, cachedClone)
       else try load(s, d, "events")
       catch { case primary: Exception =>
         // presumed NANOS footer rejection; retried on an isolated clone.
         // If the clone read fails too, the file is genuinely unreadable —
         // surface the ORIGINAL error, not the retry's.
-        try cache.computeIfAbsent(nanosKey, { _ =>
-          // newSession shares the SparkContext but owns its SQLConf; copy
-          // the caller's modifiable runtime confs across (timezone
-          // included) so the scan's session differs from the caller's in
-          // exactly one conf (cloneSession would do this in one call but
-          // is private[sql])
-          val clone = s.newSession()
-          s.conf.getAll.foreach { case (k, v) =>
-            if (clone.conf.isModifiable(k)) clone.conf.set(k, v)
-          }
-          clone.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          clone.read.parquet(s"$d/events.parquet")
-        })
+        try {
+          val cell = cache.computeIfAbsent(nanosKey, _ => new LazyCell({
+            // newSession shares the SparkContext but owns its SQLConf; copy
+            // the caller's modifiable runtime confs across (timezone
+            // included) so the scan's session differs from the caller's in
+            // exactly one conf (cloneSession would do this in one call but
+            // is private[sql])
+            val clone = s.newSession()
+            s.conf.getAll.foreach { case (k, v) =>
+              if (clone.conf.isModifiable(k)) clone.conf.set(k, v)
+            }
+            clone.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            clone.read.parquet(s"$d/events.parquet")
+          }))
+          LazyCell.force(cache, nanosKey, cell)
+        }
         catch { case _: Exception => throw primary }
       }
     raw.schema("ts").dataType match {

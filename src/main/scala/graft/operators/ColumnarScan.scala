@@ -61,7 +61,8 @@ object ColumnarScan {
     * invalidates every staged artifact, not just this memo).
     */
   private val inputMemo =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, String), graft.LazyCell[DataFrame]]()
 
   /** The memo key folds in [[graft.Fingerprint]] of `d` (metadata-only
     * listing, recomputed per call): a corpus regenerated in place mid-
@@ -69,10 +70,22 @@ object ColumnarScan {
     * a stale prepared plan — the r15 "dir immutability trusted on a doc
     * caveat" finding. The listing costs ~sub-ms against the ~30 ms the
     * prepared plan saves, so the guard does not erode the memo's point.
+    *
+    * [[graft.LazyCell]] value + superseded-generation eviction (r16
+    * advice): the ~30 ms plan build runs outside the CHM bin lock, and a
+    * regeneration evicts the old generation's prepared frames instead of
+    * stranding them for the process lifetime.
     */
   def inputCached(s: org.apache.spark.sql.SparkSession, d: String, tag: String)
-      (build: => DataFrame): DataFrame =
-    inputMemo.computeIfAbsent((s, graft.Fingerprint.key(s, d), tag), _ => build)
+      (build: => DataFrame): DataFrame = {
+    val fkey = graft.Fingerprint.key(s, d)
+    graft.Memo.evictSuperseded(inputMemo,
+      (k: (org.apache.spark.sql.SparkSession, String, String)) =>
+        (k._1 eq s) && k._3 == tag && k._2 != fkey && k._2.startsWith(s"$d@"))
+    val key = (s, fkey, tag)
+    val cell = inputMemo.computeIfAbsent(key, _ => new graft.LazyCell(build))
+    graft.LazyCell.force(inputMemo, key, cell)
+  }
 
   /** The single scan leaf under `df`'s executed plan, verified columnar.
     *

@@ -2649,7 +2649,14 @@ object Pipeline {
     // otherwise leak a full materialized shard corpus under tmpdir for
     // the process lifetime (r16 review) — an old generation's root can
     // never be served again (its fingerprint key can't recur), so its
-    // directory is reclaimable the moment a new generation appears
+    // directory is reclaimable the moment a new generation appears.
+    // CONCURRENCY CONTRACT (r16 advice 3): the delete is immediate, so a
+    // q140 still LAZILY executing against the old root in another thread
+    // can fail mid-scan on deleted files. In-place regeneration concurrent
+    // with in-flight queries is out of contract for every staged artifact
+    // here (the same race deletes live ANN codes via sweepAnnDebris and
+    // rewrites live bucketed tables); the failure mode is a loud
+    // FileNotFound on the superseded generation, never a wrong answer.
     locally {
       import scala.jdk.CollectionConverters._
       val stale = stagedShardRoots.entrySet.asScala.filter { e =>
@@ -2815,6 +2822,12 @@ object Pipeline {
     */
   def stageAnnIndex(spark: SparkSession, dir: String): AnnIndex = {
     val fp = annSourceFp(spark, dir)
+    // superseded-generation eviction (r16 advice): a regenerated dir's old
+    // memo cell (quantizer + codebook arrays) can never be requested again;
+    // its on-disk codes are reclaimed separately by sweepAnnDebris
+    graft.Memo.evictSuperseded(stagedAnn,
+      (k: (SparkSession, String, String)) =>
+        (k._1 eq spark) && k._2 == dir && k._3 != fp)
     val key = (spark, dir, fp)
     // force-with-eviction: a THROWN staging must not leave its cell in
     // the memo — isAnnIndexStaged would then report staged for an index
@@ -3373,6 +3386,10 @@ object Pipeline {
     // which is spec-pinned to emit q142's exact table — same artifact,
     // ~8x cheaper cold (r16a window: 0.35 s vs 3.5 s at sf0.1).
     val key = (spark, graft.Fingerprint.key(spark, dir, "documents.parquet"), merges)
+    graft.Memo.evictSuperseded(learnedMerges,
+      (k: (SparkSession, String, Int)) =>
+        (k._1 eq spark) && k._3 == merges && k._2 != key._2 &&
+          k._2.startsWith(s"$dir@"))
     val table = graft.LazyCell.force(learnedMerges, key,
       learnedMerges.computeIfAbsent(key, _ =>
         new graft.LazyCell(bpeTrain(spark, dir, merges).collect()
