@@ -595,7 +595,20 @@ object Bench {
         }.getOrElse("")
       }
       import scala.jdk.CollectionConverters._
-      val fl = floorDecomp + floors.asScala.toSeq.sortBy(_._1)
+      // the measured kernel-finale decomposition (tools/dispatch_decomp
+      // .scala, r17): what one kernel dispatch costs BY COMPONENT at
+      // sf0.1 — single-stage job, result frame, full kernel — so a
+      // reader of the detail artifact sees the scheduler-irreducible
+      // remainder next to the per-query times it explains
+      val kernelDecomp: String = {
+        val p = java.nio.file.Paths.get("tools/bench_dispatch_decomp_latest.json")
+        if (!java.nio.file.Files.exists(p)) ""
+        else scala.util.Try {
+          val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+          s""""kernel_floor_decomp":$s,"kernel_floor_decomp_src":"tools/bench_dispatch_decomp_latest.json","""
+        }.getOrElse("")
+      }
+      val fl = floorDecomp + kernelDecomp + floors.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + num(v) + "," }.mkString
       val estAll = estimated.asScala.toSeq
       val susAll = suspect.asScala.toSeq

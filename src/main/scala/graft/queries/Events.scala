@@ -87,10 +87,13 @@ object Events {
     }
     val du: Long =
       if (graft.queries.Relational.withinBroadcastBound(ev)) {
-        batches.treeAggregate(new graft.operators.LongAccMap(1))(
+        // single-stage finale under the gate (KernelFinale scaladoc: the
+        // tree's extra stage measured ~60 ms of pure dispatch at local[32])
+        graft.operators.KernelFinale.aggregate(batches,
+          () => new graft.operators.LongAccMap(1))(
           seqOp = foldInto,
-          combOp = { (a, b2) => b2.foreachEntry((k, _) => a.slot(k)); a },
-          depth = 2).size.toLong
+          combOp = { (a, b2) => b2.foreachEntry((k, _) => a.slot(k)); a })
+          .size.toLong
       } else {
         batches.mapPartitions { it =>
           val set = it.foldLeft(new graft.operators.LongAccMap(1))(foldInto)
@@ -101,8 +104,7 @@ object Events {
         }.distinct().count()
       }
     val outSchema = StructType(Seq(StructField("du", LongType, nullable = false)))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(Seq(Row(du)).asJava, outSchema)
+    graft.operators.KernelFinale.primitiveRows(spark, outSchema, Seq(Array[Any](du)))
   }
 
   /** Q10 JSON path extraction + aggregate. The path probe is
@@ -749,8 +751,8 @@ object Events {
     val counts = partials.collect()
     val total: Any = if (counts.isEmpty) null else java.lang.Long.valueOf(counts.sum)
     val outSchema = StructType(Seq(StructField("n_sessions", LongType, nullable = true)))
-    import scala.jdk.CollectionConverters._
-    ev.sparkSession.createDataFrame(Seq(Row(total)).asJava, outSchema)
+    graft.operators.KernelFinale.primitiveRows(ev.sparkSession, outSchema,
+      Seq(Array[Any](total)))
   }
 
   /** [[q21]] as a single forward pass over the sorted layout — the as-of

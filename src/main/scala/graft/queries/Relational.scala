@@ -364,8 +364,10 @@ object Relational {
       // final map to broadcast — its work is a bounded last-level merge,
       // never a partition-count collect; requireBuildBounded (above)
       // bounds the map itself to the broadcast regime.
-      val zero = (new graft.operators.LongAccMap(2), 0L)
-      val (band, rowCount) = oBatches.treeAggregate(zero)(
+      // single-stage finale under the gate; tree-merged past 256
+      // partitions (KernelFinale scaladoc — r16 verdict item 3)
+      val zero = () => (new graft.operators.LongAccMap(2), 0L)
+      val (band, rowCount) = graft.operators.KernelFinale.aggregate(oBatches, zero)(
         seqOp = { case ((m, cnt), b) =>
           val n = b.numRows()
           val okV = b.column(bOkIdx); val odV = b.column(bOdIdx)
@@ -393,7 +395,7 @@ object Relational {
             a.values(base + 1) = b2.values(ob + 1)
           }
           (a, ca + cb)
-        }, depth = 2)
+        })
       // o_orderkey is assumed unique (orders PK): the map keeps ONE band per
       // key, so a duplicate key would silently under-count vs the
       // declarative join's fan-out. Validate the assumption loudly (the
@@ -528,7 +530,8 @@ object Relational {
       // every level of the chain) validated by insert-vs-size accounting,
       // as in the q3 band build — a duplicate would silently drop the
       // declarative join's fan-out
-      val (out, matched) = bs.treeAggregate((new graft.operators.LongAccMap(1), 0L))(
+      val (out, matched) = graft.operators.KernelFinale.aggregate(bs,
+          () => (new graft.operators.LongAccMap(1), 0L))(
         seqOp = { case ((m, cnt), b) =>
           val pm = mapB.value
           val n = b.numRows()
@@ -557,7 +560,7 @@ object Relational {
             a.values(base) = b2.values(ob)
           }
           (a, ca + cb)
-        }, depth = 2)
+        })
       mapB.destroy()
       if (matched != out.size.toLong) throw new KernelRefusal(
         s"q2ColumnarKernel: ${matched - out.size} duplicate $keyCol value(s) " +
@@ -948,7 +951,8 @@ object Relational {
       // executor-side distinct-set build, tree-merged (r12 verdict: the
       // driver never unions partition key arrays — it receives ONE merged
       // set to broadcast, bounded by the gate above)
-      val members = oB.treeAggregate(new graft.operators.LongAccMap(1))(
+      val members = graft.operators.KernelFinale.aggregate(oB,
+        () => new graft.operators.LongAccMap(1))(
         seqOp = { (set, b) =>
           val n = b.numRows()
           val v = b.column(ocIdx)
@@ -960,8 +964,7 @@ object Relational {
           }
           set
         },
-        combOp = { (a, b2) => b2.foreachEntry((k, _) => a.slot(k)); a },
-        depth = 2)
+        combOp = { (a, b2) => b2.foreachEntry((k, _) => a.slot(k)); a })
       spark.sparkContext.broadcast(members)
     }
     val c = q4KernelProbe(spark, dir)
@@ -989,14 +992,13 @@ object Relational {
     counts.foreach { case (h, n0) => has += h; not += n0 }
     // sum() over zero rows is NULL — match the declarative aggregate on an
     // empty customer table
-    val row =
-      if (has + not == 0L) Row(null, null)
-      else Row(java.lang.Long.valueOf(has), java.lang.Long.valueOf(not))
+    val row: Array[Any] =
+      if (has + not == 0L) Array(null, null)
+      else Array(java.lang.Long.valueOf(has), java.lang.Long.valueOf(not))
     val outSchema = StructType(Seq(
       StructField("has_orders", LongType, nullable = true),
       StructField("no_orders", LongType, nullable = true)))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(Seq(row).asJava, outSchema)
+    graft.operators.KernelFinale.primitiveRows(spark, outSchema, Seq(row))
   }
 
   /** Q2 revenue by nation: 4-way join, selective side first.

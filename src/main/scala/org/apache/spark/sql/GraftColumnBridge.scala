@@ -24,6 +24,29 @@ object GraftColumnBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(name, info, builder)
 
+  /** A DataFrame over an already-computed local result, built as a
+    * [[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]]
+    * directly from InternalRow values — the kernel finale's result frame
+    * without `createDataFrame`'s per-row Catalyst converter lookup and
+    * `asJava` round-trip. Callers pass catalyst-typed values (UTF8String
+    * for strings, java.lang.Long/Integer boxes, null for SQL NULL) in
+    * schema order; collect() on the result decodes through the normal
+    * row encoder. Only sensible for the tiny driver-side finale frames
+    * the columnar kernels emit (one row to a few hundred); anything
+    * data-sized belongs in an RDD-backed frame.
+    */
+  def localResult(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[Array[Any]]): DataFrame = {
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val internal = rows.map(vals =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals.toSeq))
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession],
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs, internal))
+  }
+
   /** The underlying RDD when `df`'s plan is a LogicalRDD leaf (i.e. a
     * `localCheckpoint`ed frame): iterative operators that checkpoint per
     * round use this to UNPERSIST the superseded round's blocks —
