@@ -1066,8 +1066,11 @@ object Bench {
             // r15 oracle-gated pipeline additions: their per-SF fits are
             // the floor-free scale evidence for the tokenizer-training and
             // embedding-moment passes (q142 is excluded — driver-looped,
-            // no oracle to pair the points with)
-            "q141_bpe_pairs", "q143_embedding_moments")
+            // no oracle to pair the points with). q146 (r17): the FORCED-
+            // distributed BPE trainer — no oracle, so its row records the
+            // raw e(sf) points (the 100 TB path's measured per-round
+            // curve) with a null ratio, which is the point of including it
+            "q141_bpe_pairs", "q143_embedding_moments", "q146_bpe_distributed")
           // per-query isolation, same fail-soft discipline as the main
           // loop: one failing query loses its row, not the whole phase
           for (name <- slopeSet; fn <- ordered.find(_._1 == name).map(_._2)) try {

@@ -264,6 +264,17 @@ object SparkEntry {
     // reference trainer at merges=256 and by the spec_checks prefix
     // check against q142's reference-gated table.
     "q145_bpe_train256" -> ((s, d) => Pipeline.bpeTrain(s, d, merges = 256)),
+    // q146: the DISTRIBUTED delta trainer as a first-class measured entry
+    // (r16 verdict item 4): maxDriverVocab=0 forces the past-the-bound
+    // path — vocab stays a DataFrame, one affected-only job per round —
+    // so the 100 TB trainer's per-round cost has a bench curve (this
+    // entry + its slope points), not a prose claim. merges=24 keeps one
+    // bench slot ~2 s while still spanning enough rounds for a
+    // meaningful per-round figure (total/24). Rows-only for q142's
+    // reason; gated by the PipelineSpec forced-distributed parity AND a
+    // spec_checks equality to the driver-path table at the same depth.
+    "q146_bpe_distributed" ->
+      ((s, d) => Pipeline.bpeTrain(s, d, merges = 24, maxDriverVocab = 0L)),
   )
 
   // Shared oracle fragments ------------------------------------------------

@@ -186,6 +186,18 @@ object SpecChecks {
       s"""{"check":"first 12 of the 256-merge incremental table == q142's reference-gated table","n_merges":${full.size},"prefix_equals_q142":$prefixOk,"pass":${prefixOk && full.size > 12}}"""
     }
 
+    guarded("q146_bpe_distributed") {
+      // the forced-distributed table must equal the driver-path table at
+      // the same depth; the driver path is itself chained to the
+      // independent reference (q145's check + PipelineSpec)
+      def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val dist = tbl(queries.Pipeline.bpeTrain(spark, dir, merges = 24, maxDriverVocab = 0L))
+      val drv = tbl(queries.Pipeline.bpeTrain(spark, dir, merges = 24))
+      val eq = dist == drv
+      s"""{"check":"forced-distributed (maxDriverVocab=0) merge table == driver-path table at merges=24","n_merges":${dist.size},"equals_driver_path":$eq,"pass":${eq && dist.nonEmpty}}"""
+    }
+
     val allPass = out.values.forall(_.contains("\"pass\":true"))
     val body = out.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     s"""{"sf_dir":"$dir","all_pass":$allPass,"checks":{$body}}"""

@@ -415,4 +415,36 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 0.01, s"shares for $prv sum to $s")
     }
   }
+
+  test("KernelFinale.aggregate == treeAggregate on both tiers, incl. empty/skewed RDDs") {
+    import graft.operators.KernelFinale
+    val sc = spark.sparkContext
+    def viaTree(rdd: org.apache.spark.rdd.RDD[Int]): (Long, Long) =
+      rdd.treeAggregate((0L, 0L))(
+        { case ((s, n), v) => (s + v, n + 1) },
+        { case ((s1, n1), (s2, n2)) => (s1 + s2, n1 + n2) }, depth = 2)
+    def viaFinale(rdd: org.apache.spark.rdd.RDD[Int]): (Long, Long) =
+      KernelFinale.aggregate(rdd, () => (0L, 0L))(
+        { case ((s, n), v) => (s + v, n + 1) },
+        { case ((s1, n1), (s2, n2)) => (s1 + s2, n1 + n2) })
+    // single-stage tier: empty, single-partition, skewed (empty partitions)
+    for (rdd <- Seq(
+        sc.parallelize(Seq.empty[Int], 4),
+        sc.parallelize(1 to 1000, 1),
+        sc.parallelize(1 to 1000, 16).filter(_ % 7 == 0))) {
+      assert(viaFinale(rdd) === viaTree(rdd))
+    }
+    // past the cutover the call IS treeAggregate — pin the routing by
+    // running a partition count just above it
+    val wide = sc.parallelize(1 to 2000, KernelFinale.singleStageMaxPartitions + 1)
+    assert(viaFinale(wide) === viaTree(wide))
+    // primitiveRows: null + boxed long round-trip through collect
+    val df = KernelFinale.primitiveRows(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType, nullable = true))),
+      Seq(Array[Any](java.lang.Long.valueOf(7L)), Array[Any](null)))
+    assert(df.collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+      === Seq(7L, -1L))
+  }
 }
