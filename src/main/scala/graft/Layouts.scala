@@ -214,6 +214,15 @@ object Layouts {
       (k: (SparkSession, String, Int)) =>
         (k._1 eq spark) && k._2 != currentKey && k._2.startsWith(s"$dir@"))
 
+  /** Test probe (r17): staged-events memo entries for `dir` across all
+    * generations/bucket counts — eviction keeps it at 1 (StalenessSpec).
+    */
+  private[graft] def stagedEventsEntriesFor(spark: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    stagedEvents.keySet.asScala.count(k =>
+      (k._1 eq spark) && k._2.startsWith(s"$dir@"))
+  }
+
   // NOTE (r13): memoizing a full QUERY frame (not just its scans) was
   // tried for q98/q99 and reverted — re-collecting one Dataset object
   // lets AQE reuse its materialized shuffle stages, so repeated "runs"

@@ -59,6 +59,15 @@ object Tables {
     * mid-regeneration read is inherently racy either way — but it is
     * never served from the memo again).
     */
+  /** Test probe (r17): memo entries currently held for `path` — the
+    * superseded-generation eviction (r16 advice) keeps this at 1 across
+    * in-place regenerations; StalenessSpec pins it.
+    */
+  private[graft] def memoEntriesFor(spark: SparkSession, path: String): Int = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.count(k => (k._1 eq spark) && k._2 == path)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val fp = Fingerprint.of(spark, path)

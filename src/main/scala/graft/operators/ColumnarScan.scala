@@ -76,6 +76,16 @@ object ColumnarScan {
     * regeneration evicts the old generation's prepared frames instead of
     * stranding them for the process lifetime.
     */
+  /** Test probe (r17): memo entries held for (session, dir, tag) across
+    * all generations — eviction keeps it at 1 (StalenessSpec).
+    */
+  private[graft] def inputMemoEntriesFor(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): Int = {
+    import scala.jdk.CollectionConverters._
+    inputMemo.keySet.asScala.count(k =>
+      (k._1 eq s) && k._3 == tag && k._2.startsWith(s"$d@"))
+  }
+
   def inputCached(s: org.apache.spark.sql.SparkSession, d: String, tag: String)
       (build: => DataFrame): DataFrame = {
     val fkey = graft.Fingerprint.key(s, d)

@@ -2619,6 +2619,20 @@ object Pipeline {
   private val stagedShardRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), String]()
 
+  /** Test probes (r17): memo entries held for `dir` across generations —
+    * the superseded-generation eviction keeps each at 1 (StalenessSpec).
+    */
+  private[graft] def stagedShardRootsFor(spark: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    stagedShardRoots.keySet.asScala.count(k =>
+      (k._1 eq spark) && k._2.startsWith(s"$dir@"))
+  }
+  private[graft] def learnedMergesEntriesFor(spark: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    learnedMerges.keySet.asScala.count(k =>
+      (k._1 eq spark) && k._2.startsWith(s"$dir@"))
+  }
+
   /** q140: the materialized training order, driver-gated end-to-end (r14
     * verdict item 8) — [[writeShuffledShards]] then [[readShuffledShards]]
     * then q134's exact census over the READ-BACK relation, sharing q134's

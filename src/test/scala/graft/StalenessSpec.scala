@@ -44,6 +44,13 @@ class StalenessSpec extends SparkSpec {
     val b = Tables.load(spark, dir, "orders").collect().map(_.getString(1)).toSeq
     assert(b === Seq("v2", "v2"),
       "regenerated file must be re-read, not served from the memoized frame")
+    // eviction (r16 advice): regenerations must not strand superseded
+    // entries — one live generation per (session, path), ever
+    Seq((1L, "v3")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Tables.load(spark, dir, "orders").collect()
+    assert(Tables.memoEntriesFor(spark, s"$dir/orders.parquet") === 1,
+      "superseded generations must be evicted from the Tables memo")
   }
 
   test("ColumnarScan.inputCached rebuilds when the dir's fingerprint changes") {
@@ -60,6 +67,8 @@ class StalenessSpec extends SparkSpec {
     val f = cached()
     assert(builds === 2, "regeneration must rebuild the prepared plan")
     assert(f.collect().map(_.getInt(0)).toSeq === Seq(2))
+    assert(graft.operators.ColumnarScan.inputMemoEntriesFor(spark, dir, "stale-spec") === 1,
+      "superseded generations must be evicted from the prepared-scan memo")
   }
 
   test("q144 merge-table memo retrains on a regenerated corpus (not a stale table)") {
@@ -78,6 +87,8 @@ class StalenessSpec extends SparkSpec {
     val out = Pipeline.q144(spark, dir, merges = 2).collect()
     assert(out.map(_.getLong(4)).sum === 3L,
       "regenerated corpus must be re-trained, not encoded with the stale table")
+    assert(Pipeline.learnedMergesEntriesFor(spark, dir) === 1,
+      "superseded generations must be evicted from the merge-table memo")
   }
 
   test("q140 shard root goes fresh on a regenerated corpus") {
@@ -91,6 +102,8 @@ class StalenessSpec extends SparkSpec {
     writeDocs(5)
     assert(Pipeline.q140(spark, dir).collect().map(_.getLong(1)).sum === 5L,
       "the committed-version no-op must not serve the previous generation")
+    assert(Pipeline.stagedShardRootsFor(spark, dir) === 1,
+      "the superseded generation's shard root must be evicted (and deleted)")
   }
 
   test("a FAILED staging never reads as staged (probes count completed cells only)") {
@@ -128,5 +141,7 @@ class StalenessSpec extends SparkSpec {
     // an explicit re-stage serves the NEW generation
     val re = Layouts.eventsByUserCached(spark, dir, buckets = 2)
     assert(re.select("user_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(Layouts.stagedEventsEntriesFor(spark, dir) === 1,
+      "the superseded generation's staged-events cell must be evicted")
   }
 }
