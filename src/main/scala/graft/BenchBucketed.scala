@@ -136,9 +136,14 @@ object BenchBucketed {
         (System.nanoTime() - t) / 1e9
       }
       val queriesDf = Pipeline.annQueries(emb)
-      val cells = Pipeline.ivfadcProbedCells(queriesDf, cents, nprobe = 4)
+      // q88's OWN operating point (Pipeline.AnnNprobe/AnnRerank): the
+      // staged-vs-inline parity gate below is only meaningful at the same
+      // (nprobe, rerank) — r17 found this pinned to the pre-r14 (4, 200),
+      // so the require had failed on every run since q88's default moved
+      val cells = Pipeline.ivfadcProbedCells(queriesDf, cents, Pipeline.AnnNprobe)
       def stagedQ() = Pipeline.ivfadcStagedProbe(
-        spark, codesPath, emb, queriesDf, cents, cb, nprobe = 4, rerank = 200)
+        spark, codesPath, emb, queriesDf, cents, cb,
+        Pipeline.AnnNprobe, Pipeline.AnnRerank)
       // result parity: staged layout must reproduce the inline q88 rows
       val inlineRows = Pipeline.q88(spark, sfDir).collect().toSeq
       val stagedRows = stagedQ().collect().toSeq

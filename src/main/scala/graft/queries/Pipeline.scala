@@ -463,8 +463,18 @@ object Pipeline {
     * reaches 0.86 by giving up cell pruning entirely. The re-rank stays
     * |queries|×rerank exact dots, O(1) per corpus size.
     */
+  /** q88's deployment operating point (the r14 sweep knee), named ONCE:
+    * BenchBucketed's staged-vs-inline parity gate and the cold-open probe
+    * compare at exactly this point. r17 found BenchBucketed still pinned
+    * to the pre-r14 (4, 200) — its parity `require` had been failing
+    * silently-unrun since the default moved; a shared constant makes the
+    * next default change incapable of diverging the gate.
+    */
+  val AnnNprobe = 8
+  val AnnRerank = 400
+
   def q88(spark: SparkSession, dir: String): DataFrame =
-    ivfadcAnn(spark, dir, nprobe = 8, rerank = 400)
+    ivfadcAnn(spark, dir, nprobe = AnnNprobe, rerank = AnnRerank)
 
   private[graft] def ivfadcAnn(spark: SparkSession, dir: String,
       nprobe: Int, rerank: Int): DataFrame = {
