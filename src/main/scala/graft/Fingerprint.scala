@@ -55,6 +55,17 @@ object Fingerprint {
     // these memos fingerprint. DFS paths keep the Hadoop listing (one
     // namenode round-trip, no per-file exec).
     if (scheme == null || scheme == "file") return ofLocal(p.toUri.getPath)
+    ofHadoop(spark, p)
+  }
+
+  /** The FileSystem-API branch of [[of]] — non-local schemes. Kept
+    * callable on local paths too so FingerprintSpec can pin digest
+    * equality between the two branches: an index COMMITTED with one
+    * branch's digest must still be ADOPTED after an upgrade that reads
+    * it with the other (a format drift would silently re-train every
+    * committed artifact exactly once).
+    */
+  private[graft] def ofHadoop(spark: SparkSession, p: org.apache.hadoop.fs.Path): String = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -87,7 +98,13 @@ object Fingerprint {
     val stream = Files.walk(root)
     try {
       stream.forEach { f =>
-        if (Files.isRegularFile(f)) {
+        // ChecksumFileSystem parity: Hadoop's local FS HIDES its checksum
+        // sidecars (".<name>.crc") from listings, so the nio walk must
+        // skip them too or the two branches digest different entry sets
+        // (StalenessSpec pins branch equality)
+        val name = f.getFileName.toString
+        val isCrcSidecar = name.startsWith(".") && name.endsWith(".crc")
+        if (!isCrcSidecar && Files.isRegularFile(f)) {
           val rel = root.relativize(f).toString match {
             case "" => "" // `path` IS a regular file: Hadoop's rel is "" too
             case r  => "/" + r

@@ -2965,9 +2965,19 @@ object Pipeline {
           "index matches the data's current fingerprint — call " +
           "Pipeline.stageAnnIndex(spark, dir) first (staging is always explicit)")
       }
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
-    ivfadcStagedProbe(spark, idx.codesPath, emb, annQueries(emb),
+    // prepared-plan memo for the probe's two input frames (the inputCached
+    // discipline — scan+projection/filter only, no Exchange): the staged
+    // read path is the latency-facing API, and rebuilding these frames
+    // re-paid ~0.2 s of Catalyst analysis per call. The per-call probed-
+    // cells job stays — in production the query set changes per call.
+    val emb = graft.operators.ColumnarScan.inputCached(spark, dir, "annSearchEmb") {
+      Tables.embeddings(spark, dir)
+        .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
+    }
+    val qs = graft.operators.ColumnarScan.inputCached(spark, dir, "annSearchQueries") {
+      annQueries(emb)
+    }
+    ivfadcStagedProbe(spark, idx.codesPath, emb, qs,
       idx.cents, idx.cb, nprobe, rerank)
   }
 

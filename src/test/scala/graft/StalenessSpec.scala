@@ -30,6 +30,16 @@ class StalenessSpec extends SparkSpec {
     assert(Fingerprint.key(spark, dir, "t.parquet") === k1,
       "per-file key must ignore unrelated files")
     assert(Fingerprint.key(spark, dir) !== Fingerprint.key(spark, dir, "t.parquet"))
+    // branch parity (r17): the java.nio local fast path must digest
+    // byte-identically to the Hadoop-FileSystem branch — committed
+    // artifacts (staged ANN meta) store the digest, and a format drift
+    // between branches would silently re-train every committed index on
+    // the first post-upgrade open
+    for (p <- Seq(dir, s"$dir/t.parquet", s"$dir/u.parquet")) {
+      assert(Fingerprint.of(spark, p) ===
+        Fingerprint.ofHadoop(spark, new org.apache.hadoop.fs.Path(p)),
+        s"nio and Hadoop digests diverge for $p")
+    }
   }
 
   test("Tables.load re-reads a table regenerated in place mid-session") {
