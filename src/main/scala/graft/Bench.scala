@@ -336,6 +336,10 @@ object Bench {
       // keep typed-Aggregator queries (q5 top-k heap) in hash mode past
       // 128 groups/task — see Session.local for the rationale
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // 1 MB scan splits at the bench SFs — see Session.local: the 2-10 MB
+      // test files are single-task scans under the 128 MB default
+      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -52,6 +52,19 @@ object Session {
       // hash mode holds at realistic group counts; past it the sort
       // fallback remains as the memory safety valve.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // Scan-split sizing for the LOCAL test SFs (r17, measured): the
+      // testdata files are 2-10 MB, so Spark's 128 MB default makes every
+      // non-bucketed scan a SINGLE task and leaves cores idle in the scan
+      // stage; 1 MB splits + a 128 KB open cost parallelize the fact scans
+      // ~8-10-way (q1 -25%, q2 -18%, q3 -13%, q7 -14% at sf0.1) while the
+      // open cost keeps KB-sized dims at one split. Results are unaffected
+      // by construction: every aggregate here is fixed-point/integer and
+      // partition-count independent (the determinism discipline), and
+      // bucketed-table scans ignore this knob (one partition per bucket).
+      // At PRODUCTION data sizes keep the 128 MB default — this is the
+      // "size maxPartitionBytes to the target SF" knob, sized for local.
+      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       // Pin the catalog to in-memory: with Hive jars on the classpath a
       // hive catalog boots an embedded Derby metastore in user.dir, and
       // Derby permits exactly ONE JVM — a second concurrent graft process

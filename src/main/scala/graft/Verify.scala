@@ -72,6 +72,11 @@ object Verify {
         .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
         // typed-Aggregator hash mode past 128 groups/task — see Session.local
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+        // 1 MB scan splits (see Session.local) — the gate then ALSO
+        // exercises result parity under multi-partition scans, which the
+        // engine's fixed-point determinism discipline promises
+        .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+        .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
