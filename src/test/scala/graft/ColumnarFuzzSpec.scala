@@ -206,4 +206,85 @@ class ColumnarFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // r17: the q9a/q4 finales moved to KernelFinale.aggregate (single-stage
+  // runJob + driver merge under the gate) — fuzz BOTH kernels against
+  // their declarative twins, q9a on both id widths (testdata ships dims
+  // as INTEGER, facts as BIGINT) and on BOTH finale branches (the forced
+  // distributed path via a 1-byte broadcast threshold).
+
+  test("q9a kernel == declarative: null/width fuzz, both finale branches") {
+    val longSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val intSchema = StructType(longSchema.map(f =>
+      if (f.name == "user_id") f.copy(dataType = IntegerType) else f))
+    def corpus(pNull: Int, intWidth: Boolean): Gen[List[Row]] = {
+      val row = for {
+        eid <- Gen.chooseNum(1L, 1000000L)
+        t <- Gen.const(ts("2024-01-01 10:00:00"))
+        uid <- orNull(Gen.chooseNum(1L, 40L).map(u =>
+          if (intWidth) Int.box(u.toInt) else Long.box(u)), pNull)
+        et <- orNull(stringGen(highCard = false), pNull)
+        v <- orNull(Gen.chooseNum(0, 100).map(_ / 10.0), pNull)
+        pr <- Gen.const("""{"k": 1}""")
+      } yield Row(eid, t, uid, et, v, pr)
+      Gen.chooseNum(1, 300).flatMap(n => Gen.listOfN(n, row))
+    }
+    for (i <- 0 until 6) {
+      val intWidth = i % 2 == 1
+      val regime = sample(regimeGen, 700L + i)
+      val rows = sample(corpus(pNull = Seq(0, 1, 3)(i % 3), intWidth), 800L + i)
+      val tmp = java.nio.file.Files.createTempDirectory(s"fuzzq9a_$i").toString
+      writeParquet(
+        spark.createDataFrame(rows.asJava, if (intWidth) intSchema else longSchema),
+        s"$tmp/events.parquet", regime)
+      withBatchSize(regime.batchSize) {
+        val want = rowsOf(graft.queries.Events.q9a(spark, tmp))
+        assert(rowsOf(graft.queries.Events.q9aColumnarKernel(spark, tmp)) === want,
+          s"iteration $i gated branch ($regime, ${rows.size} rows)")
+        // forced DISTRIBUTED finale: a 1-byte threshold fails the bound
+        // probe, so the kernel counts via per-partition-distinct shuffle
+        val key = "spark.sql.autoBroadcastJoinThreshold"
+        val saved = spark.conf.get(key)
+        spark.conf.set(key, "1")
+        try assert(rowsOf(graft.queries.Events.q9aColumnarKernel(spark, tmp)) === want,
+          s"iteration $i distributed branch ($regime)")
+        finally spark.conf.set(key, saved)
+      }
+    }
+  }
+
+  test("q4 kernel == declarative under generated null custkeys") {
+    val ordersSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType)))
+    val customerSchema = StructType(Seq(StructField("c_custkey", LongType)))
+    def ordersCorpus(pNull: Int): Gen[List[Row]] = {
+      val row = for {
+        ok <- Gen.chooseNum(1L, 1000000L)
+        ck <- orNull(Gen.chooseNum(1L, 60L), pNull)
+      } yield Row(ok, ck)
+      Gen.chooseNum(1, 300).flatMap(n => Gen.listOfN(n, row))
+    }
+    def customerCorpus(pNull: Int): Gen[List[Row]] = {
+      val row = orNull(Gen.chooseNum(1L, 80L), pNull).map(ck => Row(ck))
+      Gen.chooseNum(1, 200).flatMap(n => Gen.listOfN(n, row))
+    }
+    for (i <- 0 until 6) {
+      val regime = sample(regimeGen, 900L + i)
+      val orders = sample(ordersCorpus(pNull = Seq(0, 1, 3)(i % 3)), 1000L + i)
+      val custs = sample(customerCorpus(pNull = Seq(0, 3, 1)(i % 3)), 1100L + i)
+      val tmp = java.nio.file.Files.createTempDirectory(s"fuzzq4_$i").toString
+      writeParquet(spark.createDataFrame(orders.asJava, ordersSchema),
+        s"$tmp/orders.parquet", regime)
+      writeParquet(spark.createDataFrame(custs.asJava, customerSchema),
+        s"$tmp/customer.parquet", regime)
+      withBatchSize(regime.batchSize) {
+        val want = rowsOf(graft.queries.Relational.q4(spark, tmp))
+        val got = rowsOf(graft.queries.Relational.q4ColumnarKernel(spark, tmp))
+        assert(got === want, s"iteration $i ($regime, ${orders.size}o/${custs.size}c)")
+      }
+    }
+  }
 }
