@@ -275,6 +275,14 @@ object SparkEntry {
     // spec_checks equality to the driver-path table at the same depth.
     "q146_bpe_distributed" ->
       ((s, d) => Pipeline.bpeTrain(s, d, merges = 24, maxDriverVocab = 0L)),
+    // q147/q148 (r17): the multimodal quartet completed — RESIZE
+    // (nearest-neighbor over the real-codec-decoded raster) and
+    // FRAME-SAMPLE (length-prefixed container parse + strided per-frame
+    // decode). Both hash-checked: PNG gray is lossless and the sampling
+    // math is integer, so the oracle recomputes the sums from doc_id and
+    // text (q83's argument, extended).
+    "q147_mm_resize" -> (Pipeline.q147 _),
+    "q148_mm_frame_sample" -> ((s, d) => Pipeline.q148(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1453,6 +1461,35 @@ object SparkEntry {
         |  CAST(list_sum([CASE WHEN len(text) = 0 THEN 0
         |                 ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 END
         |                 FOR i IN range(0, (4 + doc_id % 13) * (4 + doc_id % 11))]) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q147: nearest-neighbor 8x8 resample of q83's image AFTER the codec
+    // roundtrip — src pixel index = (ti*h//8)*w + (tj*w//8), flattened as
+    // i = ti*8 + tj; same byte==char assumption as q83.
+    "q147_mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 13 AS INTEGER) AS src_w,
+        |  CAST(4 + doc_id % 11 AS INTEGER) AS src_h,
+        |  CAST(list_sum([CASE WHEN len(text) = 0 THEN 0
+        |    ELSE ord(substr(text, CAST((((i // 8) * (4 + doc_id % 11) // 8) * (4 + doc_id % 13)
+        |      + ((i % 8) * (4 + doc_id % 13) // 8)) % len(text) AS INT) + 1, 1)) % 128 END
+        |    FOR i IN range(0, 64)]) AS BIGINT) AS r_px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q148: strided frame sampling over the deterministic container —
+    // nf = 2+id%5 frames of w*h pixels; flattened index i has
+    // f = i // (w*h), pos = i % (w*h); frame f's pixel =
+    // (byte % 128 + f) % 128; stride 2 keeps even f.
+    "q148_mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 5 AS INTEGER) AS n_frames,
+        |  CAST((2 + doc_id % 5 + 1) // 2 AS INTEGER) AS n_sampled,
+        |  CAST(list_sum([CASE WHEN (i // ((4 + doc_id % 13) * (4 + doc_id % 11))) % 2 = 0 THEN
+        |      (CASE WHEN len(text) = 0 THEN 0
+        |        ELSE ord(substr(text, CAST((i % ((4 + doc_id % 13) * (4 + doc_id % 11))) % len(text) AS INT) + 1, 1)) % 128 END
+        |       + i // ((4 + doc_id % 13) * (4 + doc_id % 11))) % 128
+        |    ELSE 0 END
+        |    FOR i IN range(0, (2 + doc_id % 5) * (4 + doc_id % 13) * (4 + doc_id % 11))]) AS BIGINT) AS s_px_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q84: row-local repeated-trigram fraction in integer basis points;

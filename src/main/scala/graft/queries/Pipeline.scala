@@ -2073,6 +2073,141 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q147: multimodal RESIZE — the third op of the decode/feature-extract/
+    * resize/frame-sample quartet a multimodal training pipeline needs.
+    * Per doc: q83's deterministic grayscale image (w = 4+id%13,
+    * h = 4+id%11, pixel = text byte & 0x7f), PNG-encoded and DECODED with
+    * the real codec (the same javax.imageio call as [[mmDecodeImages]]),
+    * then nearest-neighbor resized to 8×8 over the DECODED raster —
+    * src(x, y) at x = tj·w/8, y = ti·h/8 in integer math — emitting the
+    * resized pixel sum. Because PNG gray is lossless and the sampling
+    * index math is integer, the oracle recomputes the sum from doc_id and
+    * text alone, so the resize path is hash-checked end to end (q83's
+    * argument, extended through the resampler).
+    *
+    * Scale shape: row-local map over the same grouped-batch seam as
+    * [[mmDecodeBatched]] (shaped for a JNI/codec library that wants
+    * arrays, not single rows); no shuffle except the final ORDER BY.
+    */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.map { case (id, txt) =>
+            val w = (4 + id % 13).toInt
+            val h = (4 + id % 11).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              val px = if (txt.length == 0) 0 else txt(i % txt.length) & 0x7f
+              r.setSample(i % w, i / w, 0, px)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val dr = dec.getRaster
+            var s = 0L
+            var ti = 0
+            while (ti < 8) {
+              val sy = ti * h / 8
+              var tj = 0
+              while (tj < 8) {
+                s += dr.getSample(tj * w / 8, sy, 0)
+                tj += 1
+              }
+              ti += 1
+            }
+            (id, w, h, s)
+          }
+        }
+      }
+      .toDF("doc_id", "src_w", "src_h", "r_px_sum")
+      .orderBy("doc_id")
+  }
+
+  /** q148: multimodal FRAME-SAMPLE — the quartet's video op. Each doc
+    * carries a deterministic fake "video": nf = 2+id%5 PNG frames (frame
+    * f's pixel = (text byte & 0x7f + f) % 128) in a length-prefixed
+    * container (4-byte big-endian frame length, then the frame bytes —
+    * the framing any real container format reduces to once a demuxer
+    * exposes packets). The OPERATOR is the read side: parse the framing,
+    * decode every `stride`-th frame with the real codec, and emit frame
+    * census + sampled-pixel sum. The build is the deterministic fake the
+    * container ships with (the decode-stub discipline: the plumbing —
+    * framing parse, batch seam, per-frame decode — is real and
+    * hash-checked; only the MEDIA is synthetic, because no codec libs
+    * ship in this container). Oracle recomputes everything from doc_id
+    * and text (PNG gray lossless + integer pixel math).
+    */
+  def q148(spark: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.map { case (id, txt) =>
+            val w = (4 + id % 13).toInt
+            val h = (4 + id % 11).toInt
+            val nf = (2 + id % 5).toInt
+            // the deterministic fake container
+            val bos = new java.io.ByteArrayOutputStream()
+            val out = new java.io.DataOutputStream(bos)
+            var f = 0
+            while (f < nf) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val r = img.getRaster
+              var i = 0
+              while (i < w * h) {
+                val base = if (txt.length == 0) 0 else txt(i % txt.length) & 0x7f
+                r.setSample(i % w, i / w, 0, (base + f) % 128)
+                i += 1
+              }
+              val fb = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", fb)
+              val bytes = fb.toByteArray
+              out.writeInt(bytes.length)
+              out.write(bytes)
+              f += 1
+            }
+            // ---- the operator: parse the framing, decode sampled frames
+            val in = new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            var seen = 0
+            var sampled = 0
+            var s = 0L
+            while (in.available() > 0) {
+              val len = in.readInt()
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              if (seen % stride == 0) {
+                val dec = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                val dr = dec.getRaster
+                val dw = dec.getWidth; val dh = dec.getHeight
+                var j = 0
+                while (j < dw * dh) { s += dr.getSample(j % dw, j / dw, 0); j += 1 }
+                sampled += 1
+              }
+              seen += 1
+            }
+            (id, seen, sampled, s)
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "s_px_sum")
+      .orderBy("doc_id")
+  }
+
   /** q84: intra-document repetition — the Gopher-style "fraction of
     * repeated word n-grams WITHIN a document" quality filter (Rae et al.
     * 2021 §A1.1 use duplicate n-gram fractions at n=2..4; n=3 here). A

@@ -518,6 +518,24 @@ class PipelineSpec extends SparkSpec {
     rows.foreach { case (id, bytes) => assert(nb(id) == bytes.length.toLong) }
   }
 
+  test("q148 stride semantics: stride=1 samples every frame; sums nest by stride") {
+    // the oracle pins stride=2; the stride KNOB itself is pinned here —
+    // stride 1 must sample all frames, and each frame set is a superset
+    // of coarser strides' (sum(stride=2) <= sum(stride=1), count exact)
+    val all = Pipeline.q148(spark, sf0001, stride = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    val half = Pipeline.q148(spark, sf0001, stride = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(all.keySet == half.keySet && all.nonEmpty)
+    all.foreach { case (id, (nf, ns, s)) =>
+      assert(ns == nf, s"doc $id: stride 1 must sample every frame")
+      val (nf2, ns2, s2) = half(id)
+      assert(nf2 == nf, s"doc $id: frame census must not depend on stride")
+      assert(ns2 == (nf + 1) / 2, s"doc $id: stride-2 sample count")
+      assert(s2 <= s, s"doc $id: sampled sum cannot exceed the full sum")
+    }
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these
