@@ -2823,6 +2823,11 @@ object Pipeline {
     learnedMerges.keySet.asScala.count(k =>
       (k._1 eq spark) && k._2.startsWith(s"$dir@"))
   }
+  private[graft] def stagedVideoEntriesFor(spark: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    stagedVideos.keySet.asScala.count(k =>
+      (k._1 eq spark) && k._2.startsWith(s"$dir@"))
+  }
 
   /** q140: the materialized training order, driver-gated end-to-end (r14
     * verdict item 8) — [[writeShuffledShards]] then [[readShuffledShards]]

@@ -116,6 +116,25 @@ class StalenessSpec extends SparkSpec {
       "the superseded generation's shard root must be evicted (and deleted)")
   }
 
+  test("staged video corpus goes fresh on a regenerated corpus, old root evicted") {
+    import spark.implicits._
+    val dir = tmpDir("videos")
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Seq((1L, "s", "aaa"), (2L, "s", "bb")))
+    val g1 = Pipeline.q148(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(g1 === Seq(1L, 2L))
+    // regenerate: different docs must flow through a FRESH container
+    // staging (not the previous generation's materialized videos)
+    writeDocs(Seq((7L, "s", "zzzz")))
+    val g2 = Pipeline.q148(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(g2 === Seq(7L),
+      "regenerated corpus must re-stage the video containers")
+    assert(Pipeline.stagedVideoEntriesFor(spark, dir) === 1,
+      "the superseded generation's video root must be evicted")
+  }
+
   test("a FAILED staging never reads as staged (probes count completed cells only)") {
     val dir = tmpDir("fail") // exists, but holds no parquet: stagings throw
     // ANN: the thrown staging's cell must be evicted and the probe stay
