@@ -54,7 +54,17 @@ object Fingerprint {
     // (length, mtime) via one statx per file — microseconds for the dirs
     // these memos fingerprint. DFS paths keep the Hadoop listing (one
     // namenode round-trip, no per-file exec).
-    if (scheme == null || scheme == "file") return ofLocal(p.toUri.getPath)
+    //
+    // Scheme-less paths resolve against fs.defaultFS by Hadoop convention
+    // (r17 advice): on a cluster whose default FS is HDFS/S3, "a/b/c" is a
+    // DFS path, and fingerprinting the driver's LOCAL disk instead would
+    // read "absent" and silently defeat every staleness guard. Take the
+    // nio branch only when the path is provably local.
+    val effectiveScheme =
+      if (scheme != null) scheme
+      else org.apache.hadoop.fs.FileSystem
+        .getDefaultUri(spark.sparkContext.hadoopConfiguration).getScheme
+    if (effectiveScheme == "file") return ofLocal(p.toUri.getPath)
     ofHadoop(spark, p)
   }
 
@@ -95,7 +105,14 @@ object Fingerprint {
     if (!Files.exists(root)) return "absent"
     val md = java.security.MessageDigest.getInstance("MD5")
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stream = Files.walk(root)
+    // FOLLOW_LINKS for Hadoop parity (r17 advice): RawLocalFileSystem's
+    // recursive listing traverses symlinked directories (java.io.File
+    // semantics), so the nio branch must too, or a symlinked subdir makes
+    // the two branches digest different entry sets — the committed-
+    // artifact format drift the ofHadoop scaladoc warns about. Files.walk
+    // throws FileSystemLoopException on cycles, which is the right
+    // behavior: a cyclic input dir has no well-defined listing either way.
+    val stream = Files.walk(root, java.nio.file.FileVisitOption.FOLLOW_LINKS)
     try {
       stream.forEach { f =>
         // ChecksumFileSystem parity: Hadoop's local FS HIDES its checksum

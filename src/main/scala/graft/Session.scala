@@ -34,7 +34,8 @@ object Session {
     */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
       appName: String = "graft",
-      withExtensions: Boolean = true): SparkSession = {
+      withExtensions: Boolean = true,
+      maxPartitionBytes: Long = 1024L * 1024): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -61,9 +62,12 @@ object Session {
       // by construction: every aggregate here is fixed-point/integer and
       // partition-count independent (the determinism discipline), and
       // bucketed-table scans ignore this knob (one partition per bucket).
-      // At PRODUCTION data sizes keep the 128 MB default — this is the
-      // "size maxPartitionBytes to the target SF" knob, sized for local.
-      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      // At PRODUCTION data sizes pass maxPartitionBytes = 128 MB (Spark's
+      // default) or larger — the parameter exists (r17 advice) so a user
+      // pointing this entry point at GB-scale files isn't stuck with
+      // thousands of scan partitions per file; the default stays sized
+      // for the 2-10 MB test SFs this factory is documented for.
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       // Pin the catalog to in-memory: with Hive jars on the classpath a
       // hive catalog boots an embedded Derby metastore in user.dir, and

@@ -68,6 +68,16 @@ object Tables {
     cache.keySet.asScala.count(k => (k._1 eq spark) && k._2 == path)
   }
 
+  /** Test probe (r18): NANOS-clone memo entries currently held for `dir`'s
+    * events table (the `#nanosAsLong` marker keys) — eviction keeps this at
+    * ≤ 1 per tz across in-place regenerations.
+    */
+  private[graft] def cloneEntriesFor(spark: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.count(k =>
+      (k._1 eq spark) && k._2.startsWith(s"$dir/events.parquet#nanosAsLong"))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val fp = Fingerprint.of(spark, path)
@@ -141,8 +151,17 @@ object Tables {
     // clone frame instead of re-paying a failing file-listing + footer
     // inference on every call
     val tz = scala.util.Try(s.conf.get("spark.sql.session.timeZone")).getOrElse("")
-    val nanosKey = (s, s"$d/events.parquet#nanosAsLong#tz=$tz",
-      Fingerprint.of(s, s"$d/events.parquet"))
+    val fp = Fingerprint.of(s, s"$d/events.parquet")
+    // Superseded-generation eviction for the CLONE entries too (r17
+    // advice): load()'s eviction matches k._2 == path exactly, so the
+    // "#nanosAsLong#tz=..." marker keys — and the cloned sessions their
+    // frames capture — would otherwise strand for the process lifetime on
+    // an in-place regeneration, the exact leak class load() closes for
+    // the plain path.
+    Memo.evictSuperseded(cache,
+      (k: (SparkSession, String, String)) =>
+        (k._1 eq s) && k._2.startsWith(s"$d/events.parquet#nanosAsLong") && k._3 != fp)
+    val nanosKey = (s, s"$d/events.parquet#nanosAsLong#tz=$tz", fp)
     val cachedClone = cache.get(nanosKey)
     val raw =
       if (cachedClone != null && cachedClone.done)

@@ -132,6 +132,43 @@ class EventsSchemaDriftSpec extends SparkSpec {
       s"stale-tz clone served after timezone change: ${rendered()}")
   }
 
+  test("events loader: in-place NANOS regeneration evicts the superseded clone entry") {
+    // r17 advice: load()'s eviction matches the plain path exactly, so the
+    // "#nanosAsLong#tz=..." marker keys — and the cloned sessions their
+    // frames capture — stranded for the process lifetime on an in-place
+    // regeneration. Tables.events now evicts superseded marker entries too.
+    val dir = freshDir("nanos-regen")
+    val schema: MessageType = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    def writeNanos(eventId: Long): Unit = {
+      val f = new java.io.File(s"$dir/events.parquet")
+      if (f.exists) { f.delete(): Unit }
+      val crc = new java.io.File(s"$dir/.events.parquet.crc")
+      if (crc.exists) { crc.delete(): Unit }
+      val writer = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
+        .withType(schema).withConf(new Configuration()).build()
+      try {
+        val g = new SimpleGroupFactory(schema).newGroup()
+        g.append("event_id", eventId)
+        g.append("ts", microsUtc * 1000L)
+        writer.write(g)
+      } finally writer.close()
+    }
+    val caller = spark.newSession()
+    caller.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    writeNanos(1L)
+    assert(Tables.events(caller, dir).select("event_id").head().getLong(0) == 1L)
+    writeNanos(2L)
+    assert(Tables.events(caller, dir).select("event_id").head().getLong(0) == 2L,
+      "regenerated NANOS file must be re-read, not served from the stale clone")
+    assert(Tables.cloneEntriesFor(caller, dir) == 1,
+      "superseded NANOS-clone generations must be evicted from the Tables memo")
+  }
+
   test("events loader: TIMESTAMP(MICROS) NTZ parquet (current generator) loads as micros") {
     val dir = freshDir("ntz")
     spark.sql(s"SELECT 1L AS event_id, timestamp_ntz'2024-01-15 12:34:56.789012' AS ts")

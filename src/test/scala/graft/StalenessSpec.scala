@@ -40,6 +40,18 @@ class StalenessSpec extends SparkSpec {
         Fingerprint.ofHadoop(spark, new org.apache.hadoop.fs.Path(p)),
         s"nio and Hadoop digests diverge for $p")
     }
+    // symlink parity (r18 advice): Hadoop's RawLocalFileSystem recursion
+    // follows symlinked directories (java.io.File semantics), so the nio
+    // walk must FOLLOW_LINKS too — a linked subdir digesting differently
+    // across branches is exactly the committed-artifact format drift the
+    // parity contract exists to prevent
+    val real = tmpDir("fp-real")
+    Seq(9).toDF("z").write.parquet(s"$real/z.parquet")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$dir/linked"), java.nio.file.Paths.get(real))
+    assert(Fingerprint.of(spark, dir) ===
+      Fingerprint.ofHadoop(spark, new org.apache.hadoop.fs.Path(dir)),
+      "nio and Hadoop digests diverge on a symlinked subdir")
   }
 
   test("Tables.load re-reads a table regenerated in place mid-session") {
