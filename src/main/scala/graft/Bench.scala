@@ -284,6 +284,32 @@ object Bench {
     def kill(): Unit = { dead = true; if (proc != null) proc.destroyForcibly() }
   }
 
+  /** Degraded-window refusal verdict (r17 verdict item 1): BENCH_r17.json
+    * recorded a loaded-host window — 55 est / 113 suspect, totals ~14× the
+    * clean committed windows at the same HEAD — because the harness
+    * DETECTED the degradation (that's what the flags are) but still let
+    * the run become the round artifact after its bounded re-runs were
+    * exhausted. This is the one decision in one place: a window that
+    * closes with more flags than `maxSuspects` (or a degraded end floor
+    * with surviving suspects) is REFUSED — the detail artifact diverts to
+    * tools/bench_refused_latest.json (never bench_full_latest, never a
+    * prior-median source), the stdout line carries "refused":true with the
+    * reason, and the process exits nonzero so a driver can re-invoke
+    * instead of recording it. Returns Some(reason) to refuse, None to
+    * record. Pure — spec-tested against the r17 artifact's shape.
+    */
+  private[graft] def windowVerdict(suspectN: Int, estN: Int, measured: Int,
+      floorEnd: Double, floorMax: Double, maxSuspects: Int): Option[String] = {
+    if (measured == 0) None // nothing measured: the partial flag covers it
+    else if (suspectN > maxSuspects)
+      Some(s"suspect_n=$suspectN > max_suspects=$maxSuspects after bounded re-runs")
+    else if (estN > maxSuspects)
+      Some(s"est_n=$estN > max_suspects=$maxSuspects after bounded re-runs")
+    else if (floorEnd > 2 * floorMax && suspectN > 0)
+      Some(f"floor_end=$floorEnd%.3f s > 2x floor_max=$floorMax%.3f s with $suspectN surviving suspects")
+    else None
+  }
+
   /** BASELINE.md's B-set: the queries with a graded 2× gate, each mapped
     * to its SparkEntry/oracleSql name. These get the contemporaneous
     * DuckDB co-measurement.
@@ -431,6 +457,10 @@ object Bench {
     val suspect = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val floors = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val printed = new AtomicBoolean(false)
+    // set by the pass driver when the window closes degraded past the
+    // refusal threshold; emit() then diverts the detail artifact and tags
+    // the stdout line, and main exits nonzero (see windowVerdict)
+    @volatile var refusedReason: Option[String] = None
     // Two-line emission (round-6 lesson): the driver keeps only the LAST
     // ~2000 chars of stdout, and the full 68-query detail line outgrew
     // that — BENCH_r06's tail lost the headline "metric"/"value" fields.
@@ -616,12 +646,17 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + num(v) + "," }.mkString
       val estAll = estimated.asScala.toSeq
       val susAll = suspect.asScala.toSeq
-      val detail = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"queries":${qmap(snap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"best_ratio":${qmap(bestRatios)},"est":${qarr(estAll)},"suspect":${qarr(susAll)},$fl"sf":"$sfDir"}"""
+      val refusedJson = refusedReason
+        .map(r => s""""refused":true,"refused_reason":${jstr(r)},""").getOrElse("")
+      val detail = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,$refusedJson"measured":${snap.size},"queries":${qmap(snap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"best_ratio":${qmap(bestRatios)},"est":${qarr(estAll)},"suspect":${qarr(susAll)},$fl"sf":"$sfDir"}"""
       // subset runs are local iteration, not the suite of record — they
       // must not overwrite the full-run artifact (which doubles as a
-      // prior-median source and the committed evidence file)
+      // prior-median source and the committed evidence file). A REFUSED
+      // window diverts likewise: its numbers are forensics, not a record
+      // (and the bench_full_ prefix is what feeds prior medians).
       val detailPath =
-        if (subset.isEmpty) "tools/bench_full_latest.json"
+        if (refusedReason.isDefined) "tools/bench_refused_latest.json"
+        else if (subset.isEmpty) "tools/bench_full_latest.json"
         else "tools/bench_subset_latest.json"
       scala.util.Try {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
@@ -670,7 +705,7 @@ object Bench {
       val floorsJson = floors.asScala.toSeq.sortBy(_._1)
         .collect { case (k, v) if compactFloors(k) => "\"" + k + "\":" + num3(v) + "," }
         .mkString
-      val compact = s"""{"metric":"total_median_sec","value":${num3(total)},"unit":"sec","failures":$failures,"partial":$partial,"measured":${snap.size},"bset_queries":${qmapN(bsnap, num3)},"best_ratio":${qmapN(bRatios, num2)},"est_n":${estAll.size},"suspect_n":${susAll.size},"est_bset":${qarr(estAll.filter(bset.contains))},"suspect_bset":${qarr(susAll.filter(bset.contains))},$gt2x$floorsJson"detail":"$detailPath","sf":"$sfDir"}"""
+      val compact = s"""{"metric":"total_median_sec","value":${num3(total)},"unit":"sec","failures":$failures,"partial":$partial,$refusedJson"measured":${snap.size},"bset_queries":${qmapN(bsnap, num3)},"best_ratio":${qmapN(bRatios, num2)},"est_n":${estAll.size},"suspect_n":${susAll.size},"est_bset":${qarr(estAll.filter(bset.contains))},"suspect_bset":${qarr(susAll.filter(bset.contains))},$gt2x$floorsJson"detail":"$detailPath","sf":"$sfDir"}"""
       println(compact)
       System.out.flush()
     }
@@ -991,6 +1026,16 @@ object Bench {
       fEnd = floorProbe("end")
     }
     floors.put("passes_run", passes.toDouble)
+    // Refusal decision (r17 verdict item 1): the bounded re-runs above are
+    // the "rerun" arm; if the window STILL closes with more flags than the
+    // threshold, it must be unrecordable — not merely flagged. The driver
+    // sees a nonzero exit + a "refused":true line and can re-invoke.
+    val maxSuspects = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SUSPECTS", "10").toInt
+    refusedReason = windowVerdict(suspect.size, estimated.size, results.size,
+      fEnd, floorMax, maxSuspects)
+    refusedReason.foreach(r =>
+      System.err.println(s"[bench] WINDOW REFUSED: $r — detail diverts to " +
+        "tools/bench_refused_latest.json, exiting nonzero"))
     // SLOPE phase (opt-in, local analysis only — the driver never sets the
     // env): re-measure each B-set query at the main SF plus every
     // comma-separated dir in SPARK_GRAFT_BENCH_SLOPE_DIR, all points
@@ -1013,7 +1058,7 @@ object Bench {
     // over the fitted line's span — small residual ⇒ the marginal is real;
     // residual comparable to the span ⇒ floor-bound or noise, and the ratio
     // is reported null rather than a garbage division.
-    sys.env.get("SPARK_GRAFT_BENCH_SLOPE_DIR").foreach { loSpec =>
+    sys.env.get("SPARK_GRAFT_BENCH_SLOPE_DIR").filter(_ => refusedReason.isEmpty).foreach { loSpec =>
       scala.util.Try {
         // strict sf token: digits with at most one optional fraction —
         // `sf([0-9.]+)` captured trailing dots ("sf0.1.bak" -> "0.1." ->
@@ -1159,5 +1204,9 @@ object Bench {
     Runtime.getRuntime.removeShutdownHook(hook)
     sidecar.kill()
     spark.stop()
+    // nonzero AFTER clean teardown: the refusal line above is the last
+    // stdout line either way, so a driver that ignores exit codes records
+    // an explicit machine verdict, and one that honors them re-invokes
+    refusedReason.foreach(_ => sys.exit(2))
   }
 }
