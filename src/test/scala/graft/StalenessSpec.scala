@@ -147,6 +147,45 @@ class StalenessSpec extends SparkSpec {
       "the superseded generation's video root must be evicted")
   }
 
+  test("staged video corpus commits to the warehouse; a later session cold-opens it") {
+    import spark.implicits._
+    val dir = tmpDir("videos-commit")
+    Seq((1L, "s", "aaa"), (2L, "s", "bb")).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n0 = Pipeline.videoStagings.get
+    val viaStage = Pipeline.q148(spark, dir).collect()
+    assert(Pipeline.videoStagings.get === n0 + 1)
+    assert(Pipeline.committedVideoDirsFor(spark, dir) === 1,
+      "staging must leave one committed corpus under the warehouse")
+    Pipeline.q148(spark, dir).collect()
+    assert(Pipeline.videoStagings.get === n0 + 1, "same session: memoized, no re-synthesis")
+    // cold open: a session with no memo entry (stands in for a fresh JVM —
+    // same warehouse, fresh memo key) must ADOPT the committed corpus
+    val s2 = spark.newSession()
+    val viaAdopt = Pipeline.q148(s2, dir).collect()
+    assert(Pipeline.videoStagings.get === n0 + 1,
+      "cold open must adopt the committed corpus, not re-synthesize")
+    assert(viaAdopt.map(_.toString).toSeq === viaStage.map(_.toString).toSeq)
+  }
+
+  test("video staging crash debris is reclaimed by the next staging (no machine-lifetime leak)") {
+    import spark.implicits._
+    val dir = tmpDir("videos-debris")
+    // negative doc_id → width 4 + (-5 % 13) = -1 → BufferedImage throws
+    // MID-WRITE, after the output directory exists: exactly the r17 leak
+    // shape (a staging that died after creating its directory)
+    Seq((-5L, "s", "boom")).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    intercept[Exception](Pipeline.q148(spark, dir).collect())
+    // regenerate with a valid corpus; the re-stage's sweep must reclaim
+    // the uncommitted debris, leaving exactly the one committed corpus
+    Seq((3L, "s", "ok doc")).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Pipeline.q148(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(Pipeline.videoDirsOnDiskFor(spark, dir).size === 1,
+      "crash debris (uncommitted dir) must be swept by the next staging")
+  }
+
   test("a FAILED staging never reads as staged (probes count completed cells only)") {
     val dir = tmpDir("fail") // exists, but holds no parquet: stagings throw
     // ANN: the thrown staging's cell must be evicted and the probe stay
