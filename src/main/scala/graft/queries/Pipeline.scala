@@ -523,11 +523,29 @@ object Pipeline {
     * its plan-shape spec (BucketedJoinSpec) so they can never gate
     * different constructions.
     */
+  /** The staged codes RELATION: the committed base (cell-partitioned
+    * files under `codesPath`) plus every committed incremental-append
+    * delta (`codesPath/_delta/batch=N`, the [[graft.streaming.BatchStore]]
+    * commit-discovery rule — visible iff its `_SUCCESS` landed). Each
+    * child is its own bkt-partitioned scan, so a probe's partition
+    * pruning applies to base and deltas alike and the union adds no
+    * exchange (the ivfadcCodesGateViolations contract holds with deltas
+    * present). With no deltas this IS the plain base scan — the pre-r18
+    * plan, byte-identical.
+    */
+  private[graft] def annCodesRelation(spark: SparkSession, codesPath: String): DataFrame = {
+    val deltas = graft.streaming.BatchStore
+      .committedBatches(spark, s"$codesPath/_delta", Long.MaxValue)
+    deltas.foldLeft(spark.read.parquet(codesPath)) { case (acc, (_, d)) =>
+      acc.unionByName(spark.read.parquet(d))
+    }
+  }
+
   private[graft] def ivfadcStagedProbe(spark: SparkSession, codesPath: String,
       emb: DataFrame, queries: DataFrame, cents: Array[Array[Double]],
       cb: Array[Array[Array[Double]]], nprobe: Int, rerank: Int): DataFrame = {
     val cells = ivfadcProbedCells(queries, cents, nprobe)
-    val codes = spark.read.parquet(codesPath)
+    val codes = annCodesRelation(spark, codesPath)
       .filter(col("bkt").isin(cells.toIndexedSeq.map(Int.box): _*))
     ivfadcProbe(codes, emb, queries, cents, cb, nprobe, rerank)
   }
@@ -3261,6 +3279,156 @@ object Pipeline {
   def isAnnIndexStaged(spark: SparkSession, dir: String): Boolean = {
     val cell = stagedAnn.get((spark, dir, annSourceFp(spark, dir)))
     cell != null && cell.done
+  }
+
+  /** Newest-named committed index for `dir` at ANY fingerprint — the
+    * append path's base discovery (deterministic pick, smallest name,
+    * same rule as [[findCommittedAnn]] minus the fingerprint gate).
+    */
+  private def findCommittedAnnAnyFp(spark: SparkSession, dir: String)
+      : Option[(String, AnnIndex)] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whPath)) return None
+    val prefix = s"g_ann_codes_${annDirKey(dir)}_"
+    fs.listStatus(whPath).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).sorted.iterator
+      .flatMap { name =>
+        val codesPath = s"$wh/$name"
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(annMetaPath(codesPath) + "/_SUCCESS"))
+        if (!committed) None
+        else readAnnMeta(spark, codesPath).collect {
+          case (d, f, idx) if d == dir => (f, idx)
+        }
+      }.nextOption()
+  }
+
+  /** Committed `_delta/batch=N` ids under an index dir — append/compaction
+    * observability (specs assert batch counts and the compaction reset).
+    */
+  private[graft] def annDeltaBatchesFor(spark: SparkSession, dir: String): Seq[Long] =
+    findCommittedAnnAnyFp(spark, dir).toSeq.flatMap { case (_, idx) =>
+      graft.streaming.BatchStore
+        .committedBatches(spark, s"${idx.codesPath}/_delta", Long.MaxValue).map(_._1)
+    }
+
+  /** INCREMENTAL APPEND for the staged index (r17 verdict item 2): absorb
+    * the vectors that appeared in `dir`'s embeddings since the index was
+    * committed — WITHOUT retraining. stageAnnIndex is train-once/static: a
+    * daily-ingest pipeline that re-staged on every batch would re-pay
+    * quantizer + codebook training and a full codes rewrite per day. This
+    * is [[graft.streaming.BatchStore]]'s delta discipline applied to the
+    * index: new vectors are PQ-encoded against the COMMITTED quantizer
+    * (codebooks are fixed at train time — the standard IVFADC serving
+    * contract; cell balance drifts only as far as the data does) and land
+    * as a bkt-partitioned `_delta/batch=N` under the committed codes dir,
+    * then the index's meta re-commits carrying the data's CURRENT
+    * fingerprint so session memos and cold-open adoption pick the appended
+    * index up exactly like a staged one. Probes read base ∪ committed
+    * deltas ([[annCodesRelation]]) with the same partition pruning and
+    * no new exchange.
+    *
+    * Contract: APPEND-ONLY ingest (the IncrementalNearDup contract) — ids
+    * that vanished from the table throw (re-stage instead: the index
+    * cannot unsee them); ids mutated in place are undetectable by a
+    * metadata fingerprint and out of contract. Single writer, like
+    * compaction. Crash-safe: a delta without `_SUCCESS` is invisible and
+    * overwritten by the retry; a crash between delta commit and meta
+    * re-commit self-heals on the next call (discovery finds no new ids
+    * and just re-commits the meta). Idempotent: at an already-committed
+    * fingerprint this is a memo/adoption no-op.
+    *
+    * Scale shape: one id-grain anti-join (codes ids vs table ids — bytes
+    * per row, never embeddings), one encode pass over ONLY the new rows,
+    * one delta-sized write. Nothing touches the base codes; training
+    * count is untouched (spec-pinned). Run [[compactAnnIndex]] when
+    * accumulated deltas warrant a single merged base again.
+    */
+  def appendAnnIndex(spark: SparkSession, dir: String): AnnIndex = {
+    val fp = annSourceFp(spark, dir)
+    val key = (spark, dir, fp)
+    val memo = stagedAnn.get(key)
+    if (memo != null) return graft.LazyCell.force(stagedAnn, key, memo)
+    findCommittedAnn(spark, dir, fp) match {
+      case Some(idx) => // already committed at this fingerprint: adopt
+        annLivePaths.add(new org.apache.hadoop.fs.Path(idx.codesPath).getName)
+        return graft.LazyCell.force(stagedAnn, key,
+          stagedAnn.computeIfAbsent(key, _ => new graft.LazyCell(idx)))
+      case None =>
+    }
+    val (_, base) = findCommittedAnnAnyFp(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed ANN index exists for $dir — appendAnnIndex needs a " +
+        "base; call Pipeline.stageAnnIndex(spark, dir) first (training is " +
+        "always explicit)"))
+    val name = new org.apache.hadoop.fs.Path(base.codesPath).getName
+    val emb = Tables.embeddings(spark, dir)
+    val existingIds = annCodesRelation(spark, base.codesPath).select("vec_id")
+    if (existingIds.join(emb.select("vec_id"), Seq("vec_id"), "left_anti")
+        .limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$dir/embeddings.parquet no longer contains ids the committed index " +
+        s"at ${base.codesPath} holds — append is append-only; re-stage with " +
+        "stageAnnIndex (the index cannot unsee removed vectors)")
+    val fresh = emb.join(existingIds, Seq("vec_id"), "left_anti")
+    if (fresh.limit(1).count() > 0) {
+      val deltaRoot = s"${base.codesPath}/_delta"
+      val n = graft.streaming.BatchStore
+        .committedBatches(spark, deltaRoot, Long.MaxValue)
+        .map(_._1).maxOption.getOrElse(-1L) + 1
+      ivfadcIndex(fresh, base.cents, base.cb)
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$deltaRoot/batch=$n") // its _SUCCESS is the delta commit
+    }
+    // flip adoption to the current fingerprint — THE append commit point
+    writeAnnMeta(spark, base.codesPath, dir, fp, base.cents, base.cb)
+    annLivePaths.add(name)
+    graft.LazyCell.force(stagedAnn, key,
+      stagedAnn.computeIfAbsent(key, _ => new graft.LazyCell(base)))
+  }
+
+  /** Merge base + committed deltas back into ONE cell-partitioned base —
+    * [[graft.streaming.BatchStore.compactStore]]'s discipline for the
+    * index layout (readers flip at the new base's meta commit; the
+    * superseded dir is then deleted). MUST run quiesced, like every
+    * compaction in this repo: a same-process query still scanning the old
+    * dir when the delete fires is out of contract (see sweepAnnDebris's
+    * quiesce note). No-op with no deltas. Training count untouched — the
+    * quantizer/codebook are carried over, so compaction is a pure layout
+    * move and probe results are unchanged by construction (spec-pinned).
+    */
+  def compactAnnIndex(spark: SparkSession, dir: String): AnnIndex = {
+    val fp = annSourceFp(spark, dir)
+    val idx = appendAnnIndex(spark, dir) // adopt (and absorb any stragglers)
+    val deltas = graft.streaming.BatchStore
+      .committedBatches(spark, s"${idx.codesPath}/_delta", Long.MaxValue)
+    if (deltas.isEmpty) return idx
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val oldName = new org.apache.hadoop.fs.Path(idx.codesPath).getName
+    val name = s"g_ann_codes_${annDirKey(dir)}_${processTag}_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val path = s"$wh/$name"
+    annInFlight.add(name)
+    try {
+      annCodesRelation(spark, idx.codesPath)
+        .write.partitionBy("bkt").mode("overwrite").parquet(path)
+      writeAnnMeta(spark, path, dir, fp, idx.cents, idx.cb) // the commit point
+      annLivePaths.add(name)
+    } finally annInFlight.remove(name)
+    // retire the merged-away dir: readers already flipped at the commit
+    annLivePaths.remove(oldName)
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(idx.codesPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+    val merged = AnnIndex(path, idx.cents, idx.cb)
+    val key = (spark, dir, fp)
+    val cell = new graft.LazyCell[AnnIndex](merged)
+    val _ = cell.value // materialize so probes count it as done
+    stagedAnn.put(key, cell)
+    merged
   }
 
   /** ANN search over the STAGED index — the deployment read path: the

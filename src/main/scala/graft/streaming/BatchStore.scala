@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions.col
   * longer see its exact input set) into a loud error instead of a silent
   * wrong answer.
   */
-private[streaming] object BatchStore {
+private[graft] object BatchStore {
 
   /** Committed (id, dir) pairs under `path` with id < ltBatch, id-ascending. */
   def committedBatches(spark: SparkSession, path: String,

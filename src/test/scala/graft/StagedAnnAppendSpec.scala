@@ -1,0 +1,111 @@
+package graft
+
+import graft.queries.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Incremental append for the staged ANN index (r17 verdict item 2):
+  * `stageAnnIndex` is train-once/static, so a grown embeddings table used
+  * to force a full re-train + codes rewrite. `appendAnnIndex` PQ-encodes
+  * only the NEW vectors against the committed quantizer into
+  * `_delta/batch=N` dirs (the BatchStore discipline) and re-commits the
+  * meta at the data's current fingerprint; `compactAnnIndex` merges back
+  * to one cell-partitioned base.
+  *
+  * The equality pin: at the EXACTNESS operating point (probe all cells,
+  * re-rank everything — q136's argument) probe results equal exact
+  * brute-force REGARDLESS of which quantizer encoded which vector, so
+  * "append K batches ≡ re-stage from scratch" is checkable even though
+  * the two paths train on different vector sets.
+  */
+class StagedAnnAppendSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-annappend-$tag").toString
+
+  private def writeEmb(dir: String, pred: Long => Boolean): Unit =
+    Tables.embeddings(spark, sf0001)
+      .filter(udf(pred).apply(col("vec_id")))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  private def exactnessProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val idx = Pipeline.appendAnnIndex(s, dir)
+    Pipeline.annSearchStaged(s, dir, nprobe = idx.cells, rerank = Int.MaxValue)
+      .collect().map(_.toString).toSeq
+  }
+
+  test("append K=2 batches == re-stage from scratch; no retraining; compaction is a pure layout move") {
+    val a = freshDir("grow")
+    val b = freshDir("full")
+    // generation 1: two thirds of the corpus — train here, once
+    writeEmb(a, id => id % 3 != 0)
+    Pipeline.stageAnnIndex(spark, a)
+    val trained = Pipeline.annTrainings.get
+
+    // batch 1 appears (half the held-out third), then batch 2 (the rest)
+    writeEmb(a, id => id % 3 != 0 || id % 6 == 0)
+    Pipeline.appendAnnIndex(spark, a)
+    writeEmb(a, _ => true)
+    Pipeline.appendAnnIndex(spark, a)
+    assert(Pipeline.annTrainings.get === trained,
+      "append must never retrain the quantizer/codebook")
+    assert(Pipeline.annDeltaBatchesFor(spark, a) === Seq(0L, 1L),
+      "each append with new vectors commits one delta batch")
+    // idempotency: same fingerprint again is a no-op (no batch 2)
+    Pipeline.appendAnnIndex(spark, a)
+    assert(Pipeline.annDeltaBatchesFor(spark, a) === Seq(0L, 1L))
+
+    // the pin: appended index == scratch-staged index on the same data,
+    // at the exactness point where quantizer differences cannot show
+    writeEmb(b, _ => true)
+    Pipeline.stageAnnIndex(spark, b)
+    assert(Pipeline.annTrainings.get === trained + 1)
+    val viaAppend = exactnessProbe(spark, a)
+    val viaScratch = exactnessProbe(spark, b)
+    assert(viaAppend === viaScratch,
+      "append-grown index must answer exactly like a scratch-staged one")
+
+    // the staged-probe plan contract holds WITH deltas: pruned scans,
+    // no codes-side exchange (union adds none)
+    val idx = Pipeline.appendAnnIndex(spark, a)
+    val emb = Tables.embeddings(spark, a)
+      .withColumn("nrm", graft.expressions.TextVecExprs.floatVecNorm(col("embedding")))
+    val probe = Pipeline.ivfadcStagedProbe(spark, idx.codesPath, emb,
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("nrm").as("qn")),
+      idx.cents, idx.cb, nprobe = 4, rerank = 50)
+    probe.collect()
+    val violations = Pipeline.ivfadcCodesGateViolations(
+      probe.queryExecution.executedPlan.toString)
+    assert(violations.isEmpty, violations.mkString("; "))
+
+    // cold open AFTER append: a fresh session adopts the appended index
+    // at the current fingerprint — training counter unmoved
+    val s2 = spark.newSession()
+    val viaCold = exactnessProbe(s2, a)
+    assert(viaCold === viaAppend)
+    assert(Pipeline.annTrainings.get === trained + 1,
+      "cold-open of an appended index must adopt, not retrain")
+
+    // compaction: results unchanged, deltas folded away, counter unmoved
+    Pipeline.compactAnnIndex(spark, a)
+    assert(Pipeline.annDeltaBatchesFor(spark, a) === Seq.empty)
+    assert(exactnessProbe(spark, a) === viaAppend,
+      "compaction must be a pure layout move")
+    assert(Pipeline.annTrainings.get === trained + 1)
+  }
+
+  test("append refuses a shrunken table (append-only contract); no-base append refuses") {
+    val a = freshDir("shrink")
+    writeEmb(a, _ => true)
+    Pipeline.stageAnnIndex(spark, a)
+    writeEmb(a, id => id % 2 == 0) // ids vanished: the index cannot unsee them
+    val e = intercept[IllegalStateException](Pipeline.appendAnnIndex(spark, a))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+
+    val empty = freshDir("nobase")
+    writeEmb(empty, _ => true)
+    val e2 = intercept[IllegalStateException](Pipeline.appendAnnIndex(spark, empty))
+    assert(e2.getMessage.contains("stageAnnIndex"), e2.getMessage)
+  }
+}
