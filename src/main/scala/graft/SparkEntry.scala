@@ -283,6 +283,11 @@ object SparkEntry {
     // text (q83's argument, extended).
     "q147_mm_resize" -> (Pipeline.q147 _),
     "q148_mm_frame_sample" -> ((s, d) => Pipeline.q148(s, d)),
+    // q149 (r18): AUDIO joins the quartet — per-doc deterministic RIFF/
+    // PCM16 WAV parsed by the real javax.sound stack, strided waveform
+    // resample + census. PCM16 is lossless and the index math integer, so
+    // the oracle recomputes Σ|v| and max v from doc_id and text directly.
+    "q149_mm_audio" -> ((s, d) => Pipeline.q149(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1490,6 +1495,22 @@ object SparkEntry {
         |       + i // ((4 + doc_id % 13) * (4 + doc_id % 11))) % 128
         |    ELSE 0 END
         |    FOR i IN range(0, (2 + doc_id % 5) * (4 + doc_id % 13) * (4 + doc_id % 11))]) AS BIGINT) AS s_px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q149: strided PCM16 waveform census — n = 256 + id%7*32 samples,
+    // s_i = char%128 - 64, every 3rd kept; abs-sum and max recomputed
+    // from first principles (PCM16 lossless, integer index math). Same
+    // ASCII byte==char precondition as q83.
+    "q149_mm_audio" ->
+      """SELECT doc_id,
+        |  CAST(256 + (doc_id % 7) * 32 AS BIGINT) AS n_samples,
+        |  CAST((256 + (doc_id % 7) * 32 + 2) // 3 AS BIGINT) AS n_resampled,
+        |  CAST(list_sum([abs((CASE WHEN len(text) = 0 THEN 0
+        |    ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 END) - 64)
+        |    FOR i IN range(0, CAST(256 + (doc_id % 7) * 32 AS BIGINT), 3)]) AS BIGINT) AS rs_abs_sum,
+        |  CAST(list_max([(CASE WHEN len(text) = 0 THEN 0
+        |    ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 END) - 64
+        |    FOR i IN range(0, CAST(256 + (doc_id % 7) * 32 AS BIGINT), 3)]) AS BIGINT) AS rs_max
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q84: row-local repeated-trigram fraction in integer basis points;

@@ -2379,6 +2379,81 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q149: multimodal AUDIO — the waveform op that completes the
+    * decode / feature-extract / resize / frame-sample quartet across all
+    * three media kinds (image q83/q147, video q148, audio here). Each doc
+    * carries a deterministic fake WAV: a canonical 44-byte RIFF/PCM16
+    * mono container holding n = 256 + id%7·32 samples with
+    * s_i = (text byte at i mod len & 0x7f) − 64 — synthesized in the
+    * task like q83's PNG (the decode-stub discipline: only the MEDIA is
+    * fake; the container format, codec parse and batch seam are real).
+    * The OPERATOR is the read side: `javax.sound.sampled.AudioSystem`
+    * parses the RIFF header (a REAL codec stack — it validates chunks,
+    * exposes format + frames), then a strided resample keeps every
+    * `stride`-th PCM frame and emits the census (frame count, resampled
+    * count, Σ|v|, max v). PCM16 is lossless and the index math integer,
+    * so the oracle recomputes everything from doc_id and text — the same
+    * first-principles hash gate as the rest of the quartet, with the
+    * same ASCII precondition (engine indexes BYTES, oracle CHARS).
+    *
+    * Scale shape: row-local map over the grouped-batch seam (shaped for
+    * a JNI codec that wants arrays), no shuffle except the final ORDER
+    * BY. A real audio corpus swaps the synthesis for a `binary` column
+    * read and the javax parse for its codec — the Spark plumbing is
+    * identical.
+    */
+  def q149(spark: SparkSession, dir: String, stride: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.map { case (id, txt) =>
+            val n = (256 + (id % 7) * 32).toInt
+            val dataLen = n * 2
+            val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+            bb.put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+            bb.putShort(1); bb.putShort(1) // PCM, mono
+            bb.putInt(8000); bb.putInt(16000) // rate, byte rate
+            bb.putShort(2); bb.putShort(16) // block align, bits
+            bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+            var i = 0
+            while (i < n) {
+              val v = if (txt.length == 0) 0 else (txt(i % txt.length) & 0x7f) - 64
+              bb.putShort(v.toShort)
+              i += 1
+            }
+            // ---- the operator: real container parse + strided resample
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bb.array))
+            val fmt = ais.getFormat
+            val frames = try ais.readAllBytes() finally ais.close()
+            val nf = frames.length / fmt.getFrameSize
+            var j = 0
+            var cnt = 0L
+            var absSum = 0L
+            var mx = Long.MinValue
+            while (j < nf) {
+              // PCM16LE mono: the format javax reports for a RIFF data chunk
+              val v = ((frames(2 * j + 1) << 8) | (frames(2 * j) & 0xff)).toLong
+              cnt += 1
+              absSum += math.abs(v)
+              if (v > mx) mx = v
+              j += stride
+            }
+            (id, nf.toLong, cnt, absSum, mx)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_resampled", "rs_abs_sum", "rs_max")
+      .orderBy("doc_id")
+  }
+
   /** q84: intra-document repetition — the Gopher-style "fraction of
     * repeated word n-grams WITHIN a document" quality filter (Rae et al.
     * 2021 §A1.1 use duplicate n-gram fractions at n=2..4; n=3 here). A
