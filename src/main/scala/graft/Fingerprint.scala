@@ -34,6 +34,19 @@ object Fingerprint {
     * pay-once memo (Layouts stagings, prepared scans, shard roots, BPE
     * tables) keys on this, so a future key-format change has a single
     * definition (r16 review).
+    *
+    * FINGERPRINT-THEN-BUILD WINDOW (r17 verdict item 5): a regeneration
+    * landing between the fingerprint read and the build reads the NEW
+    * generation's data but caches it under the OLD generation's key. The
+    * mislabel cannot be SERVED later — after the regeneration completes,
+    * every subsequent call fingerprints the new generation, keys past the
+    * stale entry, and `Memo.evictSuperseded` reclaims it — so the blast
+    * radius is the one inherently-racy mid-regeneration call itself.
+    * `Tables.load` additionally re-fingerprints after the build and
+    * refuses to cache on mismatch (its frames are returned to callers
+    * directly); the staging memos accept the self-heal, because their
+    * values are committed artifacts whose own fingerprint gate
+    * (adoption-by-fp) rejects a cross-generation mix at read time.
     */
   def key(spark: SparkSession, dir: String, rel: String*): String =
     if (rel.isEmpty) s"$dir@" + of(spark, dir)
