@@ -363,8 +363,11 @@ object Bench {
       // 128 groups/task — see Session.local for the rationale
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // 1 MB scan splits at the bench SFs — see Session.local: the 2-10 MB
-      // test files are single-task scans under the 128 MB default
-      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      // test files are single-task scans under the 128 MB default.
+      // SPARK_GRAFT_BENCH_MPB overrides for A/B windows (r17 verdict item
+      // 6: decide the bench session's value by one paired window).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MPB", (1024 * 1024).toString))
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
