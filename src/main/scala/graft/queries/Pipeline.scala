@@ -221,6 +221,30 @@ object Pipeline {
     (train, train.count())
   }
 
+  /** Every `stride`-th training vector in vec_id order (rank-stride seed
+    * init, first `k` of them) as double arrays. Init is by RANK, not id
+    * value: pmod(vec_id, stride)==0 underfills on non-dense ids (filtered
+    * corpus, trainStride composition) and would yield < k seeds.
+    *
+    * Implemented as a sorted-RDD zipWithIndex rather than the earlier
+    * `Window.partitionBy(lit(0))` rank (r17 verdict item 4): the constant
+    * partition key constant-folds away, so WindowExec warned "No
+    * Partition Defined" on EVERY training run, drowning the warning's
+    * real occurrences. Here the sample (bounded ≤ maxTrainRows, already
+    * persisted) range-sorts distributed, zipWithIndex assigns global
+    * ranks in partition order (one extra count job — the documented
+    * RDD-exception territory, on the bounded sample only), and exactly
+    * the k seed rows reach the driver. Deterministic: rank order is
+    * vec_id order on any partitioning.
+    */
+  private def seedsByRankStride(train: DataFrame, stride: Long,
+      k: Int): Array[Array[Double]] =
+    train.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .rdd.zipWithIndex()
+      .filter { case (_, i) => i % stride == 0 && i < stride * k }
+      .map(_._1.getSeq[Float](1).map(_.toDouble).toArray)
+      .collect()
+
   /** @param trainStride 0 (default) = derive the stride so the training
     *   sample is bounded by `maxTrainRows` (~1e5 — see [[AnnTrainBound]]);
     *   N >= 1 = explicit: train on every N-th vector by id (1 = all rows).
@@ -252,20 +276,7 @@ object Pipeline {
     }
     require(n >= k, s"ivfTrain needs at least k=$k training vectors, got $n")
     val stride = math.max(1L, n / k)
-    // init by RANK, not by id value: pmod(vec_id, stride)==0 underfills when
-    // ids are non-dense (filtered corpus, trainStride composition) and would
-    // yield < k centroids. Every (n/k)-th row by row_number is layout-
-    // independent and yields exactly k. The constant partition key makes the
-    // single-partition global sort EXPLICIT (and keeps Spark's "no partition
-    // defined" warning out of bench logs) — it sorts the TRAINING SAMPLE
-    // only (bounded ~1e6 rows via trainStride), never the corpus.
-    val byRank = Window.partitionBy(lit(0)).orderBy(col("vec_id"))
-    var cents = train
-      .withColumn("rk", row_number().over(byRank) - 1)
-      .filter(pmod(col("rk"), lit(stride)) === 0)
-      .orderBy("rk").limit(k)
-      .select("embedding").collect()
-      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    var cents = seedsByRankStride(train, stride, k).map(normalize)
     for (_ <- 1 to iters) {
       // per-component contributions are fixed-pointed to 1e-6 BEFORE the
       // distributed sum: long addition is commutative, so the trained
@@ -353,13 +364,7 @@ object Pipeline {
       ksub: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
     require(n >= ksub, s"pqTrain needs at least ksub=$ksub training vectors, got $n")
     val stride = math.max(1L, n / ksub)
-    val byRank = Window.partitionBy(lit(0)).orderBy(col("vec_id"))
-    val seeds = train
-      .withColumn("rk", row_number().over(byRank) - 1)
-      .filter(pmod(col("rk"), lit(stride)) === 0)
-      .orderBy("rk").limit(ksub)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val seeds = seedsByRankStride(train, stride, ksub)
     val d = seeds(0).length
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
     val dsub = d / m
