@@ -536,6 +536,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q149 stride semantics: stride=1 keeps every PCM frame; empty text decodes to silence") {
+    // the oracle pins stride=3; the stride KNOB is pinned here, and the
+    // empty-text guard (all-zero samples) is exercised explicitly because
+    // the driver corpus may contain no empty docs
+    def byId(stride: Int): Map[Long, (Long, Long, Long)] =
+      Pipeline.q149(spark, sf0001, stride = stride).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val a = byId(1)
+    assert(a.nonEmpty)
+    a.foreach { case (id, (nf, ns, _)) =>
+      assert(ns == nf, s"doc $id: stride 1 must keep every frame")
+      assert(nf == 256 + (id % 7) * 32, s"doc $id: WAV frame census")
+    }
+    byId(3).foreach { case (id, (nf, ns, s)) =>
+      assert(nf == a(id)._1, s"doc $id: frame census must not depend on stride")
+      assert(ns == (nf + 2) / 3, s"doc $id: stride-3 sample count")
+      assert(s <= a(id)._3, s"doc $id: strided abs-sum cannot exceed the full one")
+    }
+    // empty text: javax parses the container fine, every sample is 0
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q149-empty").toString
+    Seq((3L, "s", ""), (8L, "s", "ok")).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.q149(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(3L) == ((0L, 0L)), "empty text must decode to silence")
+    assert(rows(8L)._1 > 0L)
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these
