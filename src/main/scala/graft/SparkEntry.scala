@@ -1505,11 +1505,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(256 + (doc_id % 7) * 32 AS BIGINT) AS n_samples,
         |  CAST((256 + (doc_id % 7) * 32 + 2) // 3 AS BIGINT) AS n_resampled,
-        |  CAST(list_sum([abs((CASE WHEN len(text) = 0 THEN 0
-        |    ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 END) - 64)
+        |  CAST(list_sum([abs(CASE WHEN len(text) = 0 THEN 0
+        |    ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 - 64 END)
         |    FOR i IN range(0, CAST(256 + (doc_id % 7) * 32 AS BIGINT), 3)]) AS BIGINT) AS rs_abs_sum,
-        |  CAST(list_max([(CASE WHEN len(text) = 0 THEN 0
-        |    ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 END) - 64
+        |  CAST(list_max([CASE WHEN len(text) = 0 THEN 0
+        |    ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 - 64 END
         |    FOR i IN range(0, CAST(256 + (doc_id % 7) * 32 AS BIGINT), 3)]) AS BIGINT) AS rs_max
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -540,6 +540,15 @@ object Pipeline {
     * exchange (the ivfadcCodesGateViolations contract holds with deltas
     * present). With no deltas this IS the plain base scan — the pre-r18
     * plan, byte-identical.
+    *
+    * Per-call cost: ONE `exists()` stat when `_delta` is absent (the
+    * common case — a compacted or never-appended index), or the batch-dir
+    * listing when deltas exist. Deliberately NOT memoized: the probe
+    * already runs a probed-cells Spark job per call (orders of magnitude
+    * above a stat), and a cross-process append must be visible to the
+    * next probe without a cache-invalidation protocol — the fp-keyed
+    * adoption covers staleness of the INDEX choice, not of a delta list
+    * cached inside a session.
     */
   private[graft] def annCodesRelation(spark: SparkSession, codesPath: String): DataFrame = {
     val deltas = graft.streaming.BatchStore
@@ -2288,6 +2297,10 @@ object Pipeline {
     findCommittedVideos(spark, dir, fp) match {
       case Some(p) =>
         videoLivePaths.add(new org.apache.hadoop.fs.Path(p).getName)
+        // adopt is also a staging point: without this, a process whose
+        // every later generation is adopted (another process staged it
+        // first) never reclaims its own superseded dirs (r18 review)
+        sweepVideoDebris(spark, spark.conf.get("spark.sql.warehouse.dir"), dir, fp)
         p
       case None =>
         val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -3222,25 +3235,42 @@ object Pipeline {
     * paired with a PREVIOUS generation of the data can never match the
     * current fingerprint, so a regenerated dir always re-stages.
     */
-  private def findCommittedAnn(spark: SparkSession, dir: String, fp: String)
-      : Option[AnnIndex] = {
+  /** Committed candidates for `dir` under the warehouse, in ADOPTION
+    * ORDER: delta-free dirs first (several same-fp dirs are
+    * content-equivalent by construction — a compaction's merged base next
+    * to the dir it merged — so prefer the better layout), then
+    * lexicographically smallest name (the deterministic tiebreak). Each
+    * element carries (hasDeltas, name, fp, index).
+    */
+  private def committedAnnCandidates(spark: SparkSession, dir: String)
+      : Seq[(Boolean, String, String, AnnIndex)] = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val whPath = new org.apache.hadoop.fs.Path(wh)
     val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(whPath)) return None
+    if (!fs.exists(whPath)) return Nil
     val prefix = s"g_ann_codes_${annDirKey(dir)}_"
     fs.listStatus(whPath).map(_.getPath.getName)
-      .filter(_.startsWith(prefix)).sorted.iterator
+      .filter(_.startsWith(prefix)).sorted.toSeq
       .flatMap { name =>
         val codesPath = s"$wh/$name"
         val committed = fs.exists(
           new org.apache.hadoop.fs.Path(annMetaPath(codesPath) + "/_SUCCESS"))
         if (!committed) None
         else readAnnMeta(spark, codesPath).collect {
-          case (d, f, idx) if d == dir && f == fp => idx
+          case (d, f, idx) if d == dir =>
+            val hasDeltas = fs.exists(
+              new org.apache.hadoop.fs.Path(s"$codesPath/_delta"))
+            (hasDeltas, name, f, idx)
         }
-      }.nextOption()
+      }
+      .sortBy { case (hasDeltas, name, _, _) => (hasDeltas, name) }
   }
+
+  private def findCommittedAnn(spark: SparkSession, dir: String, fp: String)
+      : Option[AnnIndex] =
+    committedAnnCandidates(spark, dir).collectFirst {
+      case (_, _, f, idx) if f == fp => idx
+    }
 
   /** Stage the IVFADC deployment layout for (session, dir), memoized per
     * (session, dir, data-fingerprint): train the coarse quantizer + PQ
@@ -3283,6 +3313,10 @@ object Pipeline {
     findCommittedAnn(spark, dir, fp) match {
       case Some(idx) =>
         annLivePaths.add(new org.apache.hadoop.fs.Path(idx.codesPath).getName)
+        // adopt is also a staging point — reclaim own superseded debris
+        // here too, or an always-adopting process never sweeps (r18)
+        sweepAnnDebris(spark, spark.conf.get("spark.sql.warehouse.dir"),
+          annDirKey(dir), fp)
         idx
       case None =>
         val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -3364,28 +3398,31 @@ object Pipeline {
     cell != null && cell.done
   }
 
-  /** Newest-named committed index for `dir` at ANY fingerprint — the
-    * append path's base discovery (deterministic pick, smallest name,
-    * same rule as [[findCommittedAnn]] minus the fingerprint gate).
+  /** Committed index for `dir` at ANY fingerprint — the append path's
+    * base discovery. When several committed bases exist (two processes
+    * each staged a generation; their sweeps never touch each other's
+    * dirs), they are NOT content-equivalent, so adoption order must pick
+    * the most plausibly-current lineage: newest META MODIFICATION TIME
+    * first — appends re-commit the meta, so the actively-maintained base
+    * keeps the newest meta — then the delta-free/name order as the
+    * deterministic tiebreak. Picking an old abandoned base would at
+    * worst re-encode more rows (the anti-join diff is bigger) or refuse
+    * on since-removed ids; the mtime rule makes both unlikely without
+    * ever deleting a dir we cannot prove dead.
     */
   private def findCommittedAnnAnyFp(spark: SparkSession, dir: String)
       : Option[(String, AnnIndex)] = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val whPath = new org.apache.hadoop.fs.Path(wh)
     val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(whPath)) return None
-    val prefix = s"g_ann_codes_${annDirKey(dir)}_"
-    fs.listStatus(whPath).map(_.getPath.getName)
-      .filter(_.startsWith(prefix)).sorted.iterator
-      .flatMap { name =>
-        val codesPath = s"$wh/$name"
-        val committed = fs.exists(
-          new org.apache.hadoop.fs.Path(annMetaPath(codesPath) + "/_SUCCESS"))
-        if (!committed) None
-        else readAnnMeta(spark, codesPath).collect {
-          case (d, f, idx) if d == dir => (f, idx)
-        }
-      }.nextOption()
+    val cands = committedAnnCandidates(spark, dir)
+    if (cands.isEmpty) return None
+    def metaMtime(idx: AnnIndex): Long =
+      scala.util.Try(fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        annMetaPath(idx.codesPath) + "/_SUCCESS")).getModificationTime).getOrElse(0L)
+    val best = cands.zipWithIndex
+      .minBy { case ((_, _, _, idx), i) => (-metaMtime(idx), i) }._1
+    Some((best._3, best._4))
   }
 
   /** Committed `_delta/batch=N` ids under an index dir — append/compaction
@@ -3448,23 +3485,32 @@ object Pipeline {
         "always explicit)"))
     val name = new org.apache.hadoop.fs.Path(base.codesPath).getName
     val emb = Tables.embeddings(spark, dir)
+    // ONE materialization of the id-grain discovery inputs: the gone-check
+    // anti-join, the fresh anti-join and the encode pass all reuse them
+    // instead of re-scanning base+delta codes three times (r18 review)
     val existingIds = annCodesRelation(spark, base.codesPath).select("vec_id")
-    if (existingIds.join(emb.select("vec_id"), Seq("vec_id"), "left_anti")
-        .limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"$dir/embeddings.parquet no longer contains ids the committed index " +
-        s"at ${base.codesPath} holds — append is append-only; re-stage with " +
-        "stageAnnIndex (the index cannot unsee removed vectors)")
-    val fresh = emb.join(existingIds, Seq("vec_id"), "left_anti")
-    if (fresh.limit(1).count() > 0) {
-      val deltaRoot = s"${base.codesPath}/_delta"
-      val n = graft.streaming.BatchStore
-        .committedBatches(spark, deltaRoot, Long.MaxValue)
-        .map(_._1).maxOption.getOrElse(-1L) + 1
-      ivfadcIndex(fresh, base.cents, base.cb)
-        .write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$deltaRoot/batch=$n") // its _SUCCESS is the delta commit
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (existingIds.join(emb.select("vec_id"), Seq("vec_id"), "left_anti")
+          .limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"$dir/embeddings.parquet no longer contains ids the committed index " +
+          s"at ${base.codesPath} holds — append is append-only; re-stage with " +
+          "stageAnnIndex (the index cannot unsee removed vectors)")
+      val fresh = emb.join(existingIds, Seq("vec_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (fresh.limit(1).count() > 0) {
+          val deltaRoot = s"${base.codesPath}/_delta"
+          val n = graft.streaming.BatchStore
+            .committedBatches(spark, deltaRoot, Long.MaxValue)
+            .map(_._1).maxOption.getOrElse(-1L) + 1
+          ivfadcIndex(fresh, base.cents, base.cb)
+            .write.partitionBy("bkt").mode("overwrite")
+            .parquet(s"$deltaRoot/batch=$n") // its _SUCCESS is the delta commit
+        }
+      } finally { fresh.unpersist(): Unit }
+    } finally { existingIds.unpersist(): Unit }
     // flip adoption to the current fingerprint — THE append commit point
     writeAnnMeta(spark, base.codesPath, dir, fp, base.cents, base.cb)
     annLivePaths.add(name)
@@ -3474,13 +3520,18 @@ object Pipeline {
 
   /** Merge base + committed deltas back into ONE cell-partitioned base —
     * [[graft.streaming.BatchStore.compactStore]]'s discipline for the
-    * index layout (readers flip at the new base's meta commit; the
-    * superseded dir is then deleted). MUST run quiesced, like every
-    * compaction in this repo: a same-process query still scanning the old
-    * dir when the delete fires is out of contract (see sweepAnnDebris's
-    * quiesce note). No-op with no deltas. Training count untouched — the
-    * quantizer/codebook are carried over, so compaction is a pure layout
-    * move and probe results are unchanged by construction (spec-pinned).
+    * index layout: the merged dir commits as a NEW index at the same
+    * fingerprint and wins adoption (delta-free dirs order first in
+    * [[committedAnnCandidates]]), so new sessions/processes flip to it at
+    * its meta commit. The merged-away dir is NOT deleted (r18 review):
+    * other sessions' same-fingerprint memos — and other processes'
+    * adoptions — may still point at it, and it stays content-equivalent
+    * (base ∪ its deltas = the merged base), so leaving it committed is
+    * harmless; it is released from this process's live set and reclaimed
+    * by the normal stale-fingerprint sweep once the data regenerates.
+    * No-op with no deltas. Training count untouched — the quantizer/
+    * codebook are carried over, so compaction is a pure layout move and
+    * probe results are unchanged by construction (spec-pinned).
     */
   def compactAnnIndex(spark: SparkSession, dir: String): AnnIndex = {
     val fp = annSourceFp(spark, dir)
@@ -3500,12 +3551,9 @@ object Pipeline {
       writeAnnMeta(spark, path, dir, fp, idx.cents, idx.cb) // the commit point
       annLivePaths.add(name)
     } finally annInFlight.remove(name)
-    // retire the merged-away dir: readers already flipped at the commit
+    // release (don't delete) the merged-away dir: the stale-fp sweep
+    // reclaims it on the next regeneration's staging
     annLivePaths.remove(oldName)
-    scala.util.Try {
-      val p = new org.apache.hadoop.fs.Path(idx.codesPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
-    }
     val merged = AnnIndex(path, idx.cents, idx.cb)
     val key = (spark, dir, fp)
     val cell = new graft.LazyCell[AnnIndex](merged)

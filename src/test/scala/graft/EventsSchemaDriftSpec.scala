@@ -144,7 +144,12 @@ class EventsSchemaDriftSpec extends SparkSpec {
         .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
         .named("ts")
       .named("events")
-    def writeNanos(eventId: Long): Unit = {
+    // the two generations must carry DIFFERENT row counts: the fingerprint
+    // is (path, length, mtime-ms) metadata, and two one-row files written
+    // within the same millisecond would legitimately fingerprint equal —
+    // a flake, not a leak (the guard under test is eviction, not mtime
+    // granularity)
+    def writeNanos(eventId: Long, rows: Int): Unit = {
       val f = new java.io.File(s"$dir/events.parquet")
       if (f.exists) { f.delete(): Unit }
       val crc = new java.io.File(s"$dir/.events.parquet.crc")
@@ -152,17 +157,19 @@ class EventsSchemaDriftSpec extends SparkSpec {
       val writer = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
         .withType(schema).withConf(new Configuration()).build()
       try {
-        val g = new SimpleGroupFactory(schema).newGroup()
-        g.append("event_id", eventId)
-        g.append("ts", microsUtc * 1000L)
-        writer.write(g)
+        for (_ <- 1 to rows) {
+          val g = new SimpleGroupFactory(schema).newGroup()
+          g.append("event_id", eventId)
+          g.append("ts", microsUtc * 1000L)
+          writer.write(g)
+        }
       } finally writer.close()
     }
     val caller = spark.newSession()
     caller.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    writeNanos(1L)
+    writeNanos(1L, rows = 1)
     assert(Tables.events(caller, dir).select("event_id").head().getLong(0) == 1L)
-    writeNanos(2L)
+    writeNanos(2L, rows = 2)
     assert(Tables.events(caller, dir).select("event_id").head().getLong(0) == 2L,
       "regenerated NANOS file must be re-read, not served from the stale clone")
     assert(Tables.cloneEntriesFor(caller, dir) == 1,

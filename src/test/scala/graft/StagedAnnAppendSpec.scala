@@ -93,6 +93,11 @@ class StagedAnnAppendSpec extends SparkSpec {
     assert(exactnessProbe(spark, a) === viaAppend,
       "compaction must be a pure layout move")
     assert(Pipeline.annTrainings.get === trained + 1)
+    // no-delete invariant (r18 review): s2 memoized the PRE-compaction
+    // index at the same fingerprint — its eviction can never fire (fp
+    // unchanged) — so the merged-away dir must remain readable
+    assert(exactnessProbe(s2, a) === viaAppend,
+      "a session holding the pre-compaction index must keep working")
   }
 
   test("append refuses a shrunken table (append-only contract); no-base append refuses") {
