@@ -288,6 +288,12 @@ object SparkEntry {
     // resample + census. PCM16 is lossless and the index math integer, so
     // the oracle recomputes Σ|v| and max v from doc_id and text directly.
     "q149_mm_audio" -> ((s, d) => Pipeline.q149(s, d)),
+    // q150 (r18): sequence packing — docs concatenated into fixed-512-
+    // token training sequences in the q134 shuffle order, greedy
+    // first-fit-in-order per shard, overflow starts the next sequence,
+    // over-long docs truncate. Lengths-grain shuffle + one linear fold
+    // per shard; the oracle replays the fold as a recursive CTE.
+    "q150_sequence_packing" -> ((s, d) => Pipeline.q150(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1512,6 +1518,36 @@ object SparkEntry {
         |    ELSE ord(substr(text, CAST(i % len(text) AS INT) + 1, 1)) % 128 - 64 END
         |    FOR i IN range(0, CAST(256 + (doc_id % 7) * 32 AS BIGINT), 3)]) AS BIGINT) AS rs_max
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q150: the greedy per-shard packing fold replayed as a recursive CTE
+    // (rn-ordered self-join carries (nseq, run) forward); shard/skey and
+    // tokenization reuse q134's expressions verbatim so the order can
+    // never drift between census and packer.
+    "q150_sequence_packing" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-shuffle')), 1, 12)) AS BIGINT) AS skey
+        |  FROM documents),
+        |o AS (
+        |  SELECT skey % 8 AS shard, least(n_tok, 512) AS eff,
+        |    CASE WHEN n_tok > 512 THEN 1 ELSE 0 END AS tr,
+        |    row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS rn
+        |  FROM k),
+        |p AS (
+        |  SELECT shard, rn, eff, tr, CAST(1 AS BIGINT) AS nseq, eff AS run
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.eff, o.tr,
+        |    CASE WHEN p.run + o.eff > 512 THEN p.nseq + 1 ELSE p.nseq END,
+        |    CASE WHEN p.run + o.eff > 512 THEN o.eff ELSE p.run + o.eff END
+        |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(max(nseq) AS BIGINT) AS n_seqs,
+        |  CAST(sum(eff) AS BIGINT) AS tok_eff,
+        |  CAST(max(nseq) * 512 - sum(eff) AS BIGINT) AS pad_waste,
+        |  CAST(sum(tr) AS BIGINT) AS n_trunc
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q84: row-local repeated-trigram fraction in integer basis points;
     // the oracle builds the same trigrams with a list comprehension.

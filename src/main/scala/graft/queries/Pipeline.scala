@@ -2816,6 +2816,70 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** q150: SEQUENCE PACKING — the step after batching that an LLM
+    * training pipeline actually runs: concatenate documents (in the q134
+    * training order) into fixed-`seqLen`-token sequences, greedy
+    * first-fit-in-order (a doc that would overflow the open sequence
+    * starts the next one; docs longer than `seqLen` truncate to it).
+    * Packing beats per-example padding when document lengths are far
+    * below the context window — the census here (sequences, effective
+    * tokens, pad waste, truncations per shard) is the dial that says by
+    * how much, against q135's padding-batch numbers.
+    *
+    * Determinism and scale: packing is inherently SEQUENTIAL, but only
+    * within a shard — exactly the unit the training order already
+    * defines. Only (shard, skey, doc_id, n_tok) rows ever move (≤ 32
+    * bytes/doc; text never shuffles); each shard lands whole in one task
+    * (q134's hash layout), is scanned once in (skey, doc_id) order by a
+    * linear fold (the documented mapPartitions exception: imperative
+    * per-partition logic no window can express, because each break
+    * depends on all previous breaks), and emits ONE census row. At
+    * 100 TB: one lengths-grain shuffle + a streaming pass per shard —
+    * the same shape the shard writer (q140) commits, so the packer can
+    * run against materialized shards with zero additional shuffle.
+    * Exact integers end to end; the DuckDB oracle replays the fold as a
+    * recursive CTE per shard.
+    */
+  def q150(spark: SparkSession, dir: String, shards: Int = 8,
+      seqLen: Long = 512L): DataFrame = {
+    import spark.implicits._
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("skey", shuffleKey(col("doc_id")))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
+      .select(col("shard"), col("skey"), col("doc_id"), col("n_tok"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "skey", "doc_id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        // several shard keys can hash-collide into one partition; the
+        // sort puts each shard contiguous, so the fold resets per shard
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+        var shard = Long.MinValue
+        var nDocs = 0L; var nSeqs = 0L; var run = 0L
+        var tokEff = 0L; var nTrunc = 0L
+        def flush(): Unit = if (nDocs > 0)
+          out += ((shard, nDocs, nSeqs, tokEff, nSeqs * seqLen - tokEff, nTrunc))
+        it.foreach { case (s, _, _, nTok) =>
+          if (s != shard) {
+            flush()
+            shard = s; nDocs = 0L; nSeqs = 0L; run = 0L; tokEff = 0L; nTrunc = 0L
+          }
+          val eff = math.min(nTok, seqLen)
+          if (nTok > seqLen) nTrunc += 1
+          if (nSeqs == 0L || run + eff > seqLen) { nSeqs += 1; run = eff }
+          else run += eff
+          nDocs += 1; tokEff += eff
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("shard", "n_docs", "n_seqs", "tok_eff", "pad_waste", "n_trunc")
+      .orderBy("shard")
+  }
+
   /** q135: length-bucketed batch assignment + padding-waste census — the
     * step that turns a tokenized corpus into fixed-size training batches
     * while keeping sequence lengths homogeneous per batch (padding to the

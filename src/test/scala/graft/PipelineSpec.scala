@@ -565,6 +565,56 @@ class PipelineSpec extends SparkSpec {
     assert(rows(8L)._1 > 0L)
   }
 
+  test("q150 sequence packing == driver greedy replay; exact-fit and truncation edges") {
+    import spark.implicits._
+    // independent replay: collect (shard, skey, doc_id, n_tok), fold the
+    // same greedy rule on the driver, compare censuses
+    def replay(dir: String, shards: Int, seqLen: Long): Map[Long, (Long, Long, Long, Long, Long)] = {
+      val rows = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      def skey(id: Long): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:graft-shuffle".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12), 16)
+      rows.map { case (id, n) => (skey(id), id, n) }
+        .groupBy { case (k, _, _) => java.lang.Math.floorMod(k, shards.toLong) }
+        .map { case (shard, ds) =>
+          var nSeqs = 0L; var run = 0L; var tokEff = 0L; var nTrunc = 0L
+          ds.sortBy { case (k, id, _) => (k, id) }.foreach { case (_, _, n) =>
+            val eff = math.min(n, seqLen)
+            if (n > seqLen) nTrunc += 1
+            if (nSeqs == 0L || run + eff > seqLen) { nSeqs += 1; run = eff }
+            else run += eff
+            tokEff += eff
+          }
+          shard -> ((ds.length.toLong, nSeqs, tokEff, nSeqs * seqLen - tokEff, nTrunc))
+        }
+    }
+    def census(dir: String, shards: Int, seqLen: Long): Map[Long, (Long, Long, Long, Long, Long)] =
+      Pipeline.q150(spark, dir, shards, seqLen).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    assert(census(sf0001, 8, 512L) === replay(sf0001, 8, 512L))
+    // non-default knobs exercise shard-collision-in-one-partition + a
+    // tight window that forces truncation on the real corpus
+    assert(census(sf0001, 3, 64L) === replay(sf0001, 3, 64L))
+    // exact-fit boundary: run + eff == seqLen must STAY in the sequence —
+    // three 5-token docs at seqLen 10 pack [5+5][5] in EVERY order
+    val dir = java.nio.file.Files.createTempDirectory("graft-q150").toString
+    Seq((1L, "s", "a b c d e"), (2L, "s", "f g h i j"), (3L, "s", "k l m n o"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val one = census(dir, 1, 10L)(0L)
+    assert(one === ((3L, 2L, 15L, 5L, 0L)),
+      s"exact-fit must not break the sequence: $one")
+    // truncation: 5-token docs at seqLen 4 → each truncates, each packs alone
+    val trunc = census(dir, 1, 4L)(0L)
+    assert(trunc === ((3L, 3L, 12L, 0L, 3L)),
+      s"over-long docs must truncate and count: $trunc")
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these
