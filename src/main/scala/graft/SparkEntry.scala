@@ -294,6 +294,11 @@ object SparkEntry {
     // over-long docs truncate. Lengths-grain shuffle + one linear fold
     // per shard; the oracle replays the fold as a recursive CTE.
     "q150_sequence_packing" -> ((s, d) => Pipeline.q150(s, d)),
+    // q151 (r18): the packing ASSIGNMENT — q150's fold at doc grain
+    // (shard, sequence, token offset, surviving tokens per doc), what a
+    // training loader actually consumes. Same fold, same order; q150 is
+    // exactly this relation aggregated (spec-pinned).
+    "q151_sequence_assignment" -> ((s, d) => Pipeline.q151(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1548,6 +1553,30 @@ object SparkEntry {
         |  CAST(max(nseq) * 512 - sum(eff) AS BIGINT) AS pad_waste,
         |  CAST(sum(tr) AS BIGINT) AS n_trunc
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q151: q150's recursive fold, emitted per document — seq is the
+    // carried nseq, off is the run BEFORE this doc (run - eff).
+    "q151_sequence_assignment" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-shuffle')), 1, 12)) AS BIGINT) AS skey
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, skey % 8 AS shard, least(n_tok, 512) AS eff,
+        |    row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS rn
+        |  FROM k),
+        |p AS (
+        |  SELECT doc_id, shard, rn, eff, CAST(1 AS BIGINT) AS nseq, eff AS run
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.shard, o.rn, o.eff,
+        |    CASE WHEN p.run + o.eff > 512 THEN p.nseq + 1 ELSE p.nseq END,
+        |    CASE WHEN p.run + o.eff > 512 THEN o.eff ELSE p.run + o.eff END
+        |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT doc_id, shard, nseq AS seq,
+        |  CAST(run - eff AS BIGINT) AS off, CAST(eff AS BIGINT) AS eff
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // q84: row-local repeated-trigram fraction in integer basis points;
     // the oracle builds the same trigrams with a list comprehension.

@@ -2840,10 +2840,14 @@ object Pipeline {
     * Exact integers end to end; the DuckDB oracle replays the fold as a
     * recursive CTE per shard.
     */
-  def q150(spark: SparkSession, dir: String, shards: Int = 8,
-      seqLen: Long = 512L): DataFrame = {
+  /** The packer's input layout, shared by the census (q150) and the
+    * assignment (q151) so the two can never fold a different order:
+    * (shard, skey, doc_id, n_tok), each shard whole in one task, sorted
+    * in training order.
+    */
+  private def packingInput(spark: SparkSession, dir: String,
+      shards: Int): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
     import spark.implicits._
-    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
@@ -2853,6 +2857,13 @@ object Pipeline {
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "skey", "doc_id")
       .as[(Long, Long, Long, Long)]
+  }
+
+  def q150(spark: SparkSession, dir: String, shards: Int = 8,
+      seqLen: Long = 512L): DataFrame = {
+    import spark.implicits._
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    packingInput(spark, dir, shards)
       .mapPartitions { it =>
         // several shard keys can hash-collide into one partition; the
         // sort puts each shard contiguous, so the fold resets per shard
@@ -2878,6 +2889,35 @@ object Pipeline {
       }
       .toDF("shard", "n_docs", "n_seqs", "tok_eff", "pad_waste", "n_trunc")
       .orderBy("shard")
+  }
+
+  /** q151: the packing ASSIGNMENT — q150's fold emitted doc-grain: which
+    * (shard, sequence) each document lands in, at which token offset, and
+    * how many tokens of it survive truncation. This is what a training
+    * loader actually consumes (the census is its QA dial); same fold,
+    * same order, same integers — q150's per-shard numbers are exactly the
+    * aggregation of this relation, spec-pinned. Output is doc-grain, so
+    * at 100 TB it is written next to the shard corpus (one lengths-grain
+    * pass, text untouched) rather than collected.
+    */
+  def q151(spark: SparkSession, dir: String, shards: Int = 8,
+      seqLen: Long = 512L): DataFrame = {
+    import spark.implicits._
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    packingInput(spark, dir, shards)
+      .mapPartitions { it =>
+        var shard = Long.MinValue
+        var nSeqs = 0L; var run = 0L
+        it.map { case (s, _, docId, nTok) =>
+          if (s != shard) { shard = s; nSeqs = 0L; run = 0L }
+          val eff = math.min(nTok, seqLen)
+          if (nSeqs == 0L || run + eff > seqLen) { nSeqs += 1; run = eff }
+          else run += eff
+          (docId, shard, nSeqs, run - eff, eff)
+        }
+      }
+      .toDF("doc_id", "shard", "seq", "off", "eff")
+      .orderBy("doc_id")
   }
 
   /** q135: length-bucketed batch assignment + padding-waste census — the

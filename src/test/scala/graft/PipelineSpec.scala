@@ -615,6 +615,29 @@ class PipelineSpec extends SparkSpec {
       s"over-long docs must truncate and count: $trunc")
   }
 
+  test("q151 assignment aggregates exactly to the q150 census; packing invariants hold") {
+    val census = Pipeline.q150(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val asg = Pipeline.q151(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(asg.nonEmpty)
+    // invariants: offsets start sequences at 0 and never overflow seqLen
+    asg.foreach { case (id, _, _, off, eff) =>
+      assert(off >= 0 && off + eff <= 512, s"doc $id overflows its sequence")
+    }
+    asg.groupBy(a => (a._2, a._3)).foreach { case ((shard, seq), docs) =>
+      assert(docs.map(_._4).min == 0, s"sequence ($shard,$seq) does not start at offset 0")
+      assert(docs.map(_._5).sum <= 512, s"sequence ($shard,$seq) exceeds seqLen")
+    }
+    // the census IS this relation aggregated
+    val agg = asg.groupBy(_._2).map { case (shard, docs) =>
+      val nSeqs = docs.map(_._3).max
+      val tokEff = docs.map(_._5).sum
+      shard -> ((docs.size.toLong, nSeqs, tokEff, nSeqs * 512L - tokEff))
+    }
+    assert(agg === census.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap)
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these
