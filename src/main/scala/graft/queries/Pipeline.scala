@@ -2840,6 +2840,21 @@ object Pipeline {
     * Exact integers end to end; the DuckDB oracle replays the fold as a
     * recursive CTE per shard.
     */
+  /** ONE greedy packing step, shared by the census (q150) and the
+    * assignment (q151) folds so the break rule cannot drift (the
+    * shuffleKey/lengthBuckets one-definition convention): given the open
+    * sequence's (nSeqs, run) and the next doc's token count, returns
+    * (nSeqs', run', eff). A serializable holder so executor closures
+    * capture only it, not the enclosing object.
+    */
+  private object Pack extends Serializable {
+    def step(nSeqs: Long, run: Long, nTok: Long, seqLen: Long): (Long, Long, Long) = {
+      val eff = math.min(nTok, seqLen)
+      if (nSeqs == 0L || run + eff > seqLen) (nSeqs + 1, eff, eff)
+      else (nSeqs, run + eff, eff)
+    }
+  }
+
   /** The packer's input layout, shared by the census (q150) and the
     * assignment (q151) so the two can never fold a different order:
     * (shard, skey, doc_id, n_tok), each shard whole in one task, sorted
@@ -2878,10 +2893,9 @@ object Pipeline {
             flush()
             shard = s; nDocs = 0L; nSeqs = 0L; run = 0L; tokEff = 0L; nTrunc = 0L
           }
-          val eff = math.min(nTok, seqLen)
+          val (s2, r2, eff) = Pack.step(nSeqs, run, nTok, seqLen)
+          nSeqs = s2; run = r2
           if (nTok > seqLen) nTrunc += 1
-          if (nSeqs == 0L || run + eff > seqLen) { nSeqs += 1; run = eff }
-          else run += eff
           nDocs += 1; tokEff += eff
         }
         flush()
@@ -2910,9 +2924,8 @@ object Pipeline {
         var nSeqs = 0L; var run = 0L
         it.map { case (s, _, docId, nTok) =>
           if (s != shard) { shard = s; nSeqs = 0L; run = 0L }
-          val eff = math.min(nTok, seqLen)
-          if (nSeqs == 0L || run + eff > seqLen) { nSeqs += 1; run = eff }
-          else run += eff
+          val (s2, r2, eff) = Pack.step(nSeqs, run, nTok, seqLen)
+          nSeqs = s2; run = r2
           (docId, shard, nSeqs, run - eff, eff)
         }
       }
