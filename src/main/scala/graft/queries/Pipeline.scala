@@ -2933,6 +2933,40 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q152: packed-sequence MATERIALIZATION census — the proof that the
+    * q151 assignment reassembles into the exact byte streams a trainer
+    * would read. Each doc's first `eff` tokens (the truncation q150/q151
+    * account) join back to the assignment, fragments sort by their token
+    * offset within the sequence, and the census emits per (shard, seq):
+    * doc count, token count, and the md5 DIGEST of the space-joined
+    * packed stream — so the oracle gate checks the packed CONTENT, not
+    * just the bookkeeping.
+    *
+    * Scale: this is the one packing stage where text moves — once, to
+    * its (shard, seq) group, which is how the packed corpus would be
+    * materialized anyway (the writeShuffledShards discipline applies for
+    * an on-disk form). Fragment order inside a group is made explicit
+    * (array_sort on the unique offsets), so the digest is partitioning-
+    * independent.
+    */
+  def q152(spark: SparkSession, dir: String, shards: Int = 8,
+      seqLen: Long = 512L): DataFrame = {
+    val frags = q151(spark, dir, shards, seqLen)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("shard"), col("seq"), col("eff"),
+        struct(col("off"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1), col("eff")))
+            .as("frag")).as("part"))
+    frags.groupBy("shard", "seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("eff").as("n_tok"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(col("part"))), p => p.getField("frag"))
+        )).as("digest"))
+      .orderBy("shard", "seq")
+  }
+
   /** q135: length-bucketed batch assignment + padding-waste census — the
     * step that turns a tokenized corpus into fixed-size training batches
     * while keeping sequence lengths homogeneous per batch (padding to the

@@ -636,6 +636,17 @@ class PipelineSpec extends SparkSpec {
       shard -> ((docs.size.toLong, nSeqs, tokEff, nSeqs * 512L - tokEff))
     }
     assert(agg === census.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap)
+    // the materialization (q152) carries one row per (shard, seq) and the
+    // same token accounting — assignment → bytes is closed on all three
+    val dig = Pipeline.q152(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perShard = dig.groupBy(_._1)
+    census.foreach { case (shard, (_, nSeqs, tokEff, _)) =>
+      val seqs = perShard(shard)
+      assert(seqs.map(_._2).toSet == (1L to nSeqs).toSet,
+        s"shard $shard: q152 must emit every sequence exactly once")
+      assert(seqs.map(_._4).sum == tokEff, s"shard $shard: token accounting drift")
+    }
   }
 
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
