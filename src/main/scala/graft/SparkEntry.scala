@@ -304,6 +304,11 @@ object SparkEntry {
     // gated by md5 CONTENT digest, so assignment → bytes is hash-checked
     // end to end.
     "q152_sequence_digest" -> ((s, d) => Pipeline.q152(s, d)),
+    // q153 (r18): the packed corpus WRITTEN to its on-disk layout and
+    // READ BACK — same digests (and token counts recomputed from the
+    // STORED streams) after the round trip, sharing q152's oracle, so a
+    // writer/reader bug hash-mismatches instead of only failing a spec.
+    "q153_packed_readback" -> ((s, d) => Pipeline.q153(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1586,6 +1591,34 @@ object SparkEntry {
     // q152: q151's fold joined back to text — per (shard, seq) the md5 of
     // the offset-ordered, truncation-applied, space-joined token stream.
     "q152_sequence_digest" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-shuffle')), 1, 12)) AS BIGINT) AS skey
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, skey % 8 AS shard, least(n_tok, 512) AS eff,
+        |    row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS rn
+        |  FROM k),
+        |p AS (
+        |  SELECT doc_id, shard, rn, eff, CAST(1 AS BIGINT) AS nseq, eff AS run
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.shard, o.rn, o.eff,
+        |    CASE WHEN p.run + o.eff > 512 THEN p.nseq + 1 ELSE p.nseq END,
+        |    CASE WHEN p.run + o.eff > 512 THEN o.eff ELSE p.run + o.eff END
+        |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1),
+        |f AS (
+        |  SELECT p.shard, p.nseq AS seq, p.run - p.eff AS off, p.eff,
+        |    array_to_string(list_slice(list_filter(string_split(d.text,' '), x -> x <> ''), 1, CAST(p.eff AS INT)), ' ') AS frag
+        |  FROM p JOIN documents d USING (doc_id))
+        |SELECT shard, seq, count(*) AS n_docs, CAST(sum(eff) AS BIGINT) AS n_tok,
+        |  md5(string_agg(frag, ' ' ORDER BY off)) AS digest
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q153: the write→read-back form answers q152's question verbatim —
+    // the stored streams must carry the same digests and token counts.
+    "q153_packed_readback" ->
       """WITH RECURSIVE k AS (
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,

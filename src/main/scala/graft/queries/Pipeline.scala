@@ -2950,20 +2950,98 @@ object Pipeline {
     * independent.
     */
   def q152(spark: SparkSession, dir: String, shards: Int = 8,
-      seqLen: Long = 512L): DataFrame = {
-    val frags = q151(spark, dir, shards, seqLen)
+      seqLen: Long = 512L): DataFrame =
+    packedSequences(spark, dir, shards, seqLen)
+      .select(col("shard"), col("seq"), col("n_docs"), col("n_tok"),
+        md5(col("stream")).as("digest"))
+      .orderBy("shard", "seq")
+
+  /** The assembled packed sequences — (shard, seq, n_docs, n_tok, stream)
+    * with `stream` the offset-ordered, truncation-applied, space-joined
+    * token text. ONE definition shared by the q152 digest census and the
+    * on-disk writer so the materialized corpus can never differ from the
+    * hash-gated assembly.
+    */
+  private[graft] def packedSequences(spark: SparkSession, dir: String,
+      shards: Int, seqLen: Long): DataFrame =
+    q151(spark, dir, shards, seqLen)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("shard"), col("seq"), col("eff"),
         struct(col("off"),
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1), col("eff")))
             .as("frag")).as("part"))
-    frags.groupBy("shard", "seq")
+      .groupBy("shard", "seq")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("eff").as("n_tok"),
-        md5(concat_ws(" ",
+        concat_ws(" ",
           transform(array_sort(collect_list(col("part"))), p => p.getField("frag"))
-        )).as("digest"))
+        ).as("stream"))
+
+  /** Materialize the packed corpus ([[q152]]'s assembly, on disk): rows
+    * land under `root/v<version>/shard=<k>/`, one file per shard, rows in
+    * `seq` order — the byte streams a training loader maps straight into
+    * its context windows, next to the census that QAs them. Exactly-once
+    * via the committed-version no-op (the [[writeShuffledShards]]
+    * discipline: `_SUCCESS` present → return untouched; a crashed partial
+    * write has no marker and is overwritten whole). Returns the version
+    * directory.
+    */
+  def writePackedSequences(spark: SparkSession, dir: String, root: String,
+      shards: Int = 8, seqLen: Long = 512L, version: Long = 0L): String = {
+    val out = s"$root/v$version"
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) return out
+    packedSequences(spark, dir, shards, seqLen)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "seq")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    out
+  }
+
+  private val stagedPackedRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), String]()
+
+  private[graft] def stagedPackedRootsFor(spark: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    stagedPackedRoots.keySet.asScala.count(k =>
+      (k._1 eq spark) && k._2.startsWith(s"$dir@"))
+  }
+
+  /** q153: the packed corpus WRITTEN and READ BACK, driver-gated
+    * end-to-end (q140's argument, applied to packing): q152 gates the
+    * digests computed in one query; THIS gates the same digests — and
+    * token counts RECOMPUTED from the stored streams — after a round
+    * trip through the on-disk layout, sharing q152's oracle, so a
+    * writer/reader bug (lost sequence, truncated stream, reordered
+    * fragments) hash-mismatches the oracle instead of only failing a
+    * spec. The root is a per-(session, corpus-fingerprint, shards) temp
+    * directory, not a warehouse path — q140's staleness rationale
+    * verbatim (the writer's `_SUCCESS` no-op must never serve a previous
+    * testdata generation across processes).
+    */
+  def q153(spark: SparkSession, dir: String, shards: Int = 8,
+      seqLen: Long = 512L): DataFrame = {
+    val srcKey = graft.Fingerprint.key(spark, dir, "documents.parquet")
+    graft.Memo.evictSuperseded(stagedPackedRoots,
+      (k: (SparkSession, String, Int)) =>
+        (k._1 eq spark) && k._3 == shards && k._2 != srcKey &&
+          k._2.startsWith(s"$dir@"),
+      (root: String) => scala.util.Try {
+        def rmr(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+          f.delete(): Unit
+        }
+        rmr(new java.io.File(root))
+      }: Unit)
+    val root = stagedPackedRoots.computeIfAbsent((spark, srcKey, shards), _ =>
+      java.nio.file.Files.createTempDirectory("graft-packed").toString)
+    val out = writePackedSequences(spark, dir, root, shards, seqLen)
+    spark.read.parquet(out)
+      .select(col("shard").cast("long").as("shard"), col("seq"), col("n_docs"),
+        TextFunctions.tokenCount(col("stream")).cast("long").as("n_tok"),
+        md5(col("stream")).as("digest"))
       .orderBy("shard", "seq")
   }
 

@@ -147,6 +147,21 @@ class StalenessSpec extends SparkSpec {
       "the superseded generation's video root must be evicted")
   }
 
+  test("q153 packed root goes fresh on a regenerated corpus") {
+    import spark.implicits._
+    val dir = tmpDir("packed")
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Seq((1L, "s", "a b c"), (2L, "s", "d e")))
+    assert(Pipeline.q153(spark, dir).collect().map(_.getLong(2)).sum === 2L)
+    writeDocs(Seq((7L, "s", "x"), (8L, "s", "y"), (9L, "s", "z")))
+    assert(Pipeline.q153(spark, dir).collect().map(_.getLong(2)).sum === 3L,
+      "the committed-version no-op must not serve the previous generation")
+    assert(Pipeline.stagedPackedRootsFor(spark, dir) === 1,
+      "the superseded generation's packed root must be evicted (and deleted)")
+  }
+
   test("staged video corpus commits to the warehouse; a later session cold-opens it") {
     import spark.implicits._
     val dir = tmpDir("videos-commit")
