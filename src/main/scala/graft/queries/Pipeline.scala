@@ -2211,19 +2211,22 @@ object Pipeline {
     * commit): a marker paired with a previous data generation can never
     * match the current fingerprint, so a regenerated dir always re-stages.
     */
-  private def findCommittedVideos(spark: SparkSession, dir: String,
-      fp: String): Option[String] = {
+  private def committedVideoDirs(spark: SparkSession, dir: String,
+      fp: String): Seq[String] = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val whPath = new org.apache.hadoop.fs.Path(wh)
     val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(whPath)) return None
+    if (!fs.exists(whPath)) return Nil
     val prefix = s"g_videos_${annDirKey(dir)}_${fp}_"
     fs.listStatus(whPath).map(_.getPath.getName)
-      .filter(_.startsWith(prefix)).sorted.iterator
+      .filter(_.startsWith(prefix)).sorted.toSeq
       .filter(name => fs.exists(new org.apache.hadoop.fs.Path(s"$wh/$name/_SUCCESS")))
       .map(name => s"$wh/$name")
-      .nextOption()
   }
+
+  private def findCommittedVideos(spark: SparkSession, dir: String,
+      fp: String): Option[String] =
+    committedVideoDirs(spark, dir, fp).headOption
 
   /** Reclaim THIS process's own dead video stagings for `dir`: dirs
     * carrying this process's tag that are neither live nor mid-write, and
@@ -3279,10 +3282,13 @@ object Pipeline {
   }
   /** Committed on-disk video corpora for `dir`'s CURRENT fingerprint (any
     * process) — cold-open observability for the warehouse-commit layout.
+    * Counts ALL committed same-fp dirs (r18 advice: the Option-based
+    * probe could only ever report 0 or 1, hiding a second process's
+    * committed duplicate from the leak specs).
     */
   private[graft] def committedVideoDirsFor(spark: SparkSession, dir: String): Int = {
     val fp = videoSourceFp(spark, dir)
-    findCommittedVideos(spark, dir, fp).size
+    committedVideoDirs(spark, dir, fp).size
   }
   /** ALL on-disk video-corpus dirs for `dir` (committed or debris, any
     * fingerprint) — the sweep/leak observability probe.
@@ -3429,31 +3435,113 @@ object Pipeline {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** The quantizer + codebook + provenance, persisted INSIDE the codes
-    * dir under an underscore-prefixed child — hidden from the codes scan
+    * dir under underscore-prefixed children — hidden from the codes scan
     * (Hadoop/Spark readers skip `_`-prefixed paths), read back by
     * cold-open adoption. Parquet, so doubles round-trip exactly.
+    *
+    * VERSIONED (r19, r18 advice): meta commits land as
+    * `_graft_meta_v<N>` with N strictly increasing, and readers adopt the
+    * NEWEST version whose own `_SUCCESS` is present. A re-commit (append
+    * flipping the fingerprint, compaction tombstoning the merged-away
+    * dir) therefore never touches the currently-committed meta: the old
+    * in-place `mode("overwrite")` re-commit deleted `_SUCCESS` — the only
+    * commit marker — before rewriting, so a crash mid-rewrite (or a
+    * concurrent adopter in the delete→rewrite window) saw a fully
+    * committed base as uncommitted and re-paid a full training. Now a
+    * crashed re-commit leaves a version dir without `_SUCCESS`, which
+    * readers skip; the previous version stays committed throughout.
+    * Superseded versions are GC'd after the new commit, keeping the
+    * newest two (a reader holding a pre-GC listing falls back to
+    * re-stage via the usual Try→None path — bounded, never corrupt).
+    * Legacy bare `_graft_meta` dirs read as version 0.
     */
-  private def annMetaPath(codesPath: String): String = codesPath + "/_graft_meta"
+  private val annMetaVerRe = """_graft_meta_v(\d+)""".r
+
+  /** Committed meta versions under `codesPath`, newest first: (version, path). */
+  private def annMetaVersions(fs: org.apache.hadoop.fs.FileSystem,
+      codesPath: String): Seq[(Long, String)] = {
+    val base = new org.apache.hadoop.fs.Path(codesPath)
+    if (!fs.exists(base)) return Nil
+    fs.listStatus(base).map(_.getPath.getName).toSeq.collect {
+      case n @ annMetaVerRe(v) => (v.toLong, s"$codesPath/$n")
+      case n @ "_graft_meta"   => (0L, s"$codesPath/$n")
+    }.filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }.sortBy(-_._1)
+  }
+
+  /** ALL meta version numbers present (committed or crash-partial) — the
+    * next write must clear both, or a retry could land inside a corpse.
+    */
+  private def annMetaMaxVersion(fs: org.apache.hadoop.fs.FileSystem,
+      codesPath: String): Long = {
+    val base = new org.apache.hadoop.fs.Path(codesPath)
+    if (!fs.exists(base)) return -1L
+    fs.listStatus(base).map(_.getPath.getName).collect {
+      case annMetaVerRe(v) => v.toLong
+      case "_graft_meta"   => 0L
+    }.maxOption.getOrElse(-1L)
+  }
+
+  private def annFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest committed meta dir, or None (uncommitted index). */
+  private def latestAnnMetaPath(spark: SparkSession, codesPath: String): Option[String] =
+    annMetaVersions(annFs(spark, codesPath), codesPath).headOption.map(_._2)
+
+  /** Decoded meta: provenance + index + the retirement tombstone (r19).
+    * `retiredTo` set means a compaction merged this dir into the named
+    * sibling — adoption must skip it, and any process may reclaim it once
+    * `graceMs` has elapsed since the tombstone's commit.
+    */
+  private[graft] case class AnnMeta(dir: String, fp: String, idx: AnnIndex,
+      retiredTo: Option[String], graceMs: Long)
 
   private def writeAnnMeta(spark: SparkSession, codesPath: String, dir: String,
       fp: String, cents: Array[Array[Double]],
-      cb: Array[Array[Array[Double]]]): Unit = {
+      cb: Array[Array[Array[Double]]],
+      retiredTo: Option[String] = None, graceMs: Long = 0L): Unit = {
     import spark.implicits._
-    Seq((dir, fp, cents.map(_.toSeq).toSeq, cb.map(_.map(_.toSeq).toSeq).toSeq))
-      .toDF("dir", "fp", "cents", "cb")
-      .coalesce(1).write.mode("overwrite").parquet(annMetaPath(codesPath))
+    val fs = annFs(spark, codesPath)
+    val next = annMetaMaxVersion(fs, codesPath) + 1
+    Seq((dir, fp, cents.map(_.toSeq).toSeq, cb.map(_.map(_.toSeq).toSeq).toSeq,
+        retiredTo.orNull, graceMs))
+      .toDF("dir", "fp", "cents", "cb", "retired_to", "retire_grace_ms")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$codesPath/_graft_meta_v$next") // its _SUCCESS is the commit
+    // GC AFTER the new commit: keep the newest two committed versions,
+    // drop everything else — older committed versions AND crash-partial
+    // debris (a version dir without _SUCCESS below the new commit cannot
+    // be a concurrent writer: meta re-commits are single-writer)
+    val keep = annMetaVersions(fs, codesPath).take(2).map(_._2).toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(codesPath)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val isMeta = n == "_graft_meta" || annMetaVerRe.pattern.matcher(n).matches
+      if (isMeta && !keep.contains(s"$codesPath/$n"))
+        scala.util.Try(fs.delete(p, true)): Unit
+    }
   }
 
-  private def readAnnMeta(spark: SparkSession, codesPath: String)
-      : Option[(String, String, AnnIndex)] =
-    scala.util.Try {
-      import spark.implicits._
-      val r = spark.read.parquet(annMetaPath(codesPath))
-        .as[(String, String, Seq[Seq[Double]], Seq[Seq[Seq[Double]]])].head()
-      (r._1, r._2, AnnIndex(codesPath,
-        r._3.map(_.toArray).toArray,
-        r._4.map(_.map(_.toArray).toArray).toArray))
-    }.toOption
+  private def readAnnMeta(spark: SparkSession, codesPath: String): Option[AnnMeta] =
+    latestAnnMetaPath(spark, codesPath).flatMap { metaPath =>
+      scala.util.Try {
+        import spark.implicits._
+        val raw = spark.read.parquet(metaPath)
+        val df = // legacy (pre-r19) metas lack the tombstone columns
+          if (raw.columns.contains("retired_to")) raw
+          else raw.withColumn("retired_to", lit(null).cast("string"))
+            .withColumn("retire_grace_ms", lit(0L))
+        val r = df.select("dir", "fp", "cents", "cb", "retired_to", "retire_grace_ms")
+          .as[(String, String, Seq[Seq[Double]], Seq[Seq[Seq[Double]]],
+               Option[String], Long)].head()
+        AnnMeta(r._1, r._2,
+          AnnIndex(codesPath, r._3.map(_.toArray).toArray,
+            r._4.map(_.map(_.toArray).toArray).toArray),
+          r._5, r._6)
+      }.toOption
+    }
 
   /** Find a COMMITTED staged index for (dir, fp) under the warehouse —
     * any process's, deterministic pick (lexicographically smallest
@@ -3469,7 +3557,10 @@ object Pipeline {
     * content-equivalent by construction — a compaction's merged base next
     * to the dir it merged — so prefer the better layout), then
     * lexicographically smallest name (the deterministic tiebreak). Each
-    * element carries (hasDeltas, name, fp, index).
+    * element carries (hasDeltas, name, fp, index). TOMBSTONED dirs (a
+    * compaction retired them into a merged sibling — [[AnnMeta.retiredTo]])
+    * are never candidates: the successor committed before the tombstone
+    * was written, so an adopter always has it.
     */
   private def committedAnnCandidates(spark: SparkSession, dir: String)
       : Seq[(Boolean, String, String, AnnIndex)] = {
@@ -3482,14 +3573,11 @@ object Pipeline {
       .filter(_.startsWith(prefix)).sorted.toSeq
       .flatMap { name =>
         val codesPath = s"$wh/$name"
-        val committed = fs.exists(
-          new org.apache.hadoop.fs.Path(annMetaPath(codesPath) + "/_SUCCESS"))
-        if (!committed) None
-        else readAnnMeta(spark, codesPath).collect {
-          case (d, f, idx) if d == dir =>
+        readAnnMeta(spark, codesPath).collect {
+          case m if m.dir == dir && m.retiredTo.isEmpty =>
             val hasDeltas = fs.exists(
               new org.apache.hadoop.fs.Path(s"$codesPath/_delta"))
-            (hasDeltas, name, f, idx)
+            (hasDeltas, name, m.fp, m.idx)
         }
       }
       .sortBy { case (hasDeltas, name, _, _) => (hasDeltas, name) }
@@ -3587,7 +3675,15 @@ object Pipeline {
     * regeneration superseded them; adoption can never pick them again).
     * Other processes' dirs are never touched — deleting a path we cannot
     * prove dead trades a bounded disk leak for breaking someone's live
-    * index.
+    * index — with ONE exception (r19, the retirement protocol): a dir
+    * whose committed meta carries a TOMBSTONE ([[AnnMeta.retiredTo]]) was
+    * declared dead by the compaction that merged it away, adoption skips
+    * it from the moment the tombstone commits, and once the tombstone's
+    * own grace period has elapsed (measured from the tombstone commit's
+    * `_SUCCESS` mtime — the grace covers another process's in-flight
+    * probes planned against the old codes) ANY process's sweep may
+    * reclaim it, whoever wrote it. Disk is thus recovered within a
+    * generation instead of at the next regeneration.
     *
     * QUIESCE NOTE (r17 verdict item 5): a same-process query planned
     * against a STALE generation's codes and still running when this sweep
@@ -3605,14 +3701,29 @@ object Pipeline {
       val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(s"g_ann_codes_${dirKey}_${processTag}_") &&
+        if (n.startsWith(s"g_ann_codes_${dirKey}_") &&
             !annLivePaths.contains(n) && !annInFlight.contains(n)) {
-          val committed = fs.exists(new org.apache.hadoop.fs.Path(
-            annMetaPath(s"$wh/$n") + "/_SUCCESS"))
-          val stale = committed && readAnnMeta(spark, s"$wh/$n").exists(_._2 != fp)
-          if (!committed || stale) fs.delete(st.getPath, true)
+          val meta = readAnnMeta(spark, s"$wh/$n")
+          val ownDead = n.startsWith(s"g_ann_codes_${dirKey}_${processTag}_") &&
+            (meta.isEmpty || meta.exists(_.fp != fp))
+          val tombExpired = meta.exists(m => m.retiredTo.isDefined &&
+            annTombstoneExpired(fs, s"$wh/$n", m.graceMs))
+          if (ownDead || tombExpired) fs.delete(st.getPath, true)
         }
       }
+    }
+
+  /** True when `codesPath`'s tombstone commit is older than its grace —
+    * the retirement protocol's reclaim gate ([[sweepAnnDebris]]).
+    */
+  private def annTombstoneExpired(fs: org.apache.hadoop.fs.FileSystem,
+      codesPath: String, graceMs: Long): Boolean =
+    annMetaVersions(fs, codesPath).headOption.exists { case (_, metaPath) =>
+      scala.util.Try {
+        val mtime = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(metaPath, "_SUCCESS")).getModificationTime
+        System.currentTimeMillis() - mtime >= graceMs
+      }.getOrElse(false)
     }
 
   /** Dispatcher probe for [[graft.Exec]]'s q16 staged-ANN form: true only
@@ -3647,8 +3758,10 @@ object Pipeline {
     val cands = committedAnnCandidates(spark, dir)
     if (cands.isEmpty) return None
     def metaMtime(idx: AnnIndex): Long =
-      scala.util.Try(fs.getFileStatus(new org.apache.hadoop.fs.Path(
-        annMetaPath(idx.codesPath) + "/_SUCCESS")).getModificationTime).getOrElse(0L)
+      annMetaVersions(fs, idx.codesPath).headOption.flatMap { case (_, p) =>
+        scala.util.Try(fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          p, "_SUCCESS")).getModificationTime).toOption
+      }.getOrElse(0L)
     val best = cands.zipWithIndex
       .minBy { case ((_, _, _, idx), i) => (-metaMtime(idx), i) }._1
     Some((best._3, best._4))
@@ -3662,6 +3775,33 @@ object Pipeline {
       graft.streaming.BatchStore
         .committedBatches(spark, s"${idx.codesPath}/_delta", Long.MaxValue).map(_._1)
     }
+
+  /** ALL on-disk index dirs for `dir` (committed, tombstoned or debris,
+    * any process) — the retirement/sweep observability probe.
+    */
+  private[graft] def annDirsOnDiskFor(spark: SparkSession, dir: String): Seq[String] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whPath)) Nil
+    else fs.listStatus(whPath).map(_.getPath.getName).toSeq
+      .filter(_.startsWith(s"g_ann_codes_${annDirKey(dir)}_")).sorted
+  }
+
+  /** Committed meta version numbers under a codes dir, newest first —
+    * spec observability for the versioned-commit discipline.
+    */
+  private[graft] def annMetaVersionsFor(spark: SparkSession, codesPath: String): Seq[Long] =
+    annMetaVersions(annFs(spark, codesPath), codesPath).map(_._1)
+
+  /** Tombstoned (retired) index dirs for `dir`: (name, retiredTo). */
+  private[graft] def annRetiredDirsFor(spark: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    annDirsOnDiskFor(spark, dir).flatMap { n =>
+      readAnnMeta(spark, s"$wh/$n").flatMap(_.retiredTo).map(n -> _)
+    }
+  }
 
   /** INCREMENTAL APPEND for the staged index (r17 verdict item 2): absorb
     * the vectors that appeared in `dir`'s embeddings since the index was
@@ -3747,22 +3887,38 @@ object Pipeline {
       stagedAnn.computeIfAbsent(key, _ => new graft.LazyCell(base)))
   }
 
+  /** Default adopt-elsewhere grace before a retired (tombstoned) index
+    * dir may be reclaimed: long enough for any in-flight probe another
+    * process planned against the old codes to finish (minutes, not a
+    * regeneration), short enough that disk is recovered within the
+    * generation. Override per-compaction via [[compactAnnIndex]].
+    */
+  val defaultAnnRetireGraceMs: Long = 10L * 60 * 1000
+
   /** Merge base + committed deltas back into ONE cell-partitioned base —
     * [[graft.streaming.BatchStore.compactStore]]'s discipline for the
     * index layout: the merged dir commits as a NEW index at the same
     * fingerprint and wins adoption (delta-free dirs order first in
     * [[committedAnnCandidates]]), so new sessions/processes flip to it at
-    * its meta commit. The merged-away dir is NOT deleted (r18 review):
-    * other sessions' same-fingerprint memos — and other processes'
-    * adoptions — may still point at it, and it stays content-equivalent
-    * (base ∪ its deltas = the merged base), so leaving it committed is
-    * harmless; it is released from this process's live set and reclaimed
-    * by the normal stale-fingerprint sweep once the data regenerates.
-    * No-op with no deltas. Training count untouched — the quantizer/
-    * codebook are carried over, so compaction is a pure layout move and
-    * probe results are unchanged by construction (spec-pinned).
+    * its meta commit. The merged-away dir is NOT deleted inline (r18
+    * review: other sessions' same-fingerprint memos — and other
+    * processes' in-flight probes — may still point at it, and it stays
+    * content-equivalent: base ∪ its deltas = the merged base). It is
+    * RETIRED (r19, r18 verdict item 2): a tombstone meta version commits
+    * in the old dir naming the merged successor and carrying
+    * `retireGraceMs`; adoption skips tombstoned dirs immediately (a
+    * concurrent adopter flips to the merged base), and once the grace
+    * has elapsed any process's staging-time sweep reclaims the dir —
+    * disk is recovered within the generation instead of at the next
+    * regeneration. The tombstone commit is crash-safe by the versioned
+    * meta discipline: a crash mid-tombstone leaves the previous meta
+    * version committed, the dir stays adoptable, and the next compaction
+    * retries. No-op with no deltas. Training count untouched — the
+    * quantizer/codebook are carried over, so compaction is a pure layout
+    * move and probe results are unchanged by construction (spec-pinned).
     */
-  def compactAnnIndex(spark: SparkSession, dir: String): AnnIndex = {
+  def compactAnnIndex(spark: SparkSession, dir: String,
+      retireGraceMs: Long = defaultAnnRetireGraceMs): AnnIndex = {
     val fp = annSourceFp(spark, dir)
     val idx = appendAnnIndex(spark, dir) // adopt (and absorb any stragglers)
     val deltas = graft.streaming.BatchStore
@@ -3780,9 +3936,16 @@ object Pipeline {
       writeAnnMeta(spark, path, dir, fp, idx.cents, idx.cb) // the commit point
       annLivePaths.add(name)
     } finally annInFlight.remove(name)
-    // release (don't delete) the merged-away dir: the stale-fp sweep
-    // reclaims it on the next regeneration's staging
+    // retire the merged-away dir: release it from this process's live
+    // set, tombstone it (ordered AFTER the successor's commit, so a
+    // reader always has one adoptable index), and sweep — which deletes
+    // it now only if the grace is already over (grace 0 = reclaim here)
     annLivePaths.remove(oldName)
+    scala.util.Try {
+      writeAnnMeta(spark, idx.codesPath, dir, fp, idx.cents, idx.cb,
+        retiredTo = Some(name), graceMs = retireGraceMs)
+    }: Unit
+    sweepAnnDebris(spark, wh, annDirKey(dir), fp)
     val merged = AnnIndex(path, idx.cents, idx.cb)
     val key = (spark, dir, fp)
     val cell = new graft.LazyCell[AnnIndex](merged)

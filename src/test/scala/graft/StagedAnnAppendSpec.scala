@@ -100,6 +100,86 @@ class StagedAnnAppendSpec extends SparkSpec {
       "a session holding the pre-compaction index must keep working")
   }
 
+  test("versioned meta commits: a re-commit never un-commits the base; crash debris is skipped; GC keeps two") {
+    val a = freshDir("metaver")
+    writeEmb(a, id => id % 2 == 0)
+    val idx = Pipeline.stageAnnIndex(spark, a)
+    assert(Pipeline.annMetaVersionsFor(spark, idx.codesPath) === Seq(0L),
+      "initial staging commits meta v0")
+
+    // append flips the fingerprint → meta RE-commits as v1, v0 untouched:
+    // at no instant is the dir uncommitted (the r18-advice crash window)
+    writeEmb(a, id => id % 2 == 0 || id % 4 == 1)
+    Pipeline.appendAnnIndex(spark, a)
+    assert(Pipeline.annMetaVersionsFor(spark, idx.codesPath) === Seq(1L, 0L),
+      "a meta re-commit lands as a NEW version next to the committed one")
+
+    // a crashed re-commit (version dir without _SUCCESS) is invisible to
+    // readers: a fresh session still adopts the committed v1
+    val fs = new org.apache.hadoop.fs.Path(idx.codesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${idx.codesPath}/_graft_meta_v99"))
+    val before = Pipeline.annTrainings.get
+    val s2 = spark.newSession()
+    val adopted = Pipeline.appendAnnIndex(s2, a)
+    assert(adopted.codesPath === idx.codesPath)
+    assert(Pipeline.annTrainings.get === before,
+      "crash-partial meta debris must not force a retrain")
+
+    // third commit GCs the rest: only the newest two committed survive,
+    // and the crash-partial v99 debris is reclaimed too (next version
+    // counts past it — 100 — so a retry never lands inside a corpse)
+    writeEmb(a, _ => true)
+    Pipeline.appendAnnIndex(spark, a)
+    assert(Pipeline.annMetaVersionsFor(spark, idx.codesPath) === Seq(100L, 1L),
+      "meta GC keeps the newest two committed versions")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${idx.codesPath}/_graft_meta_v99")),
+      "meta GC reclaims crash-partial version debris")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${idx.codesPath}/_graft_meta_v0")),
+      "meta GC drops committed versions older than the newest two")
+  }
+
+  test("retirement protocol: compaction tombstones the merged-away dir; grace 0 reclaims it; unexpired grace preserves it") {
+    // --- grace 0: disk reclaimed within the generation, adoption flips ---
+    val a = freshDir("retire0")
+    writeEmb(a, id => id % 2 == 0)
+    Pipeline.stageAnnIndex(spark, a)
+    writeEmb(a, _ => true)
+    Pipeline.appendAnnIndex(spark, a)
+    assert(Pipeline.annDirsOnDiskFor(spark, a).size === 1)
+    val merged = Pipeline.compactAnnIndex(spark, a, retireGraceMs = 0L)
+    val mergedName = new org.apache.hadoop.fs.Path(merged.codesPath).getName
+    assert(Pipeline.annDirsOnDiskFor(spark, a) === Seq(mergedName),
+      "grace 0: the tombstoned dir is reclaimed by compaction's own sweep")
+    assert(Pipeline.annRetiredDirsFor(spark, a) === Seq.empty)
+
+    // --- unexpired grace: tombstoned but PRESENT; adopters skip it ---
+    val b = freshDir("retireG")
+    writeEmb(b, id => id % 2 == 0)
+    Pipeline.stageAnnIndex(spark, b)
+    writeEmb(b, _ => true)
+    Pipeline.appendAnnIndex(spark, b)
+    val oldB = Pipeline.annDirsOnDiskFor(spark, b)
+    val mergedB = Pipeline.compactAnnIndex(spark, b, retireGraceMs = Long.MaxValue)
+    val mergedBName = new org.apache.hadoop.fs.Path(mergedB.codesPath).getName
+    assert(Pipeline.annDirsOnDiskFor(spark, b).toSet === (oldB :+ mergedBName).toSet,
+      "unexpired grace: the merged-away dir must survive (another process may hold it)")
+    assert(Pipeline.annRetiredDirsFor(spark, b) === Seq((oldB.head, mergedBName)),
+      "the tombstone names the merged successor")
+    // a concurrent adopter (fresh session, cold open) flips to the merged
+    // base: tombstoned dirs are never adoption candidates
+    val before = Pipeline.annTrainings.get
+    val s2 = spark.newSession()
+    val adopted = Pipeline.appendAnnIndex(s2, b)
+    assert(new org.apache.hadoop.fs.Path(adopted.codesPath).getName === mergedBName,
+      "adoption must skip the tombstoned dir and pick the merged base")
+    assert(Pipeline.annTrainings.get === before)
+    // a staging-time sweep before the grace elapses must NOT reclaim it
+    Pipeline.stageAnnIndex(s2, b)
+    assert(Pipeline.annDirsOnDiskFor(spark, b).size === 2,
+      "sweep honors the tombstone's own grace period")
+  }
+
   test("append refuses a shrunken table (append-only contract); no-base append refuses") {
     val a = freshDir("shrink")
     writeEmb(a, _ => true)
