@@ -2862,6 +2862,18 @@ object Pipeline {
     * assignment (q151) so the two can never fold a different order:
     * (shard, skey, doc_id, n_tok), each shard whole in one task, sorted
     * in training order.
+    *
+    * PARALLELISM CONTRACT (r18 verdict item 5): the fold's parallelism
+    * IS the shard count — `repartition(shards, shard)` puts each shard
+    * whole in one task, so `shards` tasks run, period. The default 8
+    * exists because the gated oracle SQL hard-codes `skey % 8`; a
+    * production job must size `shards` ≥ the cluster's cores (at 100 TB
+    * shard counts are in the thousands, so this is automatic there — the
+    * trap is a mid-size corpus shipped with the test default). The
+    * census at any two shard counts agrees on the corpus totals
+    * (spec-pinned: shards=32 re-aggregates to shards=8's totals);
+    * per-shard membership of course differs — `shards` is part of the
+    * training order's identity, like the seed of a shuffle.
     */
   private def packingInput(spark: SparkSession, dir: String,
       shards: Int): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
@@ -2992,7 +3004,12 @@ object Pipeline {
     */
   def writePackedSequences(spark: SparkSession, dir: String, root: String,
       shards: Int = 8, seqLen: Long = 512L, version: Long = 0L): String = {
-    val out = s"$root/v$version"
+    // the packing PARAMETERS are part of the layout identity (r18 advice:
+    // a bare v0 no-op silently served the corpus packed at a PREVIOUS
+    // seqLen when a second call changed it) — they live in the version
+    // dir's name, so each (corpus, shards, seqLen, version) commits and
+    // no-ops independently
+    val out = s"$root/v$version-s$shards-L$seqLen"
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) return out
@@ -3003,14 +3020,130 @@ object Pipeline {
     out
   }
 
-  private val stagedPackedRoots =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), String]()
+  // ---- packed corpus as a shared warehouse layout (r19, r18 verdict
+  // item 4): the videoContainers pattern applied to packing. A packed
+  // corpus commits ONCE per (corpus fingerprint, shards, seqLen) under
+  // the session warehouse — the fingerprint and both packing parameters
+  // are IN the directory name, so the parquet committer's own `_SUCCESS`
+  // is a sufficient commit marker, a regenerated corpus can never be
+  // served by a stale no-op, and a second seqLen gets its own layout
+  // (the r18 advice bug by construction cannot recur). Pay-once spans
+  // processes: a later JVM whose documents still match ADOPTS the
+  // committed corpus; crash debris and superseded generations are
+  // reclaimed by the next staging's sweep. ----
+
+  private val stagedPacked = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Int, Long), graft.LazyCell[String]]()
+  private val packedInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val packedLivePaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Actual packing WRITES this process performed — spec observability
+    * for the pay-once / cold-open contract (adoption must not re-pack).
+    */
+  private[graft] val packedStagings = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[graft] def stagedPackedRootsFor(spark: SparkSession, dir: String): Int = {
     import scala.jdk.CollectionConverters._
-    stagedPackedRoots.keySet.asScala.count(k =>
-      (k._1 eq spark) && k._2.startsWith(s"$dir@"))
+    stagedPacked.keySet.asScala.count(k => (k._1 eq spark) && k._2 == dir)
   }
+
+  /** ALL on-disk packed-corpus dirs for `dir` (committed or debris, any
+    * fingerprint/params) — the sweep/leak observability probe.
+    */
+  private[graft] def packedDirsOnDiskFor(spark: SparkSession, dir: String): Seq[String] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whPath)) Nil
+    else fs.listStatus(whPath).map(_.getPath.getName).toSeq
+      .filter(_.startsWith(s"g_packed_${annDirKey(dir)}_")).sorted
+  }
+
+  private def committedPackedDirs(spark: SparkSession, dir: String, fp: String,
+      shards: Int, seqLen: Long): Seq[String] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whPath)) return Nil
+    val prefix = s"g_packed_${annDirKey(dir)}_${fp}_s${shards}_L${seqLen}_"
+    fs.listStatus(whPath).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).sorted.toSeq
+      .filter(name => fs.exists(new org.apache.hadoop.fs.Path(s"$wh/$name/_SUCCESS")))
+      .map(name => s"$wh/$name")
+  }
+
+  /** Reclaim THIS process's own dead packed stagings for `dir`: own-tag
+    * dirs that are neither live nor mid-write and are either uncommitted
+    * (crash debris) or committed against a STALE corpus fingerprint
+    * (superseded by a regeneration — adoption can never pick them again;
+    * same-fp dirs at OTHER (shards, seqLen) are live siblings and are
+    * kept). The videoContainers sweep discipline verbatim; the quiesce
+    * note there applies.
+    */
+  private def sweepPackedDebris(spark: SparkSession, wh: String, dir: String,
+      fp: String): Unit =
+    scala.util.Try {
+      val whPath = new org.apache.hadoop.fs.Path(wh)
+      val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"g_packed_${annDirKey(dir)}_") &&
+            n.contains(s"_${processTag}_") &&
+            !packedLivePaths.contains(n) && !packedInFlight.contains(n)) {
+          val committed = fs.exists(new org.apache.hadoop.fs.Path(s"$wh/$n/_SUCCESS"))
+          val stale = !n.startsWith(s"g_packed_${annDirKey(dir)}_${fp}_")
+          if (!committed || stale) fs.delete(st.getPath, true)
+        }
+      }
+    }
+
+  /** The packed corpus, staged-or-adopted under the warehouse: returns
+    * the committed dir for (dir's current fingerprint, shards, seqLen),
+    * writing it exactly once across processes.
+    */
+  def packedCorpus(spark: SparkSession, dir: String, shards: Int = 8,
+      seqLen: Long = 512L): String = {
+    val fp = videoSourceFp(spark, dir) // = fingerprint of documents.parquet
+    graft.Memo.evictSuperseded(stagedPacked,
+      (k: (SparkSession, String, String, Int, Long)) =>
+        (k._1 eq spark) && k._2 == dir && k._3 != fp,
+      (cell: graft.LazyCell[String]) => if (cell.done) {
+        packedLivePaths.remove(new org.apache.hadoop.fs.Path(cell.value).getName): Unit
+      })
+    val key = (spark, dir, fp, shards, seqLen)
+    graft.LazyCell.force(stagedPacked, key,
+      stagedPacked.computeIfAbsent(key,
+        _ => new graft.LazyCell(stageOrAdoptPacked(spark, dir, fp, shards, seqLen))))
+  }
+
+  private def stageOrAdoptPacked(spark: SparkSession, dir: String, fp: String,
+      shards: Int, seqLen: Long): String =
+    committedPackedDirs(spark, dir, fp, shards, seqLen).headOption match {
+      case Some(p) =>
+        packedLivePaths.add(new org.apache.hadoop.fs.Path(p).getName)
+        // adopt is also a staging point (an always-adopting process must
+        // still reclaim its own superseded dirs — the video rule)
+        sweepPackedDebris(spark, spark.conf.get("spark.sql.warehouse.dir"), dir, fp)
+        p
+      case None =>
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val name = s"g_packed_${annDirKey(dir)}_${fp}_s${shards}_L${seqLen}_" +
+          s"${processTag}_" + java.util.UUID.randomUUID.toString.take(8)
+        val out = s"$wh/$name"
+        packedInFlight.add(name)
+        try {
+          sweepPackedDebris(spark, wh, dir, fp)
+          packedStagings.incrementAndGet()
+          packedSequences(spark, dir, shards, seqLen)
+            .repartition(shards, col("shard"))
+            .sortWithinPartitions("shard", "seq")
+            .write.mode("overwrite").partitionBy("shard").parquet(out) // _SUCCESS commits
+          packedLivePaths.add(name)
+          out
+        } finally packedInFlight.remove(name)
+    }
 
   /** q153: the packed corpus WRITTEN and READ BACK, driver-gated
     * end-to-end (q140's argument, applied to packing): q152 gates the
@@ -3019,28 +3152,15 @@ object Pipeline {
     * trip through the on-disk layout, sharing q152's oracle, so a
     * writer/reader bug (lost sequence, truncated stream, reordered
     * fragments) hash-mismatches the oracle instead of only failing a
-    * spec. The root is a per-(session, corpus-fingerprint, shards) temp
-    * directory, not a warehouse path — q140's staleness rationale
-    * verbatim (the writer's `_SUCCESS` no-op must never serve a previous
-    * testdata generation across processes).
+    * spec. The root is the fingerprint-named, `_SUCCESS`-committed,
+    * sweep-reclaimed WAREHOUSE layout ([[packedCorpus]], r19): pay-once
+    * spans sessions and processes, and the staleness contract is carried
+    * by the fingerprint in the directory name rather than a per-session
+    * temp root.
     */
   def q153(spark: SparkSession, dir: String, shards: Int = 8,
       seqLen: Long = 512L): DataFrame = {
-    val srcKey = graft.Fingerprint.key(spark, dir, "documents.parquet")
-    graft.Memo.evictSuperseded(stagedPackedRoots,
-      (k: (SparkSession, String, Int)) =>
-        (k._1 eq spark) && k._3 == shards && k._2 != srcKey &&
-          k._2.startsWith(s"$dir@"),
-      (root: String) => scala.util.Try {
-        def rmr(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
-          f.delete(): Unit
-        }
-        rmr(new java.io.File(root))
-      }: Unit)
-    val root = stagedPackedRoots.computeIfAbsent((spark, srcKey, shards), _ =>
-      java.nio.file.Files.createTempDirectory("graft-packed").toString)
-    val out = writePackedSequences(spark, dir, root, shards, seqLen)
+    val out = packedCorpus(spark, dir, shards, seqLen)
     spark.read.parquet(out)
       .select(col("shard").cast("long").as("shard"), col("seq"), col("n_docs"),
         TextFunctions.tokenCount(col("stream")).cast("long").as("n_tok"),

@@ -649,6 +649,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packing shards contract: fold parallelism == shard count; shards=32 re-aggregates to shards=8 totals") {
+    // parallelism contract (r18 verdict item 5): `shards` IS the fold's
+    // task count, so a different shard count is a different (valid)
+    // training order — but the corpus-level accounting is invariant
+    val c8 = Pipeline.q150(spark, sf0001, shards = 8).collect()
+    val c32 = Pipeline.q150(spark, sf0001, shards = 32).collect()
+    def totals(rows: Array[org.apache.spark.sql.Row]) =
+      (rows.map(_.getLong(1)).sum, rows.map(_.getLong(3)).sum, rows.map(_.getLong(5)).sum)
+    assert(totals(c32) === totals(c8),
+      "n_docs / tok_eff / n_trunc must be shard-count invariants")
+    assert(c32.map(_.getLong(0)).toSet.subsetOf((0L until 32L).toSet))
+    assert(c32.length > c8.length, "32 shards must spread the corpus wider than 8")
+    // the 32-shard census equals its own assignment re-aggregated — the
+    // q150==agg(q151) closure holds at every shard count, not just the
+    // oracle-gated default
+    val asg = Pipeline.q151(spark, sf0001, shards = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val agg = asg.groupBy(_._2).map { case (shard, docs) =>
+      shard -> ((docs.size.toLong, docs.map(_._3).max, docs.map(_._5).sum))
+    }
+    val cm = c32.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(agg === cm, "q150 at 32 shards must equal its q151 re-aggregated")
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these

@@ -159,7 +159,46 @@ class StalenessSpec extends SparkSpec {
     assert(Pipeline.q153(spark, dir).collect().map(_.getLong(2)).sum === 3L,
       "the committed-version no-op must not serve the previous generation")
     assert(Pipeline.stagedPackedRootsFor(spark, dir) === 1,
-      "the superseded generation's packed root must be evicted (and deleted)")
+      "the superseded generation's packed root must be evicted")
+    assert(Pipeline.packedDirsOnDiskFor(spark, dir).size === 1,
+      "the superseded generation's warehouse dir must be swept by the re-staging")
+  }
+
+  test("packed corpus commits to the warehouse; a later session cold-opens it; seqLen is part of the layout identity") {
+    import spark.implicits._
+    val dir = tmpDir("packed-commit")
+    Seq((1L, "s", "a b c d e"), (2L, "s", "f g"), (3L, "s", "h i j"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n0 = Pipeline.packedStagings.get
+    val viaStage = Pipeline.q153(spark, dir).collect()
+    assert(Pipeline.packedStagings.get === n0 + 1)
+    assert(Pipeline.packedDirsOnDiskFor(spark, dir).size === 1,
+      "staging must leave one committed corpus under the warehouse")
+    Pipeline.q153(spark, dir).collect()
+    assert(Pipeline.packedStagings.get === n0 + 1, "same session: memoized, no re-pack")
+    // cold open: a fresh session (fresh memo key, same warehouse) ADOPTS
+    val s2 = spark.newSession()
+    val viaAdopt = Pipeline.q153(s2, dir).collect()
+    assert(Pipeline.packedStagings.get === n0 + 1,
+      "cold open must adopt the committed corpus, not re-pack")
+    assert(viaAdopt.map(_.toString).toSeq === viaStage.map(_.toString).toSeq)
+    // r18 advice: a second seqLen on the SAME corpus must get its own
+    // committed layout, never the first seqLen's no-op — and each must
+    // equal its direct (q152) assembly
+    val at4 = Pipeline.q153(spark, dir, seqLen = 4L).collect()
+    assert(Pipeline.packedStagings.get === n0 + 2, "a new seqLen is a new layout")
+    assert(Pipeline.packedDirsOnDiskFor(spark, dir).size === 2)
+    assert(at4.map(_.toString).toSeq !== viaStage.map(_.toString).toSeq,
+      "seqLen 4 must actually pack differently on this corpus")
+    val want4 = Pipeline.q152(spark, dir, seqLen = 4L)
+      .select("shard", "seq", "n_docs", "n_tok", "digest").collect()
+    assert(at4.map(_.toString).toSeq === want4.map(_.toString).toSeq,
+      "read-back at seqLen 4 must equal the direct assembly at seqLen 4")
+    // and the original seqLen still serves ITS corpus (no cross-serving)
+    assert(Pipeline.q153(spark, dir).collect().map(_.toString).toSeq ===
+      viaStage.map(_.toString).toSeq)
+    assert(Pipeline.packedStagings.get === n0 + 2)
   }
 
   test("staged video corpus commits to the warehouse; a later session cold-opens it") {
