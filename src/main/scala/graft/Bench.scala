@@ -202,13 +202,21 @@ object Bench {
         |    req = json.loads(line)
         |    try:
         |        con.execute(req["sql"]).fetchall()
+        |        # median-of-5 with outlier trim (r18 verdict item 3): the
+        |        # B-set >2x band churned window-to-window purely on ms-scale
+        |        # oracle medians-of-3 (same-HEAD windows read 5/7/8 entries
+        |        # >2x at flat engine times). Five runs, drop the slowest
+        |        # (host stalls only inflate), report the median of the
+        |        # remaining four — one stall-struck run can no longer move
+        |        # the reported value at all.
         |        ts = []
-        |        for _ in range(3):
+        |        for _ in range(5):
         |            t0 = time.perf_counter()
         |            con.execute(req["sql"]).fetchall()
         |            ts.append(time.perf_counter() - t0)
         |        ts.sort()
-        |        print(json.dumps({"name": req["name"], "sec": ts[1]}), flush=True)
+        |        sec = (ts[1] + ts[2]) / 2.0
+        |        print(json.dumps({"name": req["name"], "sec": sec}), flush=True)
         |    except Exception as e:
         |        print(json.dumps({"name": req["name"], "err": str(e)[:200]}), flush=True)
         |""".stripMargin
@@ -309,6 +317,23 @@ object Bench {
       Some(f"floor_end=$floorEnd%.3f s > 2x floor_max=$floorMax%.3f s with $suspectN surviving suspects")
     else None
   }
+
+  /** Refusal-recovery decision (r18 verdict item 1): BENCH_r17 and r18
+    * both closed without a clean driver artifact — r18's refusal was
+    * CORRECT but terminal, so a transient load spike cost the round's
+    * measurement even though clean windows at the same HEAD existed
+    * 30 minutes later. A refused window now backs off and re-runs the
+    * WHOLE suite (min-merge makes the re-run strictly information-
+    * gaining) before exiting nonzero. Pure: given how many attempts have
+    * finished, returns Some(backoff seconds before the next attempt) —
+    * linear backoff, attempt N waits N × base — or None when retries are
+    * exhausted and the refusal becomes the verdict.
+    */
+  private[graft] def windowRetryBackoff(attemptsDone: Int, maxRetries: Int,
+      baseBackoffSec: Double): Option[Double] =
+    if (attemptsDone <= maxRetries && baseBackoffSec >= 0)
+      Some(baseBackoffSec * attemptsDone)
+    else None
 
   /** BASELINE.md's B-set: the queries with a graded 2× gate, each mapped
     * to its SparkEntry/oracleSql name. These get the contemporaneous
@@ -464,6 +489,9 @@ object Bench {
     // refusal threshold; emit() then diverts the detail artifact and tags
     // the stdout line, and main exits nonzero (see windowVerdict)
     @volatile var refusedReason: Option[String] = None
+    // whole-window attempts run (1 = no refusal-triggered retry); emitted
+    // in both JSON lines so a recovered artifact is visibly a retry
+    @volatile var windowAttempts: Int = 1
     // Two-line emission (round-6 lesson): the driver keeps only the LAST
     // ~2000 chars of stdout, and the full 68-query detail line outgrew
     // that — BENCH_r06's tail lost the headline "metric"/"value" fields.
@@ -650,7 +678,8 @@ object Bench {
       val estAll = estimated.asScala.toSeq
       val susAll = suspect.asScala.toSeq
       val refusedJson = refusedReason
-        .map(r => s""""refused":true,"refused_reason":${jstr(r)},""").getOrElse("")
+        .map(r => s""""refused":true,"refused_reason":${jstr(r)},""").getOrElse("") +
+        s""""attempts":$windowAttempts,"""
       val detail = s"""{"metric":"total_median_sec","value":${num(total)},"unit":"sec","failures":$failures,"partial":$partial,$refusedJson"measured":${snap.size},"queries":${qmap(snap)},"oracle":${qmap(osnap)},"ratio":${qmap(ratios)},"best_ratio":${qmap(bestRatios)},"est":${qarr(estAll)},"suspect":${qarr(susAll)},$fl"sf":"$sfDir"}"""
       // subset runs are local iteration, not the suite of record — they
       // must not overwrite the full-run artifact (which doubles as a
@@ -973,9 +1002,9 @@ object Bench {
     // previously meant the queries MOST in need of a clean re-probe never
     // got one. The extension is bounded and the shutdown hook still emits
     // if the driver kills us inside it.
-    def reprobeSuspects(): Unit = {
+    def reprobeSuspects(budget: Double = deadlineSec * 1.15): Unit = {
       import scala.jdk.CollectionConverters._
-      val reprobeDeadline = deadlineSec * 1.15
+      val reprobeDeadline = budget
       val toProbe = suspect.asScala.toSeq.sorted
       for (name <- toProbe if reprobeDeadline - elapsed() > est(name) + 5.0) {
         ordered.find(_._1 == name).foreach { case (_, fn) =>
@@ -1036,9 +1065,32 @@ object Bench {
     val maxSuspects = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SUSPECTS", "10").toInt
     refusedReason = windowVerdict(suspect.size, estimated.size, results.size,
       fEnd, floorMax, maxSuspects)
+    // Refusal RECOVERY (r18 verdict item 1): a refusal is no longer
+    // terminal on the first window. Back off (the drag windows are
+    // transient — minutes), then re-run the WHOLE suite with a fresh
+    // budget; min-merge keeps the best reading per query and flags follow
+    // the kept values, so a clean retry fully clears the refusal. Only
+    // when retries exhaust does the refusal become the exit verdict.
+    val windowRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_RETRIES", "2").toInt
+    val retryBackoffSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BACKOFF_SEC", "60").toDouble
+    while (refusedReason.isDefined &&
+           windowRetryBackoff(windowAttempts, windowRetries, retryBackoffSec).isDefined) {
+      val backoff = windowRetryBackoff(windowAttempts, windowRetries, retryBackoffSec).get
+      System.err.println(f"[bench] window attempt $windowAttempts refused " +
+        f"(${refusedReason.get}) — backing off $backoff%.0f s, then re-running the whole suite " +
+        f"(${windowRetries + 1 - windowAttempts} attempts left)")
+      Thread.sleep((backoff * 1000).toLong)
+      windowAttempts += 1
+      val retryBudget = elapsed() + deadlineSec // a full fresh window's budget
+      measuredPass(retryBudget)
+      reprobeSuspects(retryBudget * 1.05)
+      fEnd = floorProbe("end")
+      refusedReason = windowVerdict(suspect.size, estimated.size, results.size,
+        fEnd, floorMax, maxSuspects)
+    }
     refusedReason.foreach(r =>
-      System.err.println(s"[bench] WINDOW REFUSED: $r — detail diverts to " +
-        "tools/bench_refused_latest.json, exiting nonzero"))
+      System.err.println(s"[bench] WINDOW REFUSED after $windowAttempts attempts: $r — " +
+        "detail diverts to tools/bench_refused_latest.json, exiting nonzero"))
     // SLOPE phase (opt-in, local analysis only — the driver never sets the
     // env): re-measure each B-set query at the main SF plus every
     // comma-separated dir in SPARK_GRAFT_BENCH_SLOPE_DIR, all points

@@ -51,4 +51,18 @@ class BenchRefusalSpec extends AnyFunSuite {
   test("an empty window is not a refusal (the partial flag covers it)") {
     assert(Bench.windowVerdict(0, 0, 0, 9.9, floorMax, 10).isEmpty)
   }
+
+  test("refusal recovery (r18 verdict item 1): a refused window retries with linear backoff, bounded") {
+    // default protocol: 2 retries at base 60 s — attempt 1's refusal waits
+    // 60 s, attempt 2's waits 120 s, attempt 3's refusal is terminal
+    assert(Bench.windowRetryBackoff(attemptsDone = 1, maxRetries = 2, baseBackoffSec = 60.0)
+      === Some(60.0))
+    assert(Bench.windowRetryBackoff(2, 2, 60.0) === Some(120.0))
+    assert(Bench.windowRetryBackoff(3, 2, 60.0) === None,
+      "after the bounded retries the refusal becomes the exit verdict")
+    // retries disabled (driver that prefers its own re-invoke loop)
+    assert(Bench.windowRetryBackoff(1, 0, 60.0) === None)
+    // a negative backoff config can never produce a sleep
+    assert(Bench.windowRetryBackoff(1, 2, -1.0) === None)
+  }
 }
