@@ -309,6 +309,11 @@ object SparkEntry {
     // STORED streams) after the round trip, sharing q152's oracle, so a
     // writer/reader bug hash-mismatches instead of only failing a spec.
     "q153_packed_readback" -> ((s, d) => Pipeline.q153(s, d)),
+    // q154 (r19): ONE shard SERVED from the committed packed corpus — the
+    // training loader's per-rank read, directory-pruned to that shard's
+    // files (plan-gated) and hash-checked against q152's oracle
+    // restricted to the shard.
+    "q154_packed_shard_serve" -> ((s, d) => Pipeline.q154(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1643,6 +1648,35 @@ object SparkEntry {
         |SELECT shard, seq, count(*) AS n_docs, CAST(sum(eff) AS BIGINT) AS n_tok,
         |  md5(string_agg(frag, ' ' ORDER BY off)) AS digest
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q154: q152's oracle restricted to the served shard — the stored
+    // shard's streams must carry exactly the digests the assembly
+    // implies for that shard, nothing more or less.
+    "q154_packed_shard_serve" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-shuffle')), 1, 12)) AS BIGINT) AS skey
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, skey % 8 AS shard, least(n_tok, 512) AS eff,
+        |    row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS rn
+        |  FROM k),
+        |p AS (
+        |  SELECT doc_id, shard, rn, eff, CAST(1 AS BIGINT) AS nseq, eff AS run
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.shard, o.rn, o.eff,
+        |    CASE WHEN p.run + o.eff > 512 THEN p.nseq + 1 ELSE p.nseq END,
+        |    CASE WHEN p.run + o.eff > 512 THEN o.eff ELSE p.run + o.eff END
+        |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1),
+        |f AS (
+        |  SELECT p.shard, p.nseq AS seq, p.run - p.eff AS off, p.eff,
+        |    array_to_string(list_slice(list_filter(string_split(d.text,' '), x -> x <> ''), 1, CAST(p.eff AS INT)), ' ') AS frag
+        |  FROM p JOIN documents d USING (doc_id))
+        |SELECT shard, seq, count(*) AS n_docs, CAST(sum(eff) AS BIGINT) AS n_tok,
+        |  md5(string_agg(frag, ' ' ORDER BY off)) AS digest
+        |FROM f WHERE shard = 3 GROUP BY 1, 2 ORDER BY 2""".stripMargin,
 
     // q84: row-local repeated-trigram fraction in integer basis points;
     // the oracle builds the same trigrams with a list comprehension.

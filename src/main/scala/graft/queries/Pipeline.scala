@@ -3168,6 +3168,28 @@ object Pipeline {
       .orderBy("shard", "seq")
   }
 
+  /** q154: ONE shard SERVED from the committed packed corpus — the read
+    * pattern a training loader actually has (each data-parallel rank maps
+    * its own shard's files; nothing ever reads the whole corpus). The
+    * shard filter must prune at the DIRECTORY level of the
+    * `shard=`-partitioned layout: the scan's extent is that shard's files
+    * only (plan-gated in PlanSpec, the readShuffledShards discipline),
+    * which is what makes the corpus servable at 100 TB — per-rank I/O is
+    * corpus_bytes / shards regardless of cluster size. Content is gated
+    * by q152's oracle restricted to the shard, so the serve path (prune +
+    * read + stream decode) is hash-checked end to end, not just counted.
+    */
+  def q154(spark: SparkSession, dir: String, shard: Long = 3L,
+      shards: Int = 8, seqLen: Long = 512L): DataFrame = {
+    val out = packedCorpus(spark, dir, shards, seqLen)
+    spark.read.parquet(out)
+      .filter(col("shard") === shard)
+      .select(col("shard").cast("long").as("shard"), col("seq"), col("n_docs"),
+        TextFunctions.tokenCount(col("stream")).cast("long").as("n_tok"),
+        md5(col("stream")).as("digest"))
+      .orderBy("seq")
+  }
+
   /** q135: length-bucketed batch assignment + padding-waste census — the
     * step that turns a tokenized corpus into fixed-size training batches
     * while keeping sequence lengths homogeneous per batch (padding to the

@@ -329,4 +329,13 @@ class PlanSpec extends SparkSpec {
       s"shard read is not partition-pruned:\n$s")
     assert(out === s"$root/v0")
   }
+
+  test("q154 packed shard serve is partition-pruned to the served shard") {
+    val one = graft.queries.Pipeline.q154(spark, sf0001)
+    val s = finalPlanString(one)
+    // the per-rank training read: the scan's extent must be the served
+    // shard's directory, not scan-then-filter over the whole corpus
+    assert("""PartitionFilters: \[[^\]]*shard""".r.findFirstIn(s).isDefined,
+      s"q154 shard read is not partition-pruned:\n$s")
+  }
 }

@@ -201,6 +201,32 @@ class StalenessSpec extends SparkSpec {
     assert(Pipeline.packedStagings.get === n0 + 2)
   }
 
+  test("packed corpus crash debris is reclaimed by the next staging (no machine-lifetime leak)") {
+    import spark.implicits._
+    val dir = tmpDir("packed-debris")
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Seq((1L, "s", "a b"), (2L, "s", "c")))
+    Pipeline.q153(spark, dir).collect()
+    val committed = Pipeline.packedDirsOnDiskFor(spark, dir)
+    assert(committed.size === 1)
+    // fabricate an UNCOMMITTED own-tag sibling — the shape of a staging
+    // that died after creating its directory, before the _SUCCESS commit
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val debris = committed.head.dropRight(8) + "00000000"
+    val dPath = java.nio.file.Paths.get(wh, debris)
+    java.nio.file.Files.createDirectories(dPath)
+    java.nio.file.Files.writeString(dPath.resolve("part-junk.parquet"), "x")
+    assert(Pipeline.packedDirsOnDiskFor(spark, dir).size === 2)
+    // regenerate: the re-staging's sweep reclaims BOTH the uncommitted
+    // debris and the superseded committed generation
+    writeDocs(Seq((7L, "s", "x y z")))
+    Pipeline.q153(spark, dir).collect()
+    assert(Pipeline.packedDirsOnDiskFor(spark, dir).size === 1,
+      "crash debris and the stale generation must both be swept")
+  }
+
   test("staged video corpus commits to the warehouse; a later session cold-opens it") {
     import spark.implicits._
     val dir = tmpDir("videos-commit")
