@@ -202,21 +202,22 @@ object Bench {
         |    req = json.loads(line)
         |    try:
         |        con.execute(req["sql"]).fetchall()
-        |        # median-of-5 with outlier trim (r18 verdict item 3): the
-        |        # B-set >2x band churned window-to-window purely on ms-scale
-        |        # oracle medians-of-3 (same-HEAD windows read 5/7/8 entries
-        |        # >2x at flat engine times). Five runs, drop the slowest
-        |        # (host stalls only inflate), report the median of the
-        |        # remaining four — one stall-struck run can no longer move
-        |        # the reported value at all.
+        |        # median-of-5 (r18 verdict item 3): the B-set >2x band
+        |        # churned window-to-window purely on ms-scale oracle
+        |        # medians-of-3 (same-HEAD windows read 5/7/8 entries >2x at
+        |        # flat engine times) — one stall-struck run out of three
+        |        # moves ts[1]. The median of FIVE is the outlier trim: it
+        |        # takes three inflated runs to move ts[2], and unlike a
+        |        # drop-the-max-then-average scheme it stays an unbiased
+        |        # median (averaging the 2nd/3rd of five reads the 37.5th
+        |        # percentile and inflates every reported ratio ~5%).
         |        ts = []
         |        for _ in range(5):
         |            t0 = time.perf_counter()
         |            con.execute(req["sql"]).fetchall()
         |            ts.append(time.perf_counter() - t0)
         |        ts.sort()
-        |        sec = (ts[1] + ts[2]) / 2.0
-        |        print(json.dumps({"name": req["name"], "sec": sec}), flush=True)
+        |        print(json.dumps({"name": req["name"], "sec": ts[2]}), flush=True)
         |    except Exception as e:
         |        print(json.dumps({"name": req["name"], "err": str(e)[:200]}), flush=True)
         |""".stripMargin

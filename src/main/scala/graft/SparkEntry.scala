@@ -314,6 +314,12 @@ object SparkEntry {
     // files (plan-gated) and hash-checked against q152's oracle
     // restricted to the shard.
     "q154_packed_shard_serve" -> ((s, d) => Pipeline.q154(s, d)),
+    // q155 (r19): the EPOCH-LAYERED packed corpus — incremental ingest
+    // (new docs pack as their own epoch, committed epochs immutable)
+    // served through the adopt→append→union-read path; on the static
+    // gate corpus this is q153 at epoch 0, which hash-gates the
+    // plumbing, and PackedEpochSpec pins the growth semantics.
+    "q155_packed_epochs" -> ((s, d) => Pipeline.q155(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------
@@ -1677,6 +1683,36 @@ object SparkEntry {
         |SELECT shard, seq, count(*) AS n_docs, CAST(sum(eff) AS BIGINT) AS n_tok,
         |  md5(string_agg(frag, ' ' ORDER BY off)) AS digest
         |FROM f WHERE shard = 3 GROUP BY 1, 2 ORDER BY 2""".stripMargin,
+
+    // q155: on the static gate corpus the epoch layout is exactly one
+    // epoch (0) holding q152/q153's packing — same digests and token
+    // counts, with the epoch column pinned to 0.
+    "q155_packed_epochs" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':graft-shuffle')), 1, 12)) AS BIGINT) AS skey
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, skey % 8 AS shard, least(n_tok, 512) AS eff,
+        |    row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS rn
+        |  FROM k),
+        |p AS (
+        |  SELECT doc_id, shard, rn, eff, CAST(1 AS BIGINT) AS nseq, eff AS run
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.shard, o.rn, o.eff,
+        |    CASE WHEN p.run + o.eff > 512 THEN p.nseq + 1 ELSE p.nseq END,
+        |    CASE WHEN p.run + o.eff > 512 THEN o.eff ELSE p.run + o.eff END
+        |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1),
+        |f AS (
+        |  SELECT p.shard, p.nseq AS seq, p.run - p.eff AS off, p.eff,
+        |    array_to_string(list_slice(list_filter(string_split(d.text,' '), x -> x <> ''), 1, CAST(p.eff AS INT)), ' ') AS frag
+        |  FROM p JOIN documents d USING (doc_id))
+        |SELECT shard, seq, CAST(0 AS BIGINT) AS epoch, count(*) AS n_docs,
+        |  CAST(sum(eff) AS BIGINT) AS n_tok,
+        |  md5(string_agg(frag, ' ' ORDER BY off)) AS digest
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q84: row-local repeated-trigram fraction in integer basis points;
     // the oracle builds the same trigrams with a list comprehension.

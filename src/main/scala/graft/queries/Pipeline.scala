@@ -2875,10 +2875,11 @@ object Pipeline {
     * per-shard membership of course differs — `shards` is part of the
     * training order's identity, like the seed of a shuffle.
     */
-  private def packingInput(spark: SparkSession, dir: String,
+  private def packingInputOf(docs: DataFrame,
       shards: Int): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
       .withColumn("skey", shuffleKey(col("doc_id")))
@@ -2888,6 +2889,10 @@ object Pipeline {
       .sortWithinPartitions("shard", "skey", "doc_id")
       .as[(Long, Long, Long, Long)]
   }
+
+  private def packingInput(spark: SparkSession, dir: String,
+      shards: Int): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] =
+    packingInputOf(Tables.documents(spark, dir), shards)
 
   def q150(spark: SparkSession, dir: String, shards: Int = 8,
       seqLen: Long = 512L): DataFrame = {
@@ -2930,10 +2935,20 @@ object Pipeline {
     * pass, text untouched) rather than collected.
     */
   def q151(spark: SparkSession, dir: String, shards: Int = 8,
-      seqLen: Long = 512L): DataFrame = {
+      seqLen: Long = 512L): DataFrame =
+    packedAssignmentOf(Tables.documents(spark, dir), shards, seqLen)
+      .orderBy("doc_id")
+
+  /** The q151 fold over an arbitrary documents frame — the seam the
+    * epoch appender ([[appendPackedEpochs]]) packs its delta through, so
+    * an epoch's assignment IS q151's assignment of the delta corpus.
+    */
+  private def packedAssignmentOf(docs: DataFrame, shards: Int,
+      seqLen: Long): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    packingInput(spark, dir, shards)
+    packingInputOf(docs, shards)
       .mapPartitions { it =>
         var shard = Long.MinValue
         var nSeqs = 0L; var run = 0L
@@ -2945,7 +2960,6 @@ object Pipeline {
         }
       }
       .toDF("doc_id", "shard", "seq", "off", "eff")
-      .orderBy("doc_id")
   }
 
   /** q152: packed-sequence MATERIALIZATION census — the proof that the
@@ -2979,8 +2993,12 @@ object Pipeline {
     */
   private[graft] def packedSequences(spark: SparkSession, dir: String,
       shards: Int, seqLen: Long): DataFrame =
-    q151(spark, dir, shards, seqLen)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+    packedSequencesOf(Tables.documents(spark, dir), shards, seqLen)
+
+  private[graft] def packedSequencesOf(docs: DataFrame, shards: Int,
+      seqLen: Long): DataFrame =
+    packedAssignmentOf(docs, shards, seqLen)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("shard"), col("seq"), col("eff"),
         struct(col("off"),
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1), col("eff")))
@@ -3188,6 +3206,234 @@ object Pipeline {
         TextFunctions.tokenCount(col("stream")).cast("long").as("n_tok"),
         md5(col("stream")).as("digest"))
       .orderBy("seq")
+  }
+
+  // ---- incremental EPOCH packing (r19): the daily-ingest discipline
+  // (IncrementalNearDup / appendAnnIndex) applied to the packed corpus.
+  // A grown documents table must not re-pack the whole corpus: committed
+  // sequences are immutable training state (loaders may already have
+  // consumed them), and at 100 TB a full re-pack re-shuffles every byte
+  // of text for a 1% delta. Instead the NEW docs pack as their own EPOCH
+  // — one id-grain anti-join to find them, one q151 fold over only the
+  // delta, one epoch-sized write — and readers serve base ∪ epochs. An
+  // epoch is exactly q151/q152's packing of the delta corpus (same fold,
+  // same shard formula, sequences numbered within the epoch), so each
+  // epoch is independently QA-able by the same census/digest machinery.
+  // Append-only contract: ids that VANISH from the table throw (in-place
+  // regeneration is a re-stage, not an append); single writer, like
+  // compaction. Crash-safe: an epoch commits by writing its `ids`
+  // sidecar AFTER its `seqs` — an epoch missing either `_SUCCESS` is
+  // invisible to readers and to the id census, so a died append is
+  // retried whole (its docs still read as fresh) and never double-packs.
+
+  private val packedEpochRe = """ep(\d+)""".r
+
+  /** Committed epochs under an epoch root, ascending. An epoch `epN` is
+    * committed iff BOTH its `seqs/_SUCCESS` and `ids/_SUCCESS` exist —
+    * ids are written last, so ids-committed implies seqs-complete.
+    */
+  private[graft] def committedEpochsUnder(spark: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).map(_.getPath.getName).toSeq.collect {
+      case n @ packedEpochRe(e) => e.toLong
+    }.filter { e =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/ep$e/ids/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/ep$e/seqs/_SUCCESS"))
+    }.sorted
+  }
+
+  /** All doc_ids already packed under `root`: (doc_id, epoch), committed
+    * epochs only — the append path's id census (bytes per row).
+    */
+  private def packedEpochIds(spark: SparkSession, root: String): Option[DataFrame] = {
+    val eps = committedEpochsUnder(spark, root)
+    if (eps.isEmpty) None
+    else Some(eps.map(e => spark.read.parquet(s"$root/ep$e/ids")
+      .select(col("doc_id"), lit(e).as("epoch"))).reduce(_ unionByName _))
+  }
+
+  /** Absorb `dir`'s current documents into the epoch layout at `root`:
+    * packs the docs not yet covered by a committed epoch as epoch
+    * max+1 (a fresh root packs everything as epoch 0). Returns the
+    * committed epoch list after the call. No-op when nothing is new;
+    * throws on a shrunken table (append-only — re-stage a fresh root
+    * instead: committed epochs cannot unsee removed docs).
+    *
+    * Scale shape: one id anti-join each way (ids only — text never moves
+    * for the gone/fresh discovery), then the q151 fold over ONLY the
+    * delta and one epoch-sized write. Nothing touches committed epochs;
+    * the corpus is re-paid never, the delta exactly once.
+    */
+  def appendPackedEpochs(spark: SparkSession, dir: String, root: String,
+      shards: Int = 8, seqLen: Long = 512L): Seq[Long] = {
+    val docs = Tables.documents(spark, dir)
+    val eps = committedEpochsUnder(spark, root)
+    val freshDocs = packedEpochIds(spark, root) match {
+      case None => docs
+      case Some(ids) =>
+        val keyed = ids.select("doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (keyed.join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+              .limit(1).count() > 0)
+            throw new IllegalStateException(
+              s"$dir/documents.parquet no longer contains doc_ids that committed " +
+              s"epochs under $root hold — epoch packing is append-only; stage a " +
+              "fresh root (committed epochs cannot unsee removed docs)")
+          val f = docs.join(keyed, Seq("doc_id"), "left_anti")
+          if (f.limit(1).count() == 0) return eps
+          f
+        } finally { keyed.unpersist(): Unit }
+    }
+    if (freshDocs.isEmpty) return eps
+    val ep = eps.maxOption.getOrElse(-1L) + 1
+    packedEpochStagings.incrementAndGet()
+    packedSequencesOf(freshDocs, shards, seqLen)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "seq")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$root/ep$ep/seqs")
+    freshDocs.select("doc_id")
+      .write.mode("overwrite").parquet(s"$root/ep$ep/ids") // THE commit point
+    eps :+ ep
+  }
+
+  /** The epoch-layered packed corpus: every committed epoch's sequences
+    * with an `epoch` column. Loud when nothing is committed (the
+    * readShuffledShards discipline — never a silent empty corpus).
+    */
+  def readPackedEpochs(spark: SparkSession, root: String): DataFrame = {
+    val eps = committedEpochsUnder(spark, root)
+    if (eps.isEmpty) throw new IllegalStateException(
+      s"no committed epochs under $root — run appendPackedEpochs (or q155) first")
+    eps.map(e => spark.read.parquet(s"$root/ep$e/seqs").withColumn("epoch", lit(e)))
+      .reduce(_ unionByName _)
+  }
+
+  // warehouse stage-or-adopt for the epoch root (q155): the root is NOT
+  // fingerprint-named (its whole point is to survive corpus growth), so
+  // adoption tests COMPATIBILITY instead — a root is adoptable iff it has
+  // committed epochs and none of its packed ids has vanished from the
+  // current table. An in-place regeneration fails the test, the root is
+  // abandoned (own-tag roots are swept at the next staging point) and a
+  // fresh root stages.
+  private val stagedPackedEpochRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Long), graft.LazyCell[String]]()
+  private val packedEpochLive =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val packedEpochInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Epoch WRITES this process performed (one per committed epoch). */
+  private[graft] val packedEpochStagings = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def packedEpochRootsOnDiskFor(spark: SparkSession, dir: String): Seq[String] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whPath)) Nil
+    else fs.listStatus(whPath).map(_.getPath.getName).toSeq
+      .filter(_.startsWith(s"g_packedep_${annDirKey(dir)}_")).sorted
+  }
+
+  private def epochRootCompatible(spark: SparkSession, dir: String, root: String): Boolean =
+    committedEpochsUnder(spark, root).nonEmpty && packedEpochIds(spark, root).forall {
+      ids =>
+        ids.select("doc_id").join(
+          Tables.documents(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+          .limit(1).count() == 0
+    }
+
+  /** Reclaim THIS process's own dead epoch roots for `dir`: own-tag roots
+    * that are neither live nor mid-write and are either epoch-less
+    * (crash debris from a staging that died before epoch 0 committed) or
+    * INCOMPATIBLE with the current table (an in-place regeneration
+    * orphaned them — adoption can never pick them again).
+    */
+  private def sweepPackedEpochDebris(spark: SparkSession, wh: String,
+      dir: String): Unit =
+    scala.util.Try {
+      val whPath = new org.apache.hadoop.fs.Path(wh)
+      val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"g_packedep_${annDirKey(dir)}_") &&
+            n.contains(s"_${processTag}_") &&
+            !packedEpochLive.contains(n) && !packedEpochInFlight.contains(n) &&
+            !epochRootCompatible(spark, dir, s"$wh/$n"))
+          fs.delete(st.getPath, true)
+      }
+    }
+
+  private def adoptOrCreateEpochRoot(spark: SparkSession, dir: String,
+      shards: Int, seqLen: Long): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"g_packedep_${annDirKey(dir)}_s${shards}_L${seqLen}_"
+    val adopted =
+      if (!fs.exists(whPath)) None
+      else fs.listStatus(whPath).map(_.getPath.getName).toSeq
+        .filter(_.startsWith(prefix)).sorted
+        .find(n => epochRootCompatible(spark, dir, s"$wh/$n"))
+    adopted match {
+      case Some(n) =>
+        packedEpochLive.add(n)
+        sweepPackedEpochDebris(spark, wh, dir)
+        s"$wh/$n"
+      case None =>
+        val name = prefix + s"${processTag}_" +
+          java.util.UUID.randomUUID.toString.take(8)
+        packedEpochInFlight.add(name)
+        try {
+          sweepPackedEpochDebris(spark, wh, dir)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/$name"))
+          packedEpochLive.add(name)
+          s"$wh/$name"
+        } finally packedEpochInFlight.remove(name)
+    }
+  }
+
+  /** q155: the EPOCH-LAYERED packed corpus served end to end — adopt (or
+    * stage) the warehouse epoch root for (corpus, shards, seqLen), absorb
+    * any delta as a new epoch, and read the full layout back with
+    * per-sequence token counts and content digests recomputed from the
+    * stored streams. On the driver's static corpus this is exactly q153
+    * with `epoch = 0` (the oracle), which hash-gates the whole epoch
+    * plumbing — root adoption, epoch union read, the fold-through-
+    * [[packedSequencesOf]] seam; the GROWTH semantics (delta-only packing,
+    * base immutability, append-only refusal, epoch census == q150 of the
+    * delta corpus) are spec-pinned in PackedEpochSpec. An in-place
+    * regeneration makes every committed lineage unappendable: q155
+    * abandons it (evict + sweep at the next staging point) and stages a
+    * fresh root — the staleness contract, carried by compatibility
+    * instead of a fingerprint.
+    */
+  def q155(spark: SparkSession, dir: String, shards: Int = 8,
+      seqLen: Long = 512L): DataFrame = {
+    val key = (spark, dir, shards, seqLen)
+    def rootOf(): String = graft.LazyCell.force(stagedPackedEpochRoots, key,
+      stagedPackedEpochRoots.computeIfAbsent(key,
+        _ => new graft.LazyCell(adoptOrCreateEpochRoot(spark, dir, shards, seqLen))))
+    val root0 = rootOf()
+    val root =
+      try { appendPackedEpochs(spark, dir, root0, shards, seqLen); root0 }
+      catch { case _: IllegalStateException =>
+        // in-place regeneration: the memoized lineage is unappendable —
+        // release it and stage a fresh root (the old one is swept there)
+        stagedPackedEpochRoots.remove(key)
+        packedEpochLive.remove(new org.apache.hadoop.fs.Path(root0).getName)
+        val r2 = rootOf()
+        appendPackedEpochs(spark, dir, r2, shards, seqLen)
+        r2
+      }
+    readPackedEpochs(spark, root)
+      .select(col("shard").cast("long").as("shard"), col("seq"),
+        col("epoch").cast("long").as("epoch"), col("n_docs"),
+        TextFunctions.tokenCount(col("stream")).cast("long").as("n_tok"),
+        md5(col("stream")).as("digest"))
+      .orderBy("epoch", "shard", "seq")
   }
 
   /** q135: length-bucketed batch assignment + padding-waste census — the
