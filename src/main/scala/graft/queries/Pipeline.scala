@@ -3269,6 +3269,31 @@ object Pipeline {
   def appendPackedEpochs(spark: SparkSession, dir: String, root: String,
       shards: Int = 8, seqLen: Long = 512L): Seq[Long] = {
     val docs = Tables.documents(spark, dir)
+    packedEpochIds(spark, root).foreach { ids =>
+      if (ids.select("doc_id")
+          .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+          .limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"$dir/documents.parquet no longer contains doc_ids that committed " +
+          s"epochs under $root hold — epoch packing is append-only; stage a " +
+          "fresh root (committed epochs cannot unsee removed docs)")
+    }
+    appendPackedDelta(docs, root, shards, seqLen)
+  }
+
+  /** The append's delta arm, shared with the STREAMING sink
+    * ([[graft.streaming.Streams.streamIntoPackedEpochs]]): pack the docs
+    * in `docs` not yet covered by a committed epoch as the next epoch.
+    * No gone-check — a stream's micro-batch is a delta by construction,
+    * not a snapshot of a table. The already-packed anti-join is also the
+    * replay guard: a RETRIED micro-batch (crash after the ids commit but
+    * before the checkpoint recorded the offset) finds every one of its
+    * docs already packed, reads an empty delta and commits nothing —
+    * exactly-once without a transactional format.
+    */
+  private[graft] def appendPackedDelta(docs: DataFrame, root: String,
+      shards: Int = 8, seqLen: Long = 512L): Seq[Long] = {
+    val spark = docs.sparkSession
     val eps = committedEpochsUnder(spark, root)
     val freshDocs = packedEpochIds(spark, root) match {
       case None => docs
@@ -3276,12 +3301,6 @@ object Pipeline {
         val keyed = ids.select("doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (keyed.join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
-              .limit(1).count() > 0)
-            throw new IllegalStateException(
-              s"$dir/documents.parquet no longer contains doc_ids that committed " +
-              s"epochs under $root hold — epoch packing is append-only; stage a " +
-              "fresh root (committed epochs cannot unsee removed docs)")
           val f = docs.join(keyed, Seq("doc_id"), "left_anti")
           if (f.limit(1).count() == 0) return eps
           f

@@ -232,6 +232,33 @@ object Streams {
       }
       .start()
 
+  /** Continuous ingestion into the PACKED training corpus (r19): each
+    * micro-batch of documents packs as its own committed epoch under the
+    * [[graft.queries.Pipeline.appendPackedEpochs]] layout — the streaming
+    * face of incremental epoch packing, completing the family the way
+    * [[streamIntoStash]] completes the KV layer. foreachBatch is the
+    * sink; [[graft.queries.Pipeline.appendPackedDelta]] carries both the
+    * delta discovery (docs not yet in a committed epoch) and the replay
+    * guard: a RETRIED batch finds its docs already packed and commits
+    * nothing, so the corpus is exactly-once per doc without a
+    * transactional format. Batches with nothing new commit no epoch.
+    *
+    * Scale shape per batch: one id-grain anti-join against the layout's
+    * ids sidecars + the q151 fold over only the batch — committed epochs
+    * are never read or rewritten, so steady-state cost is O(batch), not
+    * O(corpus).
+    */
+  def streamIntoPackedEpochs(docs: DataFrame, root: String, checkpoint: String,
+      shards: Int = 8, seqLen: Long = 512L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.queries.Pipeline.appendPackedDelta(batch, root, shards, seqLen)
+        ()
+      }
+      .start()
+
   /** Feed a batch events frame as a file stream: write ts-ordered chunks to
     * a temp dir, readStream over it (schema from the batch frame). The ts
     * ordering makes append-mode final output deterministic (SURVEY §2.3).

@@ -109,6 +109,45 @@ class PackedEpochSpec extends SparkSpec {
     assert(ids.sorted === Seq(1L, 2L, 5L), "retry must not double-pack")
   }
 
+  test("streaming → packed corpus: one epoch per micro-batch, exactly-once per doc, replay-safe") {
+    val work = freshDir("stream")
+    val root = freshDir("root-stream")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
+    // 4 sequential chunk files (the file source triggers one batch per file)
+    (0 until 4).foreach { i =>
+      docs.filter(col("doc_id") % 4 === i).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(s"$work/in")
+    }
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+    val q = graft.streaming.Streams.streamIntoPackedEpochs(
+      stream(), root, s"$work/ckpt")
+    q.processAllAvailable(); q.stop()
+    val eps = Pipeline.committedEpochsUnder(spark, root)
+    assert(eps === (0L until 4L), "each non-empty micro-batch commits one epoch")
+    // every doc packed exactly once, and the token accounting is the
+    // corpus invariant regardless of how the stream chunked it
+    val ids = eps.flatMap(e =>
+      spark.read.parquet(s"$root/ep$e/ids").collect().map(_.getLong(0)))
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sorted === want.toSeq, "every doc must pack exactly once")
+    val gotTok = Pipeline.readPackedEpochs(spark, root)
+      .select(sum("n_tok")).head.getLong(0)
+    val wantTok = docs.select(
+      sum(least(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"),
+        lit(512L)))).head.getLong(0)
+    assert(gotTok === wantTok, "token totals are chunking-invariant")
+    // REPLAY from a fresh checkpoint (the whole input re-fires): the
+    // already-packed anti-join commits nothing — exactly-once per doc
+    // holds across replays, not just restarts
+    val n = Pipeline.packedEpochStagings.get
+    val q2 = graft.streaming.Streams.streamIntoPackedEpochs(
+      stream(), root, s"$work/ckpt2")
+    q2.processAllAvailable(); q2.stop()
+    assert(Pipeline.committedEpochsUnder(spark, root) === (0L until 4L))
+    assert(Pipeline.packedEpochStagings.get === n, "a replay must commit nothing")
+  }
+
   test("q155 on a static corpus == q153 with epoch 0; growth flows through; cold open adopts; regeneration re-stages") {
     val dir = freshDir("q155")
     writeDocs(dir, Seq((1L, "s", "a b c"), (2L, "s", "d e")))
