@@ -3339,6 +3339,12 @@ object Pipeline {
   // fresh root stages.
   private val stagedPackedEpochRoots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Long), graft.LazyCell[String]]()
+  /** documents-fingerprint at this session's last successful epoch sync —
+    * [[q155]]'s fast path (an unchanged fingerprint proves the append
+    * would no-op, so its id anti-joins are skipped).
+    */
+  private val packedEpochSynced = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Long), String]()
   private val packedEpochLive =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val packedEpochInFlight =
@@ -3432,19 +3438,29 @@ object Pipeline {
   def q155(spark: SparkSession, dir: String, shards: Int = 8,
       seqLen: Long = 512L): DataFrame = {
     val key = (spark, dir, shards, seqLen)
+    val fp = videoSourceFp(spark, dir) // = fingerprint of documents.parquet
     def rootOf(): String = graft.LazyCell.force(stagedPackedEpochRoots, key,
       stagedPackedEpochRoots.computeIfAbsent(key,
         _ => new graft.LazyCell(adoptOrCreateEpochRoot(spark, dir, shards, seqLen))))
     val root0 = rootOf()
+    // fast path: the table's fingerprint is unchanged since this session
+    // last synced this root, so the append could only no-op — skip its
+    // id anti-joins (a metadata listing instead of two jobs per call).
+    // Any file-level change (growth OR regeneration) misses and takes
+    // the full path below.
     val root =
-      try { appendPackedEpochs(spark, dir, root0, shards, seqLen); root0 }
-      catch { case _: IllegalStateException =>
+      if (packedEpochSynced.get(key) == fp) root0
+      else try {
+        appendPackedEpochs(spark, dir, root0, shards, seqLen)
+        packedEpochSynced.put(key, fp); root0
+      } catch { case _: IllegalStateException =>
         // in-place regeneration: the memoized lineage is unappendable —
         // release it and stage a fresh root (the old one is swept there)
         stagedPackedEpochRoots.remove(key)
         packedEpochLive.remove(new org.apache.hadoop.fs.Path(root0).getName)
         val r2 = rootOf()
         appendPackedEpochs(spark, dir, r2, shards, seqLen)
+        packedEpochSynced.put(key, fp)
         r2
       }
     readPackedEpochs(spark, root)
