@@ -3225,6 +3225,12 @@ object Pipeline {
   // sidecar AFTER its `seqs` — an epoch missing either `_SUCCESS` is
   // invisible to readers and to the id census, so a died append is
   // retried whole (its docs still read as fresh) and never double-packs.
+  // COMPACTION NOTE: packing is not closed under union (sequence
+  // boundaries depend on the fold), so "merge epochs back to one base"
+  // IS a full re-pack — exactly [[packedCorpus]]/q153 on the current
+  // table. When the epoch count grows past what a loader wants to mount
+  // (each epoch is one more dir in the union read), pay that re-pack
+  // deliberately and retire the epoch root; there is no cheaper merge.
 
   private val packedEpochRe = """ep(\d+)""".r
 
