@@ -1175,7 +1175,16 @@ object Bench {
             // distributed BPE trainer — no oracle, so its row records the
             // raw e(sf) points (the 100 TB path's measured per-round
             // curve) with a null ratio, which is the point of including it
-            "q141_bpe_pairs", "q143_embedding_moments", "q146_bpe_distributed")
+            "q141_bpe_pairs", "q143_embedding_moments", "q146_bpe_distributed",
+            // r19: the packing family's per-SF ENGINE curves — census
+            // (lengths-grain fold), digest assembly (the one text-moving
+            // stage), committed-corpus read-back. Their recursive-CTE
+            // oracle's cost is O(max docs-per-shard) recursion depth, so
+            // DuckDB times out past sf0.01 and the ratio reports null —
+            // the q146 discipline: the row's value IS the measured e(sf)
+            // points (r19final: q150 0.13→0.16 s and q153 0.18→0.16 s
+            // FLAT across 100x data; q152 0.21→0.31 s, the text move)
+            "q150_sequence_packing", "q152_sequence_digest", "q153_packed_readback")
           // per-query isolation, same fail-soft discipline as the main
           // loop: one failing query loses its row, not the whole phase
           for (name <- slopeSet; fn <- ordered.find(_._1 == name).map(_._2)) try {
