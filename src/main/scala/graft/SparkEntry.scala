@@ -320,6 +320,12 @@ object SparkEntry {
     // gate corpus this is q153 at epoch 0, which hash-gates the
     // plumbing, and PackedEpochSpec pins the growth semantics.
     "q155_packed_epochs" -> ((s, d) => Pipeline.q155(s, d)),
+    // q156 (r19): best-fit-decreasing packing census — the padding-
+    // minimizing variant of q150 for order-free corpora. Declared
+    // no-oracle (bin state is not SQL-expressible); SpecChecks carries
+    // the machine verdict (totals invariant vs q150, waste strictly
+    // improved on the fixture corpus).
+    "q156_bestfit_packing" -> ((s, d) => Pipeline.q156(s, d)),
   )
 
   // Shared oracle fragments ------------------------------------------------

@@ -198,6 +198,57 @@ object SpecChecks {
       s"""{"check":"forced-distributed (maxDriverVocab=0) merge table == driver-path table at merges=24","n_merges":${dist.size},"equals_driver_path":$eq,"pass":${eq && dist.nonEmpty}}"""
     }
 
+    guarded("q156_bestfit_packing") {
+      // the q150 discipline applied to best-fit: a DRIVER-SIDE reference
+      // replay of the same BFD rule over the collected (shard, eff)
+      // lists must reproduce the census exactly, and the corpus
+      // accounting (docs, effective tokens, truncations) must equal
+      // q150's — those are order invariants. The waste comparison vs
+      // q150 is reported for the reader but NOT gated: BFD has no
+      // per-instance dominance theorem over first-fit-in-order, and the
+      // driver regenerates this corpus every round.
+      val seqLen = 512L
+      val input = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("skey", graft.queries.Pipeline.shuffleKey(col("doc_id")))
+        .withColumn("shard", pmod(col("skey"), lit(8L)))
+        .select("shard", "n_tok", "skey", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val ref = input.groupBy(_._1).map { case (shard, docs) =>
+        val ordered = docs.sortBy(d => (-d._2, d._3, d._4)) // the engine's sort
+        var bins = List.empty[Long] // remaining capacity per open bin
+        var tokEff = 0L; var nTrunc = 0L
+        ordered.foreach { case (_, nTok, _, _) =>
+          val eff = math.min(nTok, seqLen)
+          if (nTok > seqLen) nTrunc += 1
+          tokEff += eff
+          val fits = bins.filter(_ >= eff)
+          if (fits.isEmpty) bins = (seqLen - eff) :: bins
+          else {
+            val best = fits.min // tightest open bin
+            val i = bins.indexOf(best)
+            bins = bins.updated(i, best - eff)
+          }
+        }
+        shard -> ((docs.length.toLong, bins.length.toLong, tokEff,
+          bins.length * seqLen - tokEff, nTrunc))
+      }
+      val got = queries.Pipeline.q156(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+      val replayOk = got == ref
+      def sums(df: org.apache.spark.sql.DataFrame, wasteCol: String) = df
+        .agg(sum("n_docs"), sum("tok_eff"), sum("n_trunc"), sum(wasteCol))
+        .head match { case r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) }
+      val (bfDocs, bfTok, bfTr, bfWaste) =
+        sums(queries.Pipeline.q156(spark, dir), "pad_waste")
+      val (ffDocs, ffTok, ffTr, ffWaste) =
+        sums(queries.Pipeline.q150(spark, dir), "pad_waste")
+      val invariant = bfDocs == ffDocs && bfTok == ffTok && bfTr == ffTr
+      s"""{"check":"census == driver BFD replay AND totals == q150 (waste vs q150 informational)","replay_equal":$replayOk,"totals_invariant":$invariant,"bf_waste":$bfWaste,"ff_waste":$ffWaste,"pass":${replayOk && invariant}}"""
+    }
+
     val allPass = out.values.forall(_.contains("\"pass\":true"))
     val body = out.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     s"""{"sf_dir":"$dir","all_pass":$allPass,"checks":{$body}}"""

@@ -673,6 +673,39 @@ class PipelineSpec extends SparkSpec {
     assert(agg === cm, "q150 at 32 shards must equal its q151 re-aggregated")
   }
 
+  test("q156 best-fit packing: hand-traced bins (incl. empty doc + truncation); totals invariant vs q150; deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q156").toString
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // lengths 15 (truncates), 7, 6, 4, 3, 2, 0 (empty) at seqLen 10:
+    //   15→eff10 new bin(rem 0); 7 new(rem 3); 6 new(rem 4); 4→the rem-4
+    //   bin(0); 3→the rem-3 bin(0); 2 new(rem 8); 0 joins the rem-8 bin
+    Seq((1L, "s", toks(15)), (2L, "s", toks(7)), (3L, "s", toks(6)),
+        (4L, "s", toks(4)), (5L, "s", toks(3)), (6L, "s", toks(2)),
+        (7L, "s", ""))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.q156(spark, dir, shards = 1, seqLen = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq((0L, 7L, 4L, 32L, 8L, 1L)),
+      s"hand-traced BFD census mismatch: $got")
+    // determinism: a second run reproduces the census exactly
+    val again = Pipeline.q156(spark, dir, shards = 1, seqLen = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(again === got)
+    // corpus totals are order invariants shared with q150 on real data
+    val bf = Pipeline.q156(spark, sf0001).agg(
+      sum("n_docs"), sum("tok_eff"), sum("n_trunc"), sum("pad_waste")).head
+    val ff = Pipeline.q150(spark, sf0001).agg(
+      sum("n_docs"), sum("tok_eff"), sum("n_trunc"), sum("pad_waste")).head
+    assert((bf.getLong(0), bf.getLong(1), bf.getLong(2)) ===
+      ((ff.getLong(0), ff.getLong(1), ff.getLong(2))),
+      "docs / effective tokens / truncations must not depend on the packing rule")
+    info(s"fixture waste: best-fit ${bf.getLong(3)} vs first-fit-in-order ${ff.getLong(3)}")
+  }
+
   test("q31 multimodal decode stub: flat scalar metadata populated per row") {
     val mm = Pipeline.mmDecodeStub(spark, sf0001)
     // flat scalars, not a nested struct: sinks/checkers sort+hash these
