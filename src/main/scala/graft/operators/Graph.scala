@@ -46,6 +46,57 @@ object Graph {
     val sym = ckpt(edges.select(col(src).as("a"), col(dst).as("b"))
       .unionAll(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct())
+    // ---- bounded driver fast path (r19 optimization, measured): the
+    // iterative loop costs 2-4 rounds x (3 shuffles + 1 action) of pure
+    // job dispatch on a label table that is TINY whenever the edge list
+    // is — near-dup pair lists are the LSH-verified survivors, orders of
+    // magnitude smaller than the corpus. Under an exact edge-count bound
+    // (driver ingress <= maxDriverEdges 16-byte rows, the same bounded-
+    // finale class as the q112/q113 kernels and lrTrain), collect the
+    // checkpointed symmetric edge list ONCE and run the driver union-find
+    // that OperatorsSpec already holds the iterative path equal to —
+    // min-id linking, so the root IS the component's smallest id, the
+    // identical label function. Past the bound (or on any null id, which
+    // only the join path defines semantics for), the O(log diameter)
+    // iterative rounds below remain the path — a 100 TB edge list never
+    // lands on a driver. The count is one job over checkpointed blocks;
+    // the fast path replaces the per-round convergence actions, so the
+    // job count strictly drops for every bounded input.
+    val maxDriverEdges =
+      edges.sparkSession.conf.get("graft.cc.maxDriverEdges", (4 * 1024 * 1024).toString).toLong
+    if (sym.count() <= maxDriverEdges) {
+      val rows = sym.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { // path-halve while walking to the root
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        rows.foreach { r =>
+          val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val nodes = new java.util.TreeSet[java.lang.Long]()
+        rows.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+        import scala.jdk.CollectionConverters._
+        val out = nodes.asScala.toSeq.map(n =>
+          org.apache.spark.sql.Row(n.longValue, find(n.longValue)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("comp",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        return edges.sparkSession.createDataFrame(out.asJava, schema)
+      }
+    }
     var labels = ckpt(sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node")))
     var changed = 1L

@@ -32,21 +32,50 @@ class OperatorsSpec extends SparkSpec {
 
   test("connectedComponents handles a deep chain (pointer-jumping, diameter 99)") {
     import spark.implicits._
-    // a 100-node chain (needs O(log n) rounds, not O(n)) + isolated pair
+    // a 100-node chain (needs O(log n) rounds, not O(n)) + isolated pair;
+    // run BOTH the bounded driver fast path (default) and the iterative
+    // path (bound forced to 0) — identical labels (r19 fast-path gate)
     val edges = ((1L to 100L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (200L, 201L))
       .toDF("ida", "idb")
-    val comp = Graph.connectedComponents(edges, "ida", "idb").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 100L).forall(comp(_) == 1L))
-    assert(comp(200L) == 200L && comp(201L) == 200L)
+    def labels(): Map[Long, Long] = Graph.connectedComponents(edges, "ida", "idb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labels()
+    val iterative =
+      try { spark.conf.set("graft.cc.maxDriverEdges", "0"); labels() }
+      finally spark.conf.unset("graft.cc.maxDriverEdges")
+    assert(fast == iterative, "fast path diverged from the iterative path")
+    assert((1L to 100L).forall(fast(_) == 1L))
+    assert(fast(200L) == 200L && fast(201L) == 200L)
+  }
+
+  test("connectedComponents fast path == iterative path on the q15 pair list") {
+    // the shipped q35 input: LSH-verified near-dup pairs (cliques + the
+    // occasional bridge). The r19 bounded driver fast path must label them
+    // identically to the iterative rounds it replaces at bench scale.
+    val pairs = TextVec.q15(spark, sf001).select("ida", "idb")
+    def labels(): Map[Long, Long] = Graph.connectedComponents(pairs, "ida", "idb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labels()
+    val iterative =
+      try { spark.conf.set("graft.cc.maxDriverEdges", "0"); labels() }
+      finally spark.conf.unset("graft.cc.maxDriverEdges")
+    assert(fast.nonEmpty && fast == iterative)
   }
 
   test("connectedComponents throws rather than returning unconverged labels") {
     import spark.implicits._
     val chain = (1L to 60L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("ida", "idb")
-    intercept[IllegalStateException] {
-      Graph.connectedComponents(chain, "ida", "idb", maxIter = 2).collect()
-    }
+    // only the ITERATIVE path has a convergence budget — force it (the
+    // bounded fast path needs no rounds and must NOT throw, second block)
+    try {
+      spark.conf.set("graft.cc.maxDriverEdges", "0")
+      intercept[IllegalStateException] {
+        Graph.connectedComponents(chain, "ida", "idb", maxIter = 2).collect()
+      }
+    } finally spark.conf.unset("graft.cc.maxDriverEdges")
+    val viaFast = Graph.connectedComponents(chain, "ida", "idb", maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 60L).forall(viaFast(_) == 1L))
   }
 
   test("connectedComponents reliable mode: requires a checkpoint dir, then matches local mode") {

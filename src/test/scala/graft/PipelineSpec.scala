@@ -518,6 +518,58 @@ class PipelineSpec extends SparkSpec {
     rows.foreach { case (id, bytes) => assert(nb(id) == bytes.length.toLong) }
   }
 
+  test("PngCtx == ImageIO convenience path: bytes, pixels, sums (r19 codec hoist)") {
+    // The r19 optimization replaced per-row ImageIO.write/ImageIO.read
+    // (registry scan + disk-backed stream cache per call) with a per-task
+    // PngCtx. This pins the substitution: identical ENCODED BYTES (the
+    // ctx runs the same "first registered PNG writer, default params"
+    // call ImageIO.write is defined as), identical decoded pixels, and
+    // graySum == the per-pixel getSample walk — across every (w, h)
+    // shape the quartet generates plus 1x1 and a 3-pixel-value edge.
+    val ctx = new Pipeline.PngCtx
+    val rnd = new scala.util.Random(7)
+    val shapes = (for (a <- 0 until 13; b <- 0 until 11) yield (4 + a, 4 + b)) ++
+      Seq((1, 1), (16, 1), (1, 14))
+    shapes.foreach { case (w, h) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val data = Pipeline.PngCtx.grayData(img).get
+      (0 until w * h).foreach(i => data(i) = rnd.nextInt(128).toByte)
+      // encode: ctx bytes == ImageIO.write bytes
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val reference = bos.toByteArray
+      val viaCtx = ctx.encode(img)
+      assert(java.util.Arrays.equals(viaCtx, reference),
+        s"encoded bytes diverged at ${w}x$h")
+      // decode: ctx pixels == ImageIO.read pixels, and graySum == the
+      // per-pixel reference walk
+      val decRef = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(reference))
+      val decCtx = ctx.decode(viaCtx)
+      assert(decCtx.getWidth == decRef.getWidth && decCtx.getHeight == decRef.getHeight)
+      var slow = 0L
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val a = decCtx.getRaster.getSample(x, y, 0)
+          val b = decRef.getRaster.getSample(x, y, 0)
+          assert(a == b, s"pixel ($x,$y) diverged at ${w}x$h: $a vs $b")
+          slow += b
+        }
+      }
+      assert(Pipeline.PngCtx.graySum(decCtx) == slow, s"graySum diverged at ${w}x$h")
+    }
+    // reuse across many encodes must not accumulate state: re-encoding the
+    // first shape after the sweep still matches a fresh convenience call
+    val again = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    Pipeline.PngCtx.grayData(again).get.indices.foreach(i =>
+      Pipeline.PngCtx.grayData(again).get(i) = (i * 7 % 128).toByte)
+    val b2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(again, "png", b2)
+    assert(java.util.Arrays.equals(ctx.encode(again), b2.toByteArray))
+  }
+
   test("q148 stride semantics: stride=1 samples every frame; sums nest by stride") {
     // the oracle pins stride=2; the stride KNOB itself is pinned here —
     // stride 1 must sample all frames, and each frame set is a superset
