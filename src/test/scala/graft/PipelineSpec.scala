@@ -588,6 +588,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("WavCtx == AudioSystem: format, frames, bytes; garbage rejected identically (r19 hoist)") {
+    // r19 replaced q149's per-row AudioSystem.getAudioInputStream (which
+    // walks 3 wrong-format readers through construct-and-throw on every
+    // RIFF payload) with a per-task hot-reader context. Pin equality:
+    // same format fields, same PCM bytes, on RIFF payloads of every q149
+    // size class; same terminal exception on garbage; and the hot-reader
+    // state must not leak across formats (RIFF after garbage still parses).
+    def wav(n: Int, seed: Int): Array[Byte] = {
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      (0 until n).foreach(i => bb.putShort((((i * seed) % 128) - 64).toShort))
+      bb.array
+    }
+    val ctx = new Pipeline.WavCtx
+    val payloads = (0 until 7).map(k => wav(256 + k * 32, k + 3))
+    payloads.foreach { p =>
+      val a = ctx.open(p)
+      val b = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      assert(a.getFormat.toString == b.getFormat.toString)
+      assert(a.getFrameLength == b.getFrameLength)
+      val (ba, bb2) = (a.readAllBytes(), b.readAllBytes())
+      a.close(); b.close()
+      assert(java.util.Arrays.equals(ba, bb2))
+    }
+    // garbage: both reject with UnsupportedAudioFileException
+    val junk = "definitely not audio".getBytes("UTF-8")
+    intercept[javax.sound.sampled.UnsupportedAudioFileException](ctx.open(junk))
+    intercept[javax.sound.sampled.UnsupportedAudioFileException](
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(junk)))
+    // hot state survives the miss: the next RIFF parse is still correct
+    val after = ctx.open(payloads.head)
+    assert(after.getFrameLength ==
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payloads.head)).getFrameLength)
+    after.close()
+  }
+
   test("q149 stride semantics: stride=1 keeps every PCM frame; empty text decodes to silence") {
     // the oracle pins stride=3; the stride KNOB is pinned here, and the
     // empty-text guard (all-zero samples) is exercised explicitly because
