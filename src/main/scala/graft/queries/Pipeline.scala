@@ -204,8 +204,9 @@ object Pipeline {
   private[graft] def annTrainSample(emb: DataFrame, trainStride: Long,
       maxTrainRows: Long = AnnTrainBound): (DataFrame, Long) = {
     require(trainStride >= 0L, s"trainStride must be >= 0, got $trainStride")
+    var nAll = -1L
     val stride = if (trainStride >= 1L) trainStride else {
-      val nAll = emb.count()
+      nAll = emb.count()
       // ceil(nAll / maxTrainRows): the pmod filter keeps ~nAll/stride
       // rows, <= maxTrainRows for dense ids (sparse ids only shrink it)
       (nAll + maxTrainRows - 1) / math.max(1L, maxTrainRows)
@@ -218,7 +219,11 @@ object Pipeline {
     val sample = if (stride <= 1L) emb.filter(lit(true))
       else emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
     val train = sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (train, train.count())
+    // when the auto stride degenerated to 1 the trivially-true filter
+    // keeps every row, so the sizing count IS the sample count — skip the
+    // second count job (r19; the cache then materializes lazily under the
+    // first training job, same total work, one less dispatch)
+    (train, if (stride <= 1L && nAll >= 0L) nAll else train.count())
   }
 
   /** Every `stride`-th training vector in vec_id order (rank-stride seed
@@ -488,8 +493,16 @@ object Pipeline {
       nprobe: Int, rerank: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", TextVecExprs.floatVecNorm(col("embedding")))
-    val cents = ivfTrain(emb)
-    val cb = pqTrain(emb)
+    // ONE shared training sample for both trainings (r19: the inline path
+    // had kept the pre-r16 shape — ivfTrain(emb) + pqTrain(emb) each
+    // derived, counted and persisted their own identical sample; the
+    // shared-sample entry points stageAnnIndex already uses produce
+    // bit-identical quantizer and codebook, two fewer jobs + one fewer
+    // persist per query)
+    val (train, n) = annTrainSample(emb, 0L)
+    val (cents, cb) =
+      try (ivfTrainOn(train, n), pqTrainOn(train, n))
+      finally train.unpersist()
     val indexed = ivfadcIndex(emb, cents, cb)
     ivfadcProbe(indexed, emb, annQueries(emb), cents, cb, nprobe, rerank)
   }
@@ -2792,12 +2805,33 @@ object Pipeline {
     require(n > 0, "lrTrain needs at least one labeled document")
     val typed = base.as[(Double, Seq[Int])](
       org.apache.spark.sql.Encoders.product[(Double, Seq[Int])]).rdd
+    // Bounded driver fast path (r19, measured): the loop below is `iters`
+    // STRICTLY SEQUENTIAL global reduces — at bench scale each one is a
+    // ~25 ms job-dispatch floor on microseconds of arithmetic, so q90's
+    // whole cost was 40 dispatches. Under an exact row-count bound
+    // (driver ingress = the hashed-feature projection, the same bounded-
+    // finale class as the CC fast path), collect the checkpointed
+    // features ONCE and run the identical LrGradient fold locally: the
+    // distributed path sums fixed-point longs, long addition is
+    // commutative and associative, so the per-iteration gradient — and
+    // therefore the model — is BIT-IDENTICAL (spec-pinned against the
+    // forced-distributed path). Past the bound the one-job-per-iteration
+    // reduce below is unchanged — features never land on a driver at
+    // 100 TB.
+    val maxDriverRows = docs.sparkSession.conf
+      .get("graft.lr.maxDriverRows", (256 * 1024).toString).toLong
+    val localRows = if (n <= maxDriverRows) typed.collect() else null
     val w = new Array[Double](dim)
     var b = 0.0
     val losses = new Array[Double](iters)
     for (it <- 0 until iters) {
       val agg = new graft.functions.LrGradient(w.clone(), b)
-      val g = typed.mapPartitions { p =>
+      val g = if (localRows != null) {
+        var buf = agg.zero
+        var i = 0
+        while (i < localRows.length) { buf = agg.reduce(buf, localRows(i)); i += 1 }
+        buf.g
+      } else typed.mapPartitions { p =>
         var buf = agg.zero
         while (p.hasNext) buf = agg.reduce(buf, p.next())
         Iterator.single(buf.g)

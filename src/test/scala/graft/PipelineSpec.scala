@@ -1159,6 +1159,23 @@ class PipelineSpec extends SparkSpec {
     assert(w1.toSeq == w2.toSeq && b1 == b2 && l1.toSeq == l2.toSeq)
   }
 
+  test("lrTrain driver fast path == forced-distributed path, bit-identical (r19)") {
+    // the r19 bounded fast path collects the hashed features once and
+    // folds the SAME LrGradient locally; fixed-point long sums make the
+    // per-iteration gradient commutative, so the model must be
+    // bit-identical to the one-job-per-iteration distributed reduce
+    val docs = Tables.documents(spark, sf001)
+    val label = length(col("text")) >= 250
+    val (wf, bf, lf) = Pipeline.lrTrain(docs, label, iters = 6)
+    val (wd, bd, ld) =
+      try {
+        spark.conf.set("graft.lr.maxDriverRows", "0")
+        Pipeline.lrTrain(docs, label, iters = 6)
+      } finally spark.conf.unset("graft.lr.maxDriverRows")
+    assert(wf.toSeq == wd.toSeq && bf == bd && lf.toSeq == ld.toSeq,
+      "driver fold diverged from the distributed reduce")
+  }
+
   test("q90: census is consistent and the classifier beats the majority class on its label") {
     val out = Pipeline.q90(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
