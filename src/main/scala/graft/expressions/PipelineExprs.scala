@@ -330,8 +330,24 @@ case class IvfProbes(child: Expression, centroids: Array[Array[Double]], nprobe:
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "ivf_probes"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val xs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      IvfProbes.probes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        centroids, nprobe))
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbes =
+    copy(child = newChild)
+}
+
+object IvfProbes {
+  /** The row kernel behind [[PipelineExprs.ivfProbes]] — ONE definition
+    * shared by the expression's eval and the driver-local Lloyd fold
+    * ([[graft.queries.Pipeline]] `ivfTrainLocal`), so the two assignment
+    * paths can never diverge.
+    */
+  def probes(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      centroids: Array[Array[Double]], nprobe: Int): Array[Int] = {
     val k = centroids.length
     val scores = new Array[Double](k)
     var c = 0
@@ -368,11 +384,8 @@ case class IvfProbes(child: Expression, centroids: Array[Array[Double]], nprobe:
       out(r) = best
       r += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): IvfProbes =
-    copy(child = newChild)
 }
 
 /** See [[PipelineExprs.tokenStats]]. Counting uses a per-row HashMap keyed
@@ -1119,12 +1132,36 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
   // ||c||^2 per (subspace, centroid), so the per-row argmin compares
   // ||x_s - c||^2 = ||x_s||^2 - 2<x_s,c> + ||c||^2 via -2<x_s,c> + ||c||^2
   // (the ||x_s||^2 term is constant within the argmin and dropped).
-  @transient private lazy val cNormSq: Array[Array[Double]] =
+  @transient private lazy val cNormSq: Array[Array[Double]] = PqEncode.normsSq(codebook)
+
+  protected override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqEncode.encode(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        codebook, cNormSq, dsub))
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** ||c||^2 per (subspace, centroid) — the precomputed argmin constant the
+    * expression caches per instance and the driver-local Lloyd fold
+    * recomputes per round (the codebook changes every round there).
+    */
+  def normsSq(codebook: Array[Array[Array[Double]]]): Array[Array[Double]] =
     codebook.map(_.map { c => var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val xs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** The row kernel behind [[PipelineExprs.pqEncode]] — ONE definition
+    * shared by the expression's eval and the driver-local Lloyd fold
+    * ([[graft.queries.Pipeline]] `pqTrainLocal`), so the two assignment
+    * paths can never diverge. `cNormSq` must be [[normsSq]] of `codebook`.
+    */
+  def encode(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      codebook: Array[Array[Array[Double]]], cNormSq: Array[Array[Double]],
+      dsub: Int): Array[Int] = {
+    val m = codebook.length
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -1148,11 +1185,8 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
       out(s) = best
       s += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): PqEncode =
-    copy(child = newChild)
 }
 
 /** See [[PipelineExprs.pqAdcScore]]. left = codes (array<int>), right = the

@@ -273,15 +273,36 @@ object Pipeline {
     * the coarse quantizer and the PQ codebook (stageAnnIndex) derives,
     * counts and materializes the sample ONCE instead of twice (r16
     * review). The caller owns the sample's persist lifecycle.
+    *
+    * Dispatch (r20): under the [[annCollectLocal]] bound the Lloyd rounds
+    * fold locally on the driver over ONE collect of the (already bounded,
+    * already persisted) sample — zero jobs per round instead of one
+    * strictly sequential stats job each, the same bounded-finale class as
+    * lrTrain's fast path. Past the bound, [[ivfTrainDistributed]] runs
+    * unchanged — a 100 TB corpus's sample never lands on a driver unless
+    * it fits the bound.
     */
   private[graft] def ivfTrainOn(train: DataFrame, n: Long, k: Int = 16,
-      iters: Int = 3): Array[Array[Double]] = {
-    def normalize(v: Array[Double]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0.0) v else v.map(_ / n)
+      iters: Int = 3): Array[Array[Double]] =
+    annCollectLocal(train, n) match {
+      case Some(rows) => ivfTrainLocal(rows, n, k, iters)
+      case None       => ivfTrainDistributed(train, n, k, iters)
     }
+
+  private def annNormalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** The distributed Lloyd rounds (one keyed-aggregation job per round) —
+    * the 100 TB path, and the reference the driver-local fold is
+    * spec-pinned bit-equal to.
+    */
+  private[graft] def ivfTrainDistributed(train: DataFrame, n: Long, k: Int = 16,
+      iters: Int = 3): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = annNormalize(v)
     require(n >= k, s"ivfTrain needs at least k=$k training vectors, got $n")
     val stride = math.max(1L, n / k)
     var cents = seedsByRankStride(train, stride, k).map(normalize)
@@ -367,8 +388,18 @@ object Pipeline {
     finally train.unpersist()
   }
 
-  /** [[pqTrain]] over an already-prepared sample — see [[ivfTrainOn]]. */
+  /** [[pqTrain]] over an already-prepared sample — see [[ivfTrainOn]]
+    * (same bounded driver-local dispatch, r20).
+    */
   private[graft] def pqTrainOn(train: DataFrame, n: Long, m: Int = 8,
+      ksub: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] =
+    annCollectLocal(train, n) match {
+      case Some(rows) => pqTrainLocal(rows, n, m, ksub, iters)
+      case None       => pqTrainDistributed(train, n, m, ksub, iters)
+    }
+
+  /** The distributed PQ Lloyd rounds — see [[ivfTrainDistributed]]. */
+  private[graft] def pqTrainDistributed(train: DataFrame, n: Long, m: Int = 8,
       ksub: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
     require(n >= ksub, s"pqTrain needs at least ksub=$ksub training vectors, got $n")
     val stride = math.max(1L, n / ksub)
@@ -401,6 +432,170 @@ object Pipeline {
     }
     cb
   }
+
+  /** A collected training sample for the driver-local Lloyd fold:
+    * (vec_id, embedding) with the vector in Spark's own compact
+    * [[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]] layout
+    * (4·d bytes + header per row, no boxing), so the SAME expression row
+    * kernels (IvfProbes.probes / PqEncode.encode) evaluate it exactly as
+    * an executor would.
+    */
+  private type AnnLocalSample = Array[(Long, org.apache.spark.sql.catalyst.util.ArrayData)]
+
+  /** Bounded driver-local copy of the prepared training sample (r20): the
+    * Lloyd loops in [[ivfTrainDistributed]]/[[pqTrainDistributed]] are
+    * `iters` STRICTLY SEQUENTIAL keyed-aggregation jobs (plus one seeds
+    * job) over a sample [[annTrainSample]] has ALREADY bounded near
+    * [[AnnTrainBound]] rows — at bench scale each job is a ~25 ms
+    * dispatch floor on microseconds of arithmetic (the q90/lrTrain
+    * shape). Under `graft.ann.maxDriverTrainRows` (default 256k rows —
+    * driver heap is rows × (4·d + ~64 B), ~90 MB at d=64) collect the
+    * persisted sample ONCE; None past the bound or when any id/vector is
+    * null (null semantics stay owned by the distributed path, as in the
+    * CC fast path). The sample is already persisted and counted, so the
+    * collect is one cache-read job replacing 1 + `iters` jobs per
+    * training.
+    */
+  private[graft] def annCollectLocal(train: DataFrame, n: Long): Option[AnnLocalSample] = {
+    val bound = train.sparkSession.conf
+      .get("graft.ann.maxDriverTrainRows", (256 * 1024).toString).toLong
+    if (n > bound) None
+    else {
+      val rows = train.select(col("vec_id"), col("embedding")).collect()
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+      else Some(rows.map { r =>
+        val s = r.getSeq[Float](1)
+        val a = new Array[Float](s.length)
+        var i = 0
+        while (i < a.length) { a(i) = s(i); i += 1 }
+        (r.getLong(0),
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray(a): org.apache.spark.sql.catalyst.util.ArrayData)
+      })
+    }
+  }
+
+  /** [[seedsByRankStride]] over the collected sample — identical rank
+    * semantics: vec_id order, ranks i·stride for i < k (exactly k seeds
+    * exist because stride = max(1, n/k) puts rank (k−1)·stride below n).
+    */
+  private def seedsLocalRankStride(rows: AnnLocalSample, stride: Long,
+      k: Int): Array[Array[Double]] = {
+    val sorted = rows.sortBy(_._1)
+    Array.tabulate(k) { i =>
+      val xs = sorted((i.toLong * stride).toInt)._2
+      val out = new Array[Double](xs.numElements())
+      var j = 0
+      while (j < out.length) { out(j) = xs.getFloat(j).toDouble; j += 1 }
+      out
+    }
+  }
+
+  /** Driver-local Lloyd for the IVF coarse quantizer — bit-identical to
+    * [[ivfTrainDistributed]] by construction: same rank-stride seeds,
+    * same assignment kernel ([[graft.expressions.IvfProbes]].probes — the
+    * expression's OWN row kernel, not a reimplementation), same
+    * floor(x·10⁶+0.5) fixed-point long component sums (long addition is
+    * commutative and associative, so fold order cannot perturb the
+    * result), same normalize. Spec-pinned bit-equal to the forced-
+    * distributed path. Zero Spark jobs.
+    */
+  private[graft] def ivfTrainLocal(rows: AnnLocalSample, n: Long, k: Int = 16,
+      iters: Int = 3): Array[Array[Double]] = {
+    require(n >= k, s"ivfTrain needs at least k=$k training vectors, got $n")
+    val stride = math.max(1L, n / k)
+    var cents = seedsLocalRankStride(rows, stride, k).map(annNormalize)
+    for (_ <- 1 to iters) {
+      val dims = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Long](dims))
+      val seen = new Array[Boolean](cents.length)
+      var r = 0
+      while (r < rows.length) {
+        val xs = rows(r)._2
+        val b = graft.expressions.IvfProbes.probes(xs, cents, 1)(0)
+        seen(b) = true
+        val m = xs.numElements()
+        var p = 0
+        while (p < m) {
+          // the exact distributed contribution: floor(x.cast(double)·1e6+0.5) as long
+          sums(b)(p) += math.floor(xs.getFloat(p).toDouble * 1e6 + 0.5).toLong
+          p += 1
+        }
+        r += 1
+      }
+      cents = Array.tabulate(cents.length)(i =>
+        if (seen(i)) annNormalize(sums(i).map(_ / 1e6)) else cents(i))
+    }
+    cents
+  }
+
+  /** Driver-local PQ Lloyd — bit-identical to [[pqTrainDistributed]] by
+    * the same construction as [[ivfTrainLocal]] (shared PqEncode.encode
+    * row kernel, fixed-point long sums, per-(subspace, code, dim) counts
+    * exactly like the distributed groupBy so variable-length rows keep
+    * identical semantics). Zero Spark jobs.
+    */
+  private[graft] def pqTrainLocal(rows: AnnLocalSample, n: Long, m: Int = 8,
+      ksub: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(n >= ksub, s"pqTrain needs at least ksub=$ksub training vectors, got $n")
+    val stride = math.max(1L, n / ksub)
+    val seeds = seedsLocalRankStride(rows, stride, ksub)
+    val d = seeds(0).length
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    var cb = Array.tabulate(m)(s =>
+      Array.tabulate(ksub)(c => seeds(c).slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      val norms = graft.expressions.PqEncode.normsSq(cb)
+      val sums = Array.fill(m, ksub)(new Array[Long](dsub))
+      val cnts = Array.fill(m, ksub)(new Array[Long](dsub))
+      var r = 0
+      while (r < rows.length) {
+        val xs = rows(r)._2
+        val codes = graft.expressions.PqEncode.encode(xs, cb, norms, dsub)
+        val len = xs.numElements()
+        var p = 0
+        while (p < len) {
+          val s = p / dsub
+          val dim = p % dsub
+          sums(s)(codes(s))(dim) += math.floor(xs.getFloat(p).toDouble * 1e6 + 0.5).toLong
+          cnts(s)(codes(s))(dim) += 1L
+          p += 1
+        }
+        r += 1
+      }
+      val next = Array.tabulate(m)(s => Array.tabulate(ksub)(c => cb(s)(c).clone()))
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          var dim = 0
+          while (dim < dsub) {
+            // update iff the distributed groupBy would have emitted a row
+            if (cnts(s)(c)(dim) > 0L)
+              next(s)(c)(dim) = sums(s)(c)(dim) / 1e6 / cnts(s)(c)(dim)
+            dim += 1
+          }
+          c += 1
+        }
+        s += 1
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Train the coarse quantizer AND the PQ codebook over ONE prepared
+    * sample, collecting it at most once when the bounded local path
+    * applies — [[ivfadcAnn]] and stageAnnIndex train both and would
+    * otherwise collect the same sample twice.
+    */
+  private[graft] def ivfPqTrainOn(train: DataFrame, n: Long)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    annCollectLocal(train, n) match {
+      case Some(rows) => (ivfTrainLocal(rows, n), pqTrainLocal(rows, n))
+      case None       => (ivfTrainDistributed(train, n), pqTrainDistributed(train, n))
+    }
 
   /** q86: PQ-ADC approximate nearest neighbors — the third standard ANN
     * family next to q29 (SRP-LSH) and q38 (IVF), and the one that changes
@@ -501,7 +696,7 @@ object Pipeline {
     // persist per query)
     val (train, n) = annTrainSample(emb, 0L)
     val (cents, cb) =
-      try (ivfTrainOn(train, n), pqTrainOn(train, n))
+      try ivfPqTrainOn(train, n) // one sample collect feeds both trainers (r20)
       finally train.unpersist()
     val indexed = ivfadcIndex(emb, cents, cb)
     ivfadcProbe(indexed, emb, annQueries(emb), cents, cb, nprobe, rerank)
@@ -884,14 +1079,18 @@ object Pipeline {
     images.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // format-sniffing read keeps the convenience path (the payload may
-        // be any imageio format), but not its disk-backed stream cache
-        // (JVM-global, idempotent — see PngCtx)
-        javax.imageio.ImageIO.setUseCache(false)
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, payload) =>
+            // format-sniffing read keeps the convenience path (the payload
+            // may be any imageio format) but wraps the bytes in an EXPLICIT
+            // MemoryCacheImageInputStream — same sniffing semantics as
+            // ImageIO.read(InputStream) minus its disk-backed stream cache,
+            // without flipping the JVM-global setUseCache from inside an
+            // executor task (r19 advice; PngCtx already streams memory-only)
             val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              try javax.imageio.ImageIO.read(
+                new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(payload)))
               catch { case _: Exception => null }
             if (img == null) MmMeta(id, payload.length.toLong, -1, -1, "undecodable")
             else MmMeta(id, payload.length.toLong, img.getWidth, img.getHeight,
@@ -2089,10 +2288,10 @@ object Pipeline {
     *    single-threaded but a Spark task is too).
     *  - `ImageIO.getUseCache` defaults to TRUE, so both entry points spool
     *    every image through a disk-backed `FileCache*Stream` — a temp-file
-    *    create+write+delete PER IMAGE. The context uses
-    *    `MemoryCache*Stream`s; `setUseCache(false)` is also flipped
-    *    (JVM-global, idempotent) so the remaining convenience-path sites
-    *    ([[mmDecodeImages]]'s format-sniffing read) stop paying it too.
+    *    create+write+delete PER IMAGE. The context uses explicit
+    *    `MemoryCache*Stream`s, as does [[mmDecodeImages]]'s format-sniffing
+    *    read — no JVM-global `setUseCache` mutation from executor tasks
+    *    (r19 advice).
     *
     * Measured together (bench protocol, sf0.1, matched paired legs):
     * q83 1.74 → 0.87 s, q147 1.79 → 0.98 s, q148 1.87 → 0.79 s — the
@@ -2110,7 +2309,6 @@ object Pipeline {
     * (PipelineSpec pins ctx == convenience-path equality per row).
     */
   private[graft] final class PngCtx {
-    javax.imageio.ImageIO.setUseCache(false)
     private val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
     private val bos = new java.io.ByteArrayOutputStream(4096)
@@ -2558,6 +2756,13 @@ object Pipeline {
     * returned (spec-pinned equal on RIFF payloads and on garbage). If
     * the ServiceLoader sees no providers (exotic classloader), the
     * context degrades to AudioSystem itself.
+    *
+    * CAVEAT (r19 advice): the disjointness argument covers the JDK's own
+    * readers. A classpath shipping a THIRD-PARTY AudioFileReader whose
+    * accepted formats overlap a JDK reader's (or whose ServiceLoader
+    * order differs from AudioSystem's provider order) voids the equality
+    * claim — on such classpaths, construct streams via AudioSystem
+    * directly (or extend the spec's equality pin to the added provider).
     */
   private[graft] final class WavCtx {
     private val readers: Array[javax.sound.sampled.spi.AudioFileReader] = {
@@ -4341,7 +4546,7 @@ object Pipeline {
           // and materialize once instead of twice (r16 review)
           val (train, n) = annTrainSample(emb, trainStride = 0L)
           val (cents, cb) =
-            try (ivfTrainOn(train, n), pqTrainOn(train, n))
+            try ivfPqTrainOn(train, n) // one sample collect feeds both (r20)
             finally train.unpersist()
           ivfadcIndex(emb, cents, cb)
             .write.partitionBy("bkt").mode("overwrite").parquet(path)

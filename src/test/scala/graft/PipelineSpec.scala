@@ -248,6 +248,43 @@ class PipelineSpec extends SparkSpec {
     assert(b1 == b2)
   }
 
+  test("ivfTrain/pqTrain driver-local Lloyd == forced-distributed path, bit-identical (r20)") {
+    // the r20 bounded fast path collects the (already bounded, persisted)
+    // training sample once and folds the SAME IvfProbes/PqEncode row
+    // kernels locally; fixed-point long component sums are commutative,
+    // so the quantizer and codebook must be bit-identical to the
+    // one-job-per-round distributed aggregations
+    val emb = Tables.embeddings(spark, sf001)
+    def bitsC(c: Array[Array[Double]]) =
+      c.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq).toSeq
+    def bitsB(b: Array[Array[Array[Double]]]) =
+      b.map(_.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq).toSeq).toSeq
+    // the local path must actually engage on this corpus (500 rows << bound)
+    val (sample, n) = Pipeline.annTrainSample(emb, trainStride = 0L)
+    try assert(Pipeline.annCollectLocal(sample, n).isDefined,
+      "bounded local path must engage at spec scale")
+    finally sample.unpersist()
+    val cLocal = Pipeline.ivfTrain(emb)
+    val bLocal = Pipeline.pqTrain(emb)
+    val (cDist, bDist) =
+      try {
+        spark.conf.set("graft.ann.maxDriverTrainRows", "0")
+        (Pipeline.ivfTrain(emb), Pipeline.pqTrain(emb))
+      } finally spark.conf.unset("graft.ann.maxDriverTrainRows")
+    assert(bitsC(cLocal) == bitsC(cDist),
+      "IVF driver fold diverged from the distributed Lloyd rounds")
+    assert(bitsB(bLocal) == bitsB(bDist),
+      "PQ driver fold diverged from the distributed Lloyd rounds")
+    // end-to-end: the composed IVFADC query is identical through both paths
+    val outLocal = Pipeline.q88(spark, sf001).collect().toSeq
+    val outDist =
+      try {
+        spark.conf.set("graft.ann.maxDriverTrainRows", "0")
+        Pipeline.q88(spark, sf001).collect().toSeq
+      } finally spark.conf.unset("graft.ann.maxDriverTrainRows")
+    assert(outLocal == outDist, "q88 output diverged between training paths")
+  }
+
   test("ANN training default bounds the sample when the corpus exceeds the bound") {
     import spark.implicits._
     // 10k synthetic unit vectors, DENSE ids — bigger than a 500-row bound
