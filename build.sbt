@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract (r19 verdict item 2, standing since r1): the
+// driver invokes `sbt "runMain graft.Bench"` and parses the LAST stdout line
+// as JSON. With the default LoggedOutput strategy every forked-process line
+// arrives prefixed "[info] " and sbt appends a "[success] Total time..."
+// line after it — so the headline JSON was never a bare final line and
+// parsed:null in all 19 BENCH artifacts. StdoutOutput makes the forked JVM
+// inherit sbt's own stdout/stderr (bench lines print bare), and
+// showSuccess=false drops the trailing success line, so the compact JSON is
+// the final bare stdout line on a clean (rc 0) run. Reporting-path only —
+// nothing inside any timed region changes.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

